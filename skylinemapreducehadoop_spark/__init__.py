@@ -1,0 +1,37 @@
+"""PySpark-native skyline analytics engine.
+
+A from-scratch re-expression of the capabilities of
+``masruba/SkylineMapReduceHadoop`` (a Hadoop MapReduce implementation of
+"Parallel computation of skyline and reverse skyline queries using
+MapReduce", PVLDB 2013) as an idiomatic PySpark DataFrame library, plus
+the large-scale training-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing) such an engine needs at
+100 TB scale.
+
+Everything here is DataFrame-first: logical plans are declared with the
+PySpark DataFrame/SQL API so Catalyst/Tungsten pick the physical
+strategy; only the dominance kernel itself (which Catalyst cannot
+express) drops to Arrow-vectorized pandas via ``mapInPandas`` /
+``applyInPandas``.
+"""
+
+from skylinemapreducehadoop_spark.operators.skyline import (
+    skyline,
+    skyline_by,
+    skyline_layers,
+)
+from skylinemapreducehadoop_spark.functions.profile import profile
+from skylinemapreducehadoop_spark.sources.tables import load_table, load_tables
+from skylinemapreducehadoop_spark.session import get_session
+
+__all__ = [
+    "skyline",
+    "skyline_by",
+    "skyline_layers",
+    "profile",
+    "load_table",
+    "load_tables",
+    "get_session",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,214 @@
+"""Distributed skyline (Pareto-optimal set) operator.
+
+Re-expresses the reference engine's three-job MapReduce pipeline
+(``/root/reference/Skyline.java``, ``LSkyMapper.java``, ``LSkyReducer.java``,
+``GlobalSkyline.java``) as a composable PySpark DataFrame operator.
+
+Physical plan (strategy="twophase", the default):
+
+1. **Local pass** — ``mapInPandas`` computes a per-partition skyline.
+   This is the Spark analogue of the reference's combiner-equals-reducer
+   trick (``/root/reference/Skyline.java:408``): it is correct because
+   ``skyline(skyline(A) ∪ skyline(B)) == skyline(A ∪ B)`` for any
+   partitioning of the input (the combiner law). On 100 TB this is the
+   map-side reduction that makes the shuffle tiny: each of the ~N scan
+   partitions emits only its Pareto set.
+2. **Merge pass(es)** — the union of local skylines is re-partitioned
+   down (optionally through intermediate tree-reduction levels) and the
+   same kernel runs again; the last level is a single partition, which
+   replaces the reference's hard-coded single reducer
+   (``/root/reference/Skyline.java:414``) but only ever sees
+   already-reduced data.
+
+strategy="quadtree" routes to the dominance-aware quadtree partitioner
+(see ``operators/quadtree.py``), the reference's actual contribution:
+data-space cells prune provably-dominated regions *before* the local
+pass and bound the merge fan-in.
+
+Null semantics: rows with NULL in any skyline dimension are excluded
+(documented engine semantics; the reference would corrupt on its
+missing-value sentinels — SURVEY.md §1.2). The null filter is applied
+Spark-side with ``dropna`` so Catalyst pushes IsNotNull into the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from skylinemapreducehadoop_spark.operators._kernel import skyline_mask
+
+DimSpec = Sequence[tuple[str, str]]
+
+_VALID_DIRECTIONS = {"min", "max"}
+
+
+def normalize_dims(dims: DimSpec) -> list[tuple[str, float]]:
+    """Validate a dims spec into (column, sign) pairs.
+
+    ``sign`` is +1.0 for minimize, -1.0 for maximize — the same
+    direction-normalization trick as the reference's ``value_type``
+    multiplier (``/root/reference/Skyline.java:31``,
+    ``/root/reference/Point.java:29``): after multiplying, all dominance
+    is uniformly MIN-dominance.
+    """
+    out: list[tuple[str, float]] = []
+    if not dims:
+        raise ValueError("dims must be a non-empty sequence of (column, 'min'|'max')")
+    for col, direction in dims:
+        if direction not in _VALID_DIRECTIONS:
+            raise ValueError(f"direction for {col!r} must be 'min' or 'max', got {direction!r}")
+        out.append((col, 1.0 if direction == "min" else -1.0))
+    return out
+
+
+def _values_matrix(pdf: pd.DataFrame, dim_signs: list[tuple[str, float]]) -> np.ndarray:
+    """Extract the (n, d) min-normalized float matrix from a pandas frame.
+
+    Timestamps/dates compare by their integer epoch representation;
+    everything else is cast to float64.
+    """
+    n = len(pdf)
+    arr = np.empty((n, len(dim_signs)), dtype=np.float64)
+    for j, (col, sign) in enumerate(dim_signs):
+        s = pdf[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            vals = s.astype("int64").to_numpy(dtype=np.float64)
+        else:
+            vals = s.to_numpy(dtype=np.float64, na_value=np.nan)
+        arr[:, j] = sign * vals
+    return arr
+
+
+def pandas_skyline(pdf: pd.DataFrame, dim_signs: list[tuple[str, float]]) -> pd.DataFrame:
+    """Skyline of one in-memory pandas frame (rows with NULL dims dropped)."""
+    if len(pdf) == 0:
+        return pdf
+    cols = [c for c, _ in dim_signs]
+    pdf = pdf.dropna(subset=cols)
+    if len(pdf) == 0:
+        return pdf
+    mask = skyline_mask(_values_matrix(pdf, dim_signs))
+    return pdf.loc[mask]
+
+
+def _partition_skyline_fn(dim_signs: list[tuple[str, float]]):
+    """mapInPandas function: incremental skyline over the partition's batches.
+
+    Keeps a running skyline across Arrow batches so memory stays bounded
+    by the partition's Pareto set, not the partition.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            combined = pd.concat([acc, pdf], ignore_index=True) if acc is not None else pdf
+            acc = pandas_skyline(combined, dim_signs)
+        if acc is not None and len(acc):
+            yield acc
+
+    return fn
+
+
+def skyline(
+    df: DataFrame,
+    dims: DimSpec,
+    *,
+    strategy: str = "twophase",
+    reduce_levels: int = 1,
+    quadtree_opts: dict | None = None,
+) -> DataFrame:
+    """Pareto-optimal rows of ``df`` under per-dimension min/max directions.
+
+    dims: sequence of ``(column, 'min'|'max')`` — the engine's query knob,
+    mirroring the reference's per-dimension ``value_type`` directions.
+
+    strategy:
+      - ``"twophase"`` (default): per-partition local skyline then
+        tree-reduced global merge. Correct at any scale; merge fan-in is
+        the sum of per-partition skyline sizes.
+      - ``"quadtree"``: dominance-aware data-space partitioning with
+        provable cell pruning before the local pass (the reference's
+        L-SKY-MR / G-SKY-MR design, re-expressed).
+      - ``"bruteforce"``: single-partition single-pass kernel; test oracle
+        for small inputs only.
+    """
+    dim_signs = normalize_dims(dims)
+    dim_cols = [c for c, _ in dim_signs]
+    missing = [c for c in dim_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"skyline dims not in DataFrame: {missing}")
+
+    clean = df.dropna(subset=dim_cols)
+    fn = _partition_skyline_fn(dim_signs)
+
+    if strategy == "bruteforce":
+        return clean.repartition(1).mapInPandas(fn, df.schema)
+
+    if strategy == "quadtree":
+        from skylinemapreducehadoop_spark.operators.quadtree import quadtree_skyline
+
+        return quadtree_skyline(clean, dim_signs, **(quadtree_opts or {}))
+
+    if strategy != "twophase":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    local = clean.mapInPandas(fn, df.schema)
+    # Tree-reduce the (small) union of local skylines. Intermediate
+    # levels only matter when the Pareto set itself is huge
+    # (anti-correlated data at extreme scale); each level is a shuffle
+    # of already-reduced rows.
+    current = local
+    n_parts = max(df.rdd.getNumPartitions() if reduce_levels > 1 else 1, 1)
+    for level in range(max(reduce_levels - 1, 0)):
+        n_parts = max(int(np.sqrt(n_parts)), 1)
+        if n_parts <= 1:
+            break
+        current = current.repartition(n_parts).mapInPandas(fn, df.schema)
+    return current.repartition(1).mapInPandas(fn, df.schema)
+
+
+def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataFrame:
+    """Grouped skyline: the Pareto set within each group of ``keys``.
+
+    Composition the reference cannot express (its cell grouping is
+    internal); here it is one ``groupBy(...).applyInPandas`` — the
+    shuffle co-locates each group and the kernel runs per group.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    dim_signs = normalize_dims(dims)
+    clean = df.dropna(subset=[c for c, _ in dim_signs])
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pandas_skyline(pdf, dim_signs)
+
+    return clean.groupBy(*keys).applyInPandas(per_group, df.schema)
+
+
+def skyline_layers(df: DataFrame, dims: DimSpec, n_layers: int) -> DataFrame:
+    """Ranked Pareto bands: layer 1 = skyline, layer 2 = skyline of the
+    remainder, ... Returns ``df``'s columns plus ``layer int``.
+
+    Driver-side loop of ``n_layers`` skyline+exceptAll rounds; each round
+    shuffles only the shrinking remainder. ``exceptAll`` keeps duplicate
+    multiplicity consistent with strict-dominance tie semantics.
+    """
+    if n_layers < 1:
+        raise ValueError("n_layers must be >= 1")
+    remaining = df
+    out: DataFrame | None = None
+    for layer in range(1, n_layers + 1):
+        sky = skyline(remaining, dims)
+        tagged = sky.withColumn("layer", F.lit(layer))
+        out = tagged if out is None else out.unionByName(tagged)
+        if layer < n_layers:
+            remaining = remaining.exceptAll(sky)
+    assert out is not None
+    return out

@@ -1,0 +1,3 @@
+from skylinemapreducehadoop_spark.sources.tables import load_table, load_tables
+
+__all__ = ["load_table", "load_tables"]
