@@ -29,20 +29,29 @@ def profile(df: DataFrame, dims: Sequence[str]) -> DataFrame:
     sentinel→NULL happens at ingest in this engine, so NULL-skipping
     ``count`` is the same statistic).
     """
+    if not dims:
+        raise ValueError("dims must be non-empty")
     aggs = [F.count(F.lit(1)).alias("n_total")]
-    for c in dims:
+    for i, c in enumerate(dims):
         aggs += [
-            F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
-            F.count(c).alias(f"__cnt_{c}"),
+            F.min(F.col(c).cast("double")).alias(f"__min_{i}"),
+            F.max(F.col(c).cast("double")).alias(f"__max_{i}"),
+            F.count(F.col(c)).alias(f"__cnt_{i}"),
         ]
     wide = df.agg(*aggs)
 
-    # unpivot to long: one row per dimension
-    stack_args = ", ".join(
-        f"'{c}', `__min_{c}`, `__max_{c}`, `__cnt_{c}`" for c in dims
+    # unpivot to long: one row per dimension (labels passed as literal
+    # Columns, not interpolated into SQL text, so any dim name is safe)
+    rows = [
+        F.struct(
+            F.lit(c).alias("dim"),
+            F.col(f"__min_{i}").alias("min_val"),
+            F.col(f"__max_{i}").alias("max_val"),
+            F.col(f"__cnt_{i}").alias("n_present"),
+        )
+        for i, c in enumerate(dims)
+    ]
+    return (
+        wide.select("n_total", F.explode(F.array(*rows)).alias("r"))
+        .select("r.dim", "r.min_val", "r.max_val", "n_total", "r.n_present")
     )
-    return wide.selectExpr(
-        "n_total",
-        f"stack({len(dims)}, {stack_args}) as (dim, min_val, max_val, n_present)",
-    ).select("dim", "min_val", "max_val", "n_total", "n_present")

@@ -33,7 +33,7 @@ Spark-side with ``dropna`` so Catalyst pushes IsNotNull into the scan.
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Iterator, Sequence
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -165,7 +165,7 @@ def skyline(
     # (anti-correlated data at extreme scale); each level is a shuffle
     # of already-reduced rows.
     current = local
-    n_parts = max(df.rdd.getNumPartitions() if reduce_levels > 1 else 1, 1)
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism if reduce_levels > 1 else 1, 1)
     for level in range(max(reduce_levels - 1, 0)):
         n_parts = max(int(np.sqrt(n_parts)), 1)
         if n_parts <= 1:
@@ -205,10 +205,13 @@ def skyline_layers(df: DataFrame, dims: DimSpec, n_layers: int) -> DataFrame:
     remaining = df
     out: DataFrame | None = None
     for layer in range(1, n_layers + 1):
-        sky = skyline(remaining, dims)
+        # Each layer's skyline feeds BOTH the output union and the next
+        # round's exceptAll — cache so the kernel runs once per layer,
+        # not once per reference (and lineage doesn't re-read the scan).
+        sky = skyline(remaining, dims).cache()
         tagged = sky.withColumn("layer", F.lit(layer))
         out = tagged if out is None else out.unionByName(tagged)
         if layer < n_layers:
-            remaining = remaining.exceptAll(sky)
+            remaining = remaining.exceptAll(sky).cache()
     assert out is not None
     return out

@@ -42,9 +42,16 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet TIMESTAMP(NANOS) columns (the events table) read as
+        # long nanoseconds instead of erroring; loaders cast to a
+        # microsecond timestamp (sources/tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
+    # NOTE: driver memory cannot be set here — in local/client mode the
+    # JVM heap is fixed before SparkSession.builder runs. Use
+    # PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell" or
+    # spark-submit --driver-memory instead.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

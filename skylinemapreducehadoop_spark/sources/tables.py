@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -26,8 +28,31 @@ TABLES = (
 )
 
 
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Cast long-nanosecond columns (read via nanosAsLong) to timestamps.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong=true`` a parquet
+    TIMESTAMP(NANOS) column arrives as a raw long; truncating to
+    microseconds matches what microsecond-native readers (DuckDB — the
+    correctness oracle — and Spark's own TimestampType) produce.
+    Heuristic: long columns named ``ts`` or ``*_ts`` are nano epochs.
+    """
+    for field in df.schema.fields:
+        if field.dataType == T.LongType() and (
+            field.name == "ts" or field.name.endswith("_ts")
+        ):
+            # integer `div`, not `/`: float division loses ulps on
+            # 19-digit nano epochs and rounds instead of truncating
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+            )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_nanos(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -36,7 +61,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = _normalize_nanos(spark.read.parquet(path))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
