@@ -3,8 +3,14 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine↔oracle parity rules used throughout (so value hashes match):
+- every computed column is aliased identically on both sides;
+- money-like aggregates go through ``decimal`` casts (exact, engine
+  independent) instead of double sums (order-dependent ulps);
+- ratio outputs are int/int IEEE divisions (exact) or round(x, 6);
+- text hashing is md5-based (identical bytes → identical hex in both).
 """
 
 from __future__ import annotations
@@ -12,27 +18,428 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skylinemapreducehadoop_spark.sources.tables import load_table
+from skylinemapreducehadoop_spark.operators.skyline import (
+    skyline,
+    skyline_by,
+    skyline_layers,
+)
+from skylinemapreducehadoop_spark.operators import dedup as D
+from skylinemapreducehadoop_spark.operators import similarity as S
+from skylinemapreducehadoop_spark.functions.profile import profile
+from skylinemapreducehadoop_spark.functions import text as TX
+
+# ---------------------------------------------------------------------------
+# flagship
+
+_DIMS3 = [("l_extendedprice", "min"), ("l_discount", "min"), ("l_quantity", "max")]
+_SKY_COLS = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 3-dim mixed-direction skyline of lineitem at sf0.001."""
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    return skyline(li, _DIMS3).select(*_SKY_COLS)
+
+
+# ---------------------------------------------------------------------------
+# query registry
+
+
+def _sky(strategy: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return skyline(li, _DIMS3, strategy=strategy).select(*_SKY_COLS)
+
+    return q
+
+
+def _sky_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = [("l_extendedprice", "min"), ("l_quantity", "max")]
+    return skyline_by(li, "l_returnflag", dims).select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+
+
+def _sky_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(*_SKY_COLS)
+    return skyline_layers(li, _DIMS3, n_layers=3)
+
+
+def _sky_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return skyline(ev, [("value", "max"), ("ts", "min")]).select("event_id", "ts", "value")
+
+
+def _profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).cast("double").alias("sum_base_price"),
+            F.sum(F.col("l_discount").cast("decimal(20,4)")).cast("double").alias("sum_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def _window_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").start.alias("hour_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.text_stats(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens", "n_stopwords", "fingerprint"
+    )
+
+
+def _quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.quality_flags(docs)
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dup(docs, threshold=0.5)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs).withColumnRenamed("id", "doc_id")
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+
+
+def _topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    top = S.cosine_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
+    return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    top = S.ann_lsh_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
+    return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup(emb, threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
+
+
+def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary-column plumbing demo: text bytes stand in for an opaque
+    # media payload; real decode stubs live in operators/multimodal.py
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.upper(F.substring(F.hex(bin_col), 1, 8)).alias("header_hex"),
+        F.ascii(F.substring("text", 1, 1)).cast("int").alias("first_byte"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "skyline_twophase": _sky("twophase"),
+        "skyline_bruteforce": _sky("bruteforce"),
+        "skyline_quadtree": _sky("quadtree"),
+        "skyline_grouped": _sky_grouped,
+        "skyline_layers": _sky_layers,
+        "skyline_events": _sky_events,
+        "profile_lineitem": _profile_lineitem,
+        "q1_pricing_summary": _q1_pricing,
+        "join_nation_revenue": _join_nation_revenue,
+        "window_top2_orders": _window_top2_orders,
+        "events_hourly": _events_hourly,
+        "text_stats_documents": _text_stats,
+        "quality_flags_documents": _quality_flags,
+        "dedup_exact_documents": _dedup_exact,
+        "dedup_minhash_documents": _dedup_minhash,
+        "dedup_simhash_documents": _dedup_simhash,
+        "ngram_jaccard_documents": _ngram_jaccard,
+        "topk_similarity": _topk_similarity,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "embedding_near_dup": _embedding_near_dup,
+        "multimodal_stats": _multimodal_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+
+
+def _sky_oracle(cols: str = "l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity") -> str:
+    return f"""
+SELECT {cols}
+FROM lineitem p
+WHERE p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_quantity IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem q
+    WHERE q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_quantity IS NOT NULL
+      AND q.l_extendedprice <= p.l_extendedprice
+      AND q.l_discount     <= p.l_discount
+      AND q.l_quantity     >= p.l_quantity
+      AND (q.l_extendedprice < p.l_extendedprice
+        OR q.l_discount      < p.l_discount
+        OR q.l_quantity      > p.l_quantity))
+"""
+
+
+def _layers_oracle() -> str:
+    def dom(alias_p: str, alias_q: str) -> str:
+        return (
+            f"{alias_q}.l_extendedprice <= {alias_p}.l_extendedprice "
+            f"AND {alias_q}.l_discount <= {alias_p}.l_discount "
+            f"AND {alias_q}.l_quantity >= {alias_p}.l_quantity "
+            f"AND ({alias_q}.l_extendedprice < {alias_p}.l_extendedprice "
+            f"OR {alias_q}.l_discount < {alias_p}.l_discount "
+            f"OR {alias_q}.l_quantity > {alias_p}.l_quantity)"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL AND l_quantity IS NOT NULL
+),
+l1 AS (SELECT * FROM base p WHERE NOT EXISTS (SELECT 1 FROM base q WHERE {dom('p','q')})),
+b2 AS (SELECT * FROM base EXCEPT ALL SELECT * FROM l1),
+l2 AS (SELECT * FROM b2 p WHERE NOT EXISTS (SELECT 1 FROM b2 q WHERE {dom('p','q')})),
+b3 AS (SELECT * FROM b2 EXCEPT ALL SELECT * FROM l2),
+l3 AS (SELECT * FROM b3 p WHERE NOT EXISTS (SELECT 1 FROM b3 q WHERE {dom('p','q')}))
+SELECT *, CAST(1 AS INTEGER) AS layer FROM l1
+UNION ALL SELECT *, CAST(2 AS INTEGER) FROM l2
+UNION ALL SELECT *, CAST(3 AS INTEGER) FROM l3
+"""
+
+
+_SIMHASH_BITS = 60
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    bits = "\n  + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
+  FROM documents
+),
+th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+bits AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+SELECT doc_id, ({bits}) AS simhash FROM bits
+"""
+
+
+_JACCARD_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, greatest(len(t)-1, 1))]) AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+"""
+
+_STOPWORDS_SQL = "('the','a','an','of','to','and','in','is','it')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sky = _sky_oracle()
+    return {
+        "skyline_twophase": sky,
+        "skyline_bruteforce": sky,
+        "skyline_quadtree": sky,
+        "skyline_grouped": """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem p
+WHERE p.l_extendedprice IS NOT NULL AND p.l_quantity IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem q
+    WHERE q.l_returnflag = p.l_returnflag
+      AND q.l_extendedprice IS NOT NULL AND q.l_quantity IS NOT NULL
+      AND q.l_extendedprice <= p.l_extendedprice
+      AND q.l_quantity >= p.l_quantity
+      AND (q.l_extendedprice < p.l_extendedprice OR q.l_quantity > p.l_quantity))
+""",
+        "skyline_layers": _layers_oracle(),
+        "skyline_events": """
+SELECT event_id, ts, value
+FROM events p
+WHERE p.value IS NOT NULL AND p.ts IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM events q
+    WHERE q.value IS NOT NULL AND q.ts IS NOT NULL
+      AND q.value >= p.value AND q.ts <= p.ts
+      AND (q.value > p.value OR q.ts < p.ts))
+""",
+        "profile_lineitem": """
+SELECT 'l_quantity' AS dim, min(l_quantity) AS min_val, max(l_quantity) AS max_val,
+       count(*) AS n_total, count(l_quantity) AS n_present FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', min(l_extendedprice), max(l_extendedprice), count(*), count(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT 'l_discount', min(l_discount), max(l_discount), count(*), count(l_discount) FROM lineitem
+UNION ALL
+SELECT 'l_tax', min(l_tax), max(l_tax), count(*), count(l_tax) FROM lineitem
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "join_nation_revenue": """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "window_top2_orders": """
+SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 2
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "text_stats_documents": f"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens,
+       len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN {_STOPWORDS_SQL})) AS n_stopwords,
+       ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
+FROM documents
+""",
+        "quality_flags_documents": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), s -> s IN {_STOPWORDS_SQL})) AS n_stop,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents)
+SELECT doc_id, n_tok AS n_tokens,
+       n_tok >= 10 AS len_ok,
+       n_stop * 100 <= 50 * n_tok AS stopword_ok,
+       n_punct * 100 <= 20 * n_chars AS punct_ok,
+       (n_tok >= 10 AND n_stop * 100 <= 50 * n_tok AND n_punct * 100 <= 20 * n_chars) AS quality_ok
+FROM t
+""",
+        "dedup_exact_documents": """
+SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+        "dedup_minhash_documents": _JACCARD_PAIRS_SQL,
+        "ngram_jaccard_documents": _JACCARD_PAIRS_SQL,
+        "dedup_simhash_documents": _simhash_oracle(),
+        "topk_similarity": """
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round(list_cosine_similarity(e.embedding::DOUBLE[], q.v), 6) AS score
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
+LIMIT 10
+""",
+        # ann_lsh_topk: approximate by design → rows-only check (omitted)
+        "embedding_near_dup": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+""",
+        "multimodal_stats": """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       upper(substr(hex(encode(text)), 1, 8)) AS header_hex,
+       CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+FROM documents
+""",
+    }

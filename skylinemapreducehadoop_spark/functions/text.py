@@ -1,0 +1,158 @@
+"""Text-analysis functions for large-scale document pipelines.
+
+All hot-path computations are JVM-side column expressions
+(``pyspark.sql.functions``) so they stay inside whole-stage codegen and
+never cross the Python boundary — at 100 TB a per-row Python UDF here
+would dominate the job. The only Python-side piece is the language-ID
+scorer, which is an Arrow-batched pandas UDF over small broadcast
+profiles.
+
+The reference engine has no text surface (it is a numeric skyline
+engine); these operators extend it toward the training-data-pipeline
+north star: token statistics, quality scoring, fingerprinting,
+language ID.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Small multilingual stopword marker lists for the n-gram/marker
+# language heuristic. Public common-word lists; intentionally tiny —
+# the scorer is a cheap heuristic, not a model.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "por", "con", "para"),
+    "fr": ("le", "la", "les", "des", "une", "est", "dans", "pour", "que", "sur"),
+}
+
+# Default English stopword subset used by the quality scorer.
+DEFAULT_STOPWORDS: tuple[str, ...] = ("the", "a", "an", "of", "to", "and", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization: split on runs of whitespace after trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col)))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND at
+    letter/digit/punctuation boundaries — a cheap deterministic stand-in
+    for a BPE tokenizer's token count (regex, JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(F.trim(c), r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])")
+    return F.size(F.filter(pieces, lambda p: p != F.lit("")))
+
+
+def stopword_count(col: Column | str, stopwords: Sequence[str] = DEFAULT_STOPWORDS) -> Column:
+    """Count of tokens that are stopwords (JVM-side array filter)."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic 60-bit content fingerprint as a BIGINT.
+
+    First 15 hex chars of md5 over UTF-8 bytes — stable across engines
+    (DuckDB: ``('0x' || substr(md5(text), 1, 15))::BIGINT``), so exact
+    dedup / change detection can be cross-checked by any SQL engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
+    """Per-document token statistics — one narrow projection, no shuffle.
+
+    Integer-valued outputs only, so results are bit-exact reproducible
+    on any engine (no float division).
+    """
+    t = F.col(text_col)
+    return df.select(
+        *id_cols,
+        F.length(t).cast("long").alias("n_chars_calc"),
+        token_count(t).cast("long").alias("n_tokens"),
+        distinct_token_count(t).cast("long").alias("n_distinct_tokens"),
+        bpe_ish_token_count(t).cast("long").alias("n_subword_tokens"),
+        stopword_count(t).cast("long").alias("n_stopwords"),
+        F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")).cast("long").alias("n_punct"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )
+
+
+def quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    *,
+    min_tokens: int = 10,
+    max_stopword_pct: int = 50,
+    max_punct_pct: int = 20,
+) -> DataFrame:
+    """Gopher-style quality gates as integer-threshold booleans.
+
+    All comparisons are integer arithmetic (``n * 100 >= pct * total``)
+    — no float ratios, so the flags are engine-exact and cheap.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t).cast("long")
+    n_stop = stopword_count(t).cast("long")
+    n_punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")).cast("long")
+    n_chars = F.length(t).cast("long")
+    return df.select(
+        *id_cols,
+        n_tok.alias("n_tokens"),
+        (n_tok >= F.lit(min_tokens)).alias("len_ok"),
+        (n_stop * 100 <= F.lit(max_stopword_pct) * n_tok).alias("stopword_ok"),
+        (n_punct * 100 <= F.lit(max_punct_pct) * n_chars).alias("punct_ok"),
+        (
+            (n_tok >= F.lit(min_tokens))
+            & (n_stop * 100 <= F.lit(max_stopword_pct) * n_tok)
+            & (n_punct * 100 <= F.lit(max_punct_pct) * n_chars)
+        ).alias("quality_ok"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: marker-word voting with an ASCII-ratio CJK
+    check. Arrow-batched pandas UDF (the scorer needs dict lookups);
+    profiles are tiny constants captured in the closure.
+
+    Returns ``df`` plus ``out_col``. Unknown/ambiguous → 'en' (ties are
+    broken by marker-list order), non-ASCII-heavy → 'zh'.
+    """
+
+    @F.pandas_udf(T.StringType())
+    def score(texts: pd.Series) -> pd.Series:
+        def one(s: str | None) -> str:
+            if not s:
+                return "en"
+            n_non_ascii = sum(1 for ch in s if ord(ch) > 127)
+            if n_non_ascii * 3 > len(s):
+                return "zh"
+            toks = s.lower().split()
+            best, best_hits = "en", -1
+            for lang, markers in _LANG_MARKERS.items():
+                hits = sum(1 for t in toks if t in markers)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            return best
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, score(F.col(text_col)))

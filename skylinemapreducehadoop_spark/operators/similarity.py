@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two physical strategies for the same logical query "top-k nearest by
+cosine":
+
+- ``cosine_topk`` — brute force: one narrow projection computing the
+  score per row (vectorized pandas UDF over Arrow batches; the query
+  vector is a closure constant), then ``orderBy(desc).limit(k)`` which
+  Spark executes as TakeOrdered (per-partition top-k heaps + driver
+  merge of k×partitions rows — no full sort, no full shuffle). This is
+  the exact baseline and the correctness oracle's twin.
+- ``ann_lsh_topk`` — the 100 TB path: random-hyperplane LSH buckets.
+  Each vector is signed against H broadcast hyperplanes → an H-bit
+  bucket id; the query probes its own bucket plus all buckets within
+  ``probe_bits`` sign flips (multi-probe), and only those buckets are
+  exactly re-ranked. Bucketing is an equi-filter Catalyst can push; the
+  re-rank set is ~n / 2^H × probes, not n.
+- ``embedding_near_dup`` — all near-pairs by cosine >= threshold via the
+  same LSH buckets: candidates = bucket equi-join, verify = exact
+  cosine. Never an n² cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_matrix(vecs: pd.Series, dim: int) -> np.ndarray:
+    out = np.zeros((len(vecs), dim), dtype=np.float64)
+    for i, v in enumerate(vecs):
+        if v is not None:
+            out[i, : len(v)] = np.asarray(v, dtype=np.float64)
+    return out
+
+
+def cosine_score(df: DataFrame, query_vec: Sequence[float], vec_col: str = "embedding") -> DataFrame:
+    """Adds ``score`` = cosine(vec, query). Vectorized per Arrow batch:
+    one matrix-vector product per batch, no per-row Python."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    dim = len(q)
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(vecs: pd.Series) -> pd.Series:
+        m = _as_matrix(vecs, dim)
+        norms = np.linalg.norm(m, axis=1)
+        denom = norms * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(denom > 0, m @ q / denom, 0.0)
+        return pd.Series(s)
+
+    return df.withColumn("score", cos(F.col(vec_col)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine; ties broken by id for determinism."""
+    scored = cosine_score(df, query_vec, vec_col)
+    return (
+        scored.orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_udf(planes: np.ndarray):
+    """Pandas UDF: H-bit sign bucket of each vector (one matmul/batch)."""
+    dim = planes.shape[1]
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = _as_matrix(vecs, dim)
+        signs = (m @ planes.T) > 0
+        return pd.Series(signs @ weights)
+
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    probe_bits: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket plus all buckets
+    within ``probe_bits`` sign flips, exact-rerank only those rows."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    planes = _hyperplanes(n_planes, len(q), seed)
+    q_bits = int(((q @ planes.T) > 0) @ (1 << np.arange(n_planes, dtype=np.int64)))
+
+    probes = {q_bits}
+    frontier = {q_bits}
+    for _ in range(probe_bits):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(n_planes)}
+        probes |= frontier
+
+    bucketed = df.withColumn("__bucket", lsh_bucket_udf(planes)(F.col(vec_col)))
+    cand = bucketed.where(F.col("__bucket").isin([int(p) for p in probes]))
+    return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold.
+
+    ``n_tables`` independent LSH tables raise recall (a pair is a
+    candidate if ANY table buckets them together); the verify step is
+    the exact cosine on candidate pairs only.
+    """
+    dim = len(df.select(vec_col).first()[0])
+
+    tables = []
+    for t in range(n_tables):
+        planes = _hyperplanes(n_planes, dim, seed + t)
+        tables.append(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+            ).withColumn("__bucket", lsh_bucket_udf(planes)(F.col("v"))).withColumn(
+                "__table", F.lit(t)
+            )
+        )
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.__table") == F.col("r.__table"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("v_a"),
+            F.col("r.v").alias("v_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = _as_matrix(va, dim)
+        b = _as_matrix(vb, dim)
+        num = (a * b).sum(axis=1)
+        denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(denom > 0, num / denom, 0.0))
+
+    return (
+        cand.withColumn("score", pair_cos(F.col("v_a"), F.col("v_b")))
+        .where(F.col("score") >= F.lit(threshold))
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,106 @@
+"""Local driver-mimic: run every __spark_entry__ query against its
+DuckDB oracle at a given sf and report row-count / schema / value
+matches. Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+from skylinemapreducehadoop_spark.session import get_session
+from skylinemapreducehadoop_spark.sources.tables import TABLES
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (pd.Timestamp,)):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    return v
+
+
+def _norm_df(pdf: pd.DataFrame) -> list[tuple]:
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [tuple(_norm_cell(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    spark = get_session()
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+
+        problems = []
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(f"columns spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if not problems:
+            a, b = _norm_df(spdf), _norm_df(opdf)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ; first diffs: {diffs}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"OK    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} ok, {n_fail} fail")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
