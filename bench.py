@@ -1,0 +1,80 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed once end-to-end (plan + execute + collect-ish
+action); timings are wall-clock per query. Session startup is excluded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from skylinemapreducehadoop_spark.session import get_session
+
+BENCH_QUERIES = [
+    "skyline_twophase",
+    "skyline_quadtree",
+    "skyline_grouped",
+    "profile_lineitem",
+    "q1_pricing_summary",
+    "join_nation_revenue",
+    "window_top2_orders",
+    "events_hourly",
+    "text_stats_documents",
+    "dedup_minhash_documents",
+    "dedup_simhash_documents",
+    "topk_similarity",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    spark = get_session("skyline-bench")
+    qs = entrymod.queries()
+
+    # Warm up the session once (Python UDF worker spawn + imports, JVM
+    # JIT, page cache) so timings measure queries, not cold start.
+    warm = spark.range(0, 10_000, 1, spark.sparkContext.defaultParallelism)
+    warm.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        lambda it: (pdf for pdf in it), warm.schema
+    ).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            # count() forces full execution of every operator without
+            # shipping result rows to the driver
+            df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

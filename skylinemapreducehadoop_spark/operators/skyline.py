@@ -159,6 +159,12 @@ def skyline(
     if strategy != "twophase":
         raise ValueError(f"unknown strategy {strategy!r}")
 
+    # The local pass is CPU-bound pandas work: if the scan yields fewer
+    # partitions than cores (small files / single parquet), fan out
+    # first. At cluster scale input splits >> cores and this no-ops.
+    sc = df.sparkSession.sparkContext
+    if clean.rdd.getNumPartitions() < sc.defaultParallelism:
+        clean = clean.repartition(sc.defaultParallelism)
     local = clean.mapInPandas(fn, df.schema)
     # Tree-reduce the (small) union of local skylines. Intermediate
     # levels only matter when the Pareto set itself is huge
