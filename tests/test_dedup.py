@@ -1,0 +1,85 @@
+"""Dedup operator tests with planted duplicates/near-duplicates."""
+
+from __future__ import annotations
+
+import random
+
+from skylinemapreducehadoop_spark.operators import dedup as D
+
+
+def _make_docs(spark):
+    """30 base docs + exact dups + near dups (1-2 word edits)."""
+    rng = random.Random(0)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    base_texts = {}
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(40)]
+        base_texts[i] = " ".join(words)
+        rows.append((i, base_texts[i]))
+    # exact dups of docs 0 and 1
+    rows.append((100, base_texts[0]))
+    rows.append((101, base_texts[1]))
+    rows.append((102, base_texts[1]))
+    # near dups of docs 2 and 3 (edit 2 words out of 40)
+    for nid, src in ((200, 2), (201, 3)):
+        words = base_texts[src].split()
+        words[5] = "edited"
+        words[17] = "tweaked"
+        rows.append((nid, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    docs = _make_docs(spark)
+    out = D.exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep[0] == 2  # doc 0 + 100
+    assert by_keep[1] == 3  # doc 1 + 101 + 102
+    assert sum(r["n_copies"] for r in out) == docs.count()
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    docs = _make_docs(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.minhash_near_dup(docs, threshold=0.5).collect()}
+    # exact dups have jaccard 1.0
+    assert pairs[(0, 100)] == 1.0
+    assert pairs[(1, 101)] == 1.0
+    # planted near-dups found
+    assert (2, 200) in pairs and pairs[(2, 200)] > 0.5
+    assert (3, 201) in pairs and pairs[(3, 201)] > 0.5
+
+
+def test_minhash_matches_bruteforce_jaccard(spark):
+    docs = _make_docs(spark)
+    lsh = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in D.minhash_near_dup(docs, threshold=0.4).collect()}
+    brute = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in D.ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert lsh == brute  # recall 1.0 at these band settings, same scores
+
+
+def test_simhash_deterministic_and_near(spark):
+    docs = _make_docs(spark)
+    sh = {r["id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[0] == sh[100]  # identical text -> identical simhash
+    assert sh[1] == sh[101] == sh[102]
+    # near-dup pair should be within small hamming distance
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sh[2], sh[200]) <= 10
+    # unrelated docs differ a lot
+    assert ham(sh[4], sh[5]) > 10
+
+
+def test_simhash_near_dup_pairs(spark):
+    docs = _make_docs(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in D.simhash_near_dup(docs, max_hamming=3).collect()}
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs and (1, 102) in pairs and (101, 102) in pairs
+
+
+def test_minhash_plan_has_no_cartesian(spark):
+    docs = _make_docs(spark)
+    plan = D.minhash_near_dup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

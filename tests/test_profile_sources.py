@@ -1,0 +1,45 @@
+"""Profiling + table-loader tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from skylinemapreducehadoop_spark.functions.profile import profile
+from skylinemapreducehadoop_spark.sources.tables import TABLES, load_table, load_tables
+
+
+def test_profile_matches_pandas(spark):
+    rows = [(1.0, 10.0), (2.0, None), (3.0, 30.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = {r["dim"]: r for r in profile(df, ["x", "y"]).collect()}
+    assert out["x"]["min_val"] == 1.0 and out["x"]["max_val"] == 3.0
+    assert out["x"]["n_total"] == 3 and out["x"]["n_present"] == 3
+    assert out["y"]["n_present"] == 2
+    assert out["y"]["min_val"] == 10.0 and out["y"]["max_val"] == 30.0
+
+
+def test_profile_empty_dims_raises(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        profile(df, [])
+
+
+def test_load_all_tables(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert set(tables) == set(TABLES)
+    for name, df in tables.items():
+        assert df.count() > 0, name
+
+
+def test_events_timestamps_match_duckdb(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"
+    got = [str(r["ts"]) for r in ev.orderBy("event_id").limit(50).collect()]
+    want = [
+        str(r[0])
+        for r in duckdb.sql(
+            f"select ts from '{sf_dir}/events.parquet' order by event_id limit 50"
+        ).fetchall()
+    ]
+    assert got == want

@@ -1,0 +1,56 @@
+"""Similarity-search tests vs numpy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from skylinemapreducehadoop_spark.operators import similarity as S
+
+
+def _vectors(spark, n=300, d=16, seed=0):
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((n, d))
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    return m, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(spark):
+    m, df = _vectors(spark)
+    q = m[0]
+    got = [r["vec_id"] for r in S.cosine_topk(df.where("vec_id != 0"), q, k=10).collect()]
+    # numpy reference (float32 storage -> float64 math, like the operator)
+    m32 = m.astype(np.float32).astype(np.float64)
+    sims = (m32 @ q) / (np.linalg.norm(m32, axis=1) * np.linalg.norm(q))
+    order = [i for i in np.argsort(-sims) if i != 0][:10]
+    assert got == order
+
+
+def test_ann_lsh_recall(spark):
+    m, df = _vectors(spark, n=500)
+    q = m[1]
+    exact = {r["vec_id"] for r in S.cosine_topk(df.where("vec_id != 1"), q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in S.ann_lsh_topk(df.where("vec_id != 1"), q, k=10, n_planes=8, probe_bits=3).collect()
+    }
+    # multiprobe LSH on random data: expect decent overlap, exact top-1 present
+    assert len(exact & approx) >= 5
+
+
+def test_embedding_near_dup_finds_planted(spark):
+    rng = np.random.RandomState(2)
+    base = rng.standard_normal((50, 16))
+    near = base[:5] + rng.standard_normal((5, 16)) * 0.02  # cosine ~0.999
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(100 + i, [float(x) for x in v]) for i, v in enumerate(near)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["score"] for r in S.embedding_near_dup(df, threshold=0.98).collect()}
+    for i in range(5):
+        assert (i, 100 + i) in pairs
+        assert pairs[(i, 100 + i)] > 0.98
+
+
+def test_near_dup_plan_has_no_cartesian(spark):
+    _, df = _vectors(spark, n=100)
+    plan = S.embedding_near_dup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,133 @@
+"""Spark-level skyline operator tests (FIXTURES.md F2/F3)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from skylinemapreducehadoop_spark.operators.skyline import (
+    skyline,
+    skyline_by,
+    skyline_layers,
+)
+from skylinemapreducehadoop_spark.sources.tables import load_table
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_hand_case_mixed_directions(spark):
+    rows = [
+        (1, 50.0, 8.0),
+        (2, 80.0, 2.0),
+        (3, 90.0, 1.0),
+        (4, 60.0, 5.0),
+        (5, 100.0, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    # x min, y min
+    got = _ids(skyline(df, [("x", "min"), ("y", "min")]))
+    assert got == [1, 2, 3, 4]
+    # x min, y max: (5) has max y and is only dominated if something has
+    # smaller x AND larger y — nothing does
+    got2 = _ids(skyline(df, [("x", "min"), ("y", "max")]))
+    assert 5 in got2 and 1 in got2
+
+
+def test_null_rows_excluded(spark):
+    rows = [(1, 1.0, 1.0), (2, None, 0.5), (3, 2.0, 2.0)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    got = _ids(skyline(df, [("x", "min"), ("y", "min")]))
+    assert got == [1]
+
+
+def test_duplicates_survive(spark):
+    rows = [(1, 1.0, 1.0), (2, 1.0, 1.0), (3, 2.0, 2.0)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    got = _ids(skyline(df, [("x", "min"), ("y", "min")]))
+    assert got == [1, 2]
+
+
+def test_strategies_agree(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = [("l_extendedprice", "min"), ("l_discount", "min"), ("l_quantity", "max")]
+    key = lambda df: sorted(
+        (r["l_orderkey"], r["l_linenumber"], r["l_extendedprice"])
+        for r in df.collect()
+    )
+    a = key(skyline(li, dims, strategy="twophase"))
+    b = key(skyline(li, dims, strategy="bruteforce"))
+    c = key(skyline(li, dims, strategy="quadtree"))
+    assert a == b == c
+    assert len(a) > 0
+
+
+def test_timestamp_dimension(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10.0),
+        (2, base + datetime.timedelta(hours=1), 20.0),
+        (3, base, 5.0),  # same ts as 1, lower value -> dominated by 1
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp, value double")
+    got = _ids(skyline(df, [("ts", "min"), ("value", "max")]))
+    assert got == [1, 2]
+
+
+def test_grouped_skyline(spark):
+    rows = [
+        (1, "a", 1.0, 1.0),
+        (2, "a", 2.0, 2.0),
+        (3, "b", 5.0, 5.0),  # best of group b even though globally dominated
+        (4, "b", 6.0, 6.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, x double, y double")
+    got = _ids(skyline_by(df, "g", [("x", "min"), ("y", "min")]))
+    assert got == [1, 3]
+
+
+def test_layers(spark):
+    rows = [(i, float(i), float(i)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    out = skyline_layers(df, [("x", "min"), ("y", "min")], n_layers=3).collect()
+    by_layer = {}
+    for r in out:
+        by_layer.setdefault(r["layer"], []).append(r["id"])
+    assert by_layer == {1: [1], 2: [2], 3: [3]}
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id int, x double, y double")
+    assert skyline(df, [("x", "min"), ("y", "min")]).count() == 0
+    assert skyline(df, [("x", "min")], strategy="quadtree").count() == 0
+
+
+def test_bad_args(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id int, x double")
+    with pytest.raises(ValueError):
+        skyline(df, [])
+    with pytest.raises(ValueError):
+        skyline(df, [("x", "up")])
+    with pytest.raises(ValueError):
+        skyline(df, [("nope", "min")])
+    with pytest.raises(ValueError):
+        skyline(df, [("x", "min")], strategy="wat")
+
+
+def test_quadtree_matches_on_skewed_groups(spark):
+    # clustered data exercises non-trivial tree + replication paths
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.normal(0.2, 0.05, size=(500, 2))
+    b = rng.normal(0.8, 0.05, size=(500, 2))
+    pts = np.vstack([a, b]).clip(0, 1)
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, x double, y double")
+    dims = [("x", "min"), ("y", "min")]
+    tp = _ids(skyline(df, dims))
+    qt = _ids(skyline(df, dims, strategy="quadtree", quadtree_opts={"maxp": 32}))
+    assert tp == qt
