@@ -1,0 +1,157 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata
+struct alongside — the layout a 100 TB training-data pipeline needs:
+payload bytes never pass through Python except inside the Arrow-batched
+decode UDF, and metadata-only queries prune the binary column entirely
+at the parquet scan.
+
+The decode step itself needs codec libraries (Pillow/ffmpeg/...) that
+are NOT in this environment, so the decoders are STUBS behind a clearly
+marked gate: ``decoder="fake"`` produces a deterministic synthetic
+decode (real Spark plumbing, fake pixels) for tests and plan work;
+``decoder="real"`` raises ``NotImplementedError`` unless the optional
+library imports.
+
+Schema conventions:
+- payload: ``media binary``
+- metadata: ``media_meta struct<kind string, width int, height int,
+  n_frames int, sample_rate int>`` (NULL fields where not applicable)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, source_col: str, kind: str = "image") -> DataFrame:
+    """Test/demo helper: wrap an existing column's bytes as a media
+    payload with metadata. In production the binary comes straight from
+    the parquet/lakehouse scan."""
+    payload = F.col(source_col).cast("binary")
+    return df.withColumn("media", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes | None) -> tuple[int, int, list[float]]:
+    """Deterministic synthetic decode: 'dimensions' and a tiny feature
+    vector derived from the bytes — stands in for a real codec so the
+    batch shape / schema / partitioning of the pipeline is testable."""
+    if payload is None or len(payload) == 0:
+        return 0, 0, [0.0] * 4
+    b = np.frombuffer(payload, dtype=np.uint8)
+    width = int(b[: len(b) // 2].sum() % 640) + 1
+    height = int(b[len(b) // 2 :].sum() % 480) + 1
+    feat = [
+        float(b.mean()),
+        float(b.std()),
+        float(b.min()),
+        float(b.max()),
+    ]
+    return width, height, feat
+
+
+_DECODE_SCHEMA_SUFFIX = [
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+]
+
+
+def decode_media(
+    df: DataFrame,
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    media_col: str = "media",
+    decoder: str = "fake",
+    batch_features: int = 4,
+) -> DataFrame:
+    """Decode payloads → (id_cols..., width, height, features).
+
+    ``mapInPandas`` so each Arrow batch is decoded vectorized and the
+    output cardinality may differ from the input (frame sampling).
+    ``decoder='real'`` requires an image library that is not bundled —
+    it raises ``NotImplementedError`` unless Pillow imports.
+    """
+    if decoder == "real":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "real media decoding requires Pillow/ffmpeg, which are not "
+                "installed in this environment; use decoder='fake' for "
+                "pipeline plumbing"
+            ) from e
+    elif decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols] + _DECODE_SCHEMA_SUFFIX
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            decoded = [_fake_decode(p) for p in pdf[media_col]]
+            out = pdf[list(id_cols)].copy()
+            out["width"] = [d[0] for d in decoded]
+            out["height"] = [d[1] for d in decoded]
+            out["features"] = [d[2] for d in decoded]
+            yield out
+
+    return df.select(*id_cols, media_col).mapInPandas(decode, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    media_col: str = "media",
+    every_n: int = 2,
+) -> DataFrame:
+    """Frame-sampling plumbing demo: fan each payload out to its
+    'frames' (fake: one frame per 64-byte window, keep every n-th).
+    Output cardinality > input — the mapInPandas contract the real
+    video path needs."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [T.StructField("frame_idx", T.IntegerType()), T.StructField("frame_bytes", T.BinaryType())]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[media_col] or b""
+                frames = [payload[i : i + 64] for i in range(0, len(payload), 64)]
+                for fi in range(0, len(frames), every_n):
+                    rows.append(tuple(r[c] for c in id_cols) + (fi, frames[fi]))
+            if rows:
+                yield pd.DataFrame(rows, columns=list(id_cols) + ["frame_idx", "frame_bytes"])
+
+    return df.select(*id_cols, media_col).mapInPandas(sample, out_schema)

@@ -1,0 +1,77 @@
+"""Fixed-width GSOD (Global Surface Summary of Day) text reader.
+
+The reference engine's native input path: each line is a fixed-width
+ASCII record; fields are parsed by column offset and missing values are
+all-9s sentinels (``/root/reference/Point.java:18-32`` for the offsets,
+``/root/reference/Range.java:20`` for the sentinels,
+``/root/reference/gsod_readme.txt`` for the format spec).
+
+Spark-first: ``spark.read.text`` + per-field ``substring().cast()``
+column expressions — the whole parse is one JVM-side projection with
+column pruning, never a Python loop. Sentinels become real NULLs at
+ingest (the reference leaked them into dominance math — SURVEY.md §1.2
+documents that as a bug we fix, not semantics we keep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# (name, start, end, sentinel, skyline direction) — offsets are the
+# reference's 0-based [start, end) spans (Skyline.java:29-31); sentinel
+# None means "key field, never missing".
+GSOD_FIELDS: tuple[tuple[str, int, int, float | None, str | None], ...] = (
+    ("stn", 0, 6, None, None),
+    ("obs_date", 14, 22, None, None),
+    ("temp", 24, 30, 9999.9, "max"),
+    ("dewp", 35, 41, 9999.9, "max"),
+    ("slp", 46, 52, 9999.9, "max"),
+    ("max_temp", 102, 108, 9999.9, "max"),
+    ("stp", 57, 63, 9999.9, "min"),
+    ("wdsp", 78, 83, 999.9, "min"),
+    ("mxspd", 88, 93, 999.9, "min"),
+    ("gust", 95, 100, 999.9, "min"),
+    ("min_temp", 110, 116, 9999.9, "min"),
+)
+
+#: dims spec for the reference's 9-dim skyline query
+#: (value_type = {-1,-1,-1,-1,1,1,1,1,1}, /root/reference/Skyline.java:31)
+GSOD_SKYLINE_DIMS: list[tuple[str, str]] = [
+    (name, direction) for name, _, _, _, direction in GSOD_FIELDS if direction
+]
+
+
+def read_gsod(spark: SparkSession, path: str) -> DataFrame:
+    """Parse GSOD fixed-width text into a typed DataFrame.
+
+    Blank lines and the header line are dropped (P2 — the reference's
+    empty-string guards, ``Point.java:19``/``LSkyMapper.java:39``);
+    sentinel values become NULL (P3).
+    """
+    raw = spark.read.text(path)
+    lines = raw.where(
+        (F.trim(F.col("value")) != "") & (~F.col("value").startswith("STN---"))
+    )
+    cols = []
+    for name, start, end, sentinel, _ in GSOD_FIELDS:
+        # substring is 1-based; length = end - start
+        c = F.trim(F.substring(F.col("value"), start + 1, end - start))
+        if name in ("stn", "obs_date"):
+            cols.append(c.cast("int").alias(name))
+        else:
+            v = c.cast("double")
+            if sentinel is not None:
+                v = F.when(v == F.lit(sentinel), F.lit(None)).otherwise(v)
+            cols.append(v.alias(name))
+    return lines.select(*cols)
+
+
+def nullify_sentinels(df: DataFrame, sentinels: dict[str, float]) -> DataFrame:
+    """Generic sentinel→NULL ingest utility (P3) for any table."""
+    for col, sentinel in sentinels.items():
+        df = df.withColumn(
+            col,
+            F.when(F.col(col) == F.lit(sentinel), F.lit(None)).otherwise(F.col(col)),
+        )
+    return df

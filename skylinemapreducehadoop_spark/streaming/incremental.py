@@ -1,0 +1,171 @@
+"""Structured Streaming operators: incremental skyline + windowed rollups.
+
+The reference is pure batch (SURVEY.md §2.7); these extend the engine
+to streams the Spark-native way:
+
+- ``hourly_rollup``: watermarked tumbling-window aggregation — pure
+  built-ins, late data handled by the watermark.
+- ``incremental_skyline``: ``applyInPandasWithState`` — per group, the
+  state is the current Pareto set of the *dimension vectors*; each
+  micro-batch folds its rows into the state with the same numpy kernel
+  as batch mode. The skyline-merge law (skyline(A ∪ B) =
+  skyline(skyline(A) ∪ B)) makes this exact, and state size is bounded
+  by the Pareto-set size, not the stream length.
+- ``incremental_skyline_foreachbatch``: the sink-side variant — each
+  micro-batch's *distributed* skyline merges into a driver-held
+  accumulator (useful when full rows, not just dim vectors, must be
+  retained).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from skylinemapreducehadoop_spark.operators._kernel import skyline_mask
+from skylinemapreducehadoop_spark.operators.skyline import (
+    DimSpec,
+    normalize_dims,
+    pandas_skyline,
+)
+
+
+def hourly_rollup(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window count+sum — all built-ins, so the
+    state store, late-data drop, and partial aggregation come from the
+    engine."""
+    # group by the window STRUCT (extracting .start before the agg
+    # severs watermark propagation); project start afterwards
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(F.col("w").start.alias("window_start"), key_col, "n_events", "sum_value")
+    )
+
+
+def incremental_skyline(
+    stream: DataFrame,
+    dims: DimSpec,
+    *,
+    key_col: str,
+) -> DataFrame:
+    """Exact streaming skyline per key via ``applyInPandasWithState``.
+
+    Output (update mode): one row per key per batch with the current
+    Pareto set as an array of dimension-vectors. State = the flattened
+    min-normalized matrix (bounded by the Pareto set size).
+    """
+    dim_signs = normalize_dims(dims)
+    d = len(dim_signs)
+    dim_cols = [c for c, _ in dim_signs]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("skyline_size", T.IntegerType()),
+            T.StructField("skyline", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("flat", T.ArrayType(T.DoubleType()))])
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            flat = np.asarray(state.get[0], dtype=np.float64)
+            current = flat.reshape(-1, d) if flat.size else np.zeros((0, d))
+        else:
+            current = np.zeros((0, d))
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = np.empty((len(pdf), d), dtype=np.float64)
+            for j, (c, s) in enumerate(dim_signs):
+                vals[:, j] = s * pdf[c].to_numpy(dtype=np.float64, na_value=np.nan)
+            vals = vals[~np.isnan(vals).any(axis=1)]
+            if len(vals) == 0:
+                continue
+            merged = np.vstack([current, vals])
+            current = merged[skyline_mask(merged)]
+
+        state.update((current.ravel().tolist(),))
+        # de-normalize for output (undo the sign flip)
+        signs = np.array([s for _, s in dim_signs])
+        out_vecs = current * signs[None, :]
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "skyline_size": [len(current)],
+                "skyline": [[list(map(float, row)) for row in out_vecs]],
+            }
+        )
+
+    return (
+        stream.select(F.col(key_col).cast("string").alias(key_col), *dim_cols)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+class SkylineAccumulator:
+    """Driver-held accumulator for the foreachBatch variant: keeps the
+    full rows of the running skyline as a pandas frame."""
+
+    def __init__(self, dims: DimSpec):
+        self.dim_signs = normalize_dims(dims)
+        self.current: pd.DataFrame | None = None
+
+    def merge(self, batch_sky: pd.DataFrame) -> pd.DataFrame:
+        if self.current is None:
+            combined = batch_sky
+        else:
+            combined = pd.concat([self.current, batch_sky], ignore_index=True)
+        self.current = pandas_skyline(combined, self.dim_signs).reset_index(drop=True)
+        return self.current
+
+
+def incremental_skyline_foreachbatch(
+    stream: DataFrame,
+    dims: DimSpec,
+    acc: SkylineAccumulator,
+    *,
+    checkpoint_dir: str,
+    query_name: str = "incremental_skyline",
+):
+    """Start a foreachBatch query folding each micro-batch's distributed
+    skyline into ``acc``. The per-batch skyline runs cluster-side (the
+    combiner law); only the batch's Pareto set reaches the driver."""
+    from skylinemapreducehadoop_spark.operators.skyline import skyline
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sky = skyline(batch_df, [(c, "min" if s > 0 else "max") for c, s in acc.dim_signs])
+        acc.merge(batch_sky.toPandas())
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

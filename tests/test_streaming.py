@@ -1,0 +1,111 @@
+"""Structured Streaming tests: file source → incremental skyline /
+windowed rollup, run with availableNow triggers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from skylinemapreducehadoop_spark.operators._kernel import skyline_mask
+from skylinemapreducehadoop_spark.streaming.incremental import (
+    SkylineAccumulator,
+    hourly_rollup,
+    incremental_skyline,
+    incremental_skyline_foreachbatch,
+)
+
+
+def _write_batches(spark, base_dir):
+    """Two parquet files acting as two stream arrivals."""
+    rng = np.random.RandomState(0)
+    all_rows = []
+    for b in range(2):
+        rows = [
+            (b * 100 + i, "g1" if i % 2 == 0 else "g2", float(x), float(y))
+            for i, (x, y) in enumerate(rng.rand(50, 2))
+        ]
+        all_rows += rows
+        spark.createDataFrame(rows, "id long, g string, x double, y double").write.mode(
+            "append"
+        ).parquet(str(base_dir))
+    return all_rows
+
+
+def test_incremental_skyline_stateful(spark, tmp_path):
+    src = tmp_path / "src"
+    rows = _write_batches(spark, src)
+    stream = spark.readStream.schema("id long, g string, x double, y double").parquet(str(src))
+    out = incremental_skyline(stream, [("x", "min"), ("y", "min")], key_col="g")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inc_sky")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["key"]: r
+        for r in spark.sql(
+            "select * from inc_sky where key is not null order by skyline_size"
+        ).collect()
+    }
+    # oracle: batch skyline of all rows per group
+    pdf = pd.DataFrame(rows, columns=["id", "g", "x", "y"])
+    for g, grp in pdf.groupby("g"):
+        vals = grp[["x", "y"]].to_numpy()
+        expect = {tuple(np.round(v, 9)) for v in vals[skyline_mask(vals)]}
+        got = {tuple(np.round(v, 9)) for v in final[g]["skyline"]}
+        assert got == expect, g
+
+
+def test_incremental_skyline_foreachbatch(spark, tmp_path):
+    src = tmp_path / "src"
+    rows = _write_batches(spark, src)
+    stream = spark.readStream.schema("id long, g string, x double, y double").parquet(str(src))
+    dims = [("x", "min"), ("y", "min")]
+    acc = SkylineAccumulator(dims)
+    q = incremental_skyline_foreachbatch(
+        stream, dims, acc, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(120)
+    pdf = pd.DataFrame(rows, columns=["id", "g", "x", "y"])
+    vals = pdf[["x", "y"]].to_numpy()
+    expect = sorted(map(tuple, vals[skyline_mask(vals)]))
+    got = sorted(map(tuple, acc.current[["x", "y"]].to_numpy()))
+    assert got == expect
+
+
+def test_hourly_rollup_stream(spark, tmp_path):
+    import datetime
+
+    src = tmp_path / "ev"
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(minutes=10 * i), "click" if i % 2 else "view", float(i))
+        for i in range(12)
+    ]
+    spark.createDataFrame(rows, "ts timestamp, event_type string, value double").write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(
+        str(src)
+    )
+    out = hourly_rollup(stream)
+    # complete mode: append would hold back windows the watermark has
+    # not passed, and this finite stream ends before that happens
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from rollup").collect()
+    # 12 events x 10min = 2 hours x 2 types = 4 groups
+    assert {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in got}
+    total = sum(r["n_events"] for r in got)
+    assert total == 12
