@@ -201,6 +201,56 @@ def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return f.intersect(o)
+
+
+def _rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).cast("double").alias("revenue"),
+    )
+
+
+def _anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+def _distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skyline_twophase": _sky("twophase"),
@@ -224,6 +274,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "embedding_near_dup": _embedding_near_dup,
         "multimodal_stats": _multimodal_stats,
+        "set_ops_customers": _set_ops_customers,
+        "rollup_orders": _rollup_orders,
+        "anti_join_customers": _anti_join_customers,
+        "sessionize_events": _sessionize_events,
+        "distinct_users_by_type": _distinct_users_by_type,
     }
 
 
@@ -441,5 +496,37 @@ SELECT doc_id,
        upper(substr(hex(encode(text)), 1, 8)) AS header_hex,
        CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
 FROM documents
+""",
+        "set_ops_customers": """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+        "rollup_orders": """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+        "anti_join_customers": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+        "sessionize_events": """
+SELECT user_id, event_id,
+       CAST(sum(new_session) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+""",
+        "distinct_users_by_type": """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
 """,
     }

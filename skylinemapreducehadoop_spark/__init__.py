@@ -20,18 +20,48 @@ from skylinemapreducehadoop_spark.operators.skyline import (
     skyline_by,
     skyline_layers,
 )
+from skylinemapreducehadoop_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup,
+)
+from skylinemapreducehadoop_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup,
+)
 from skylinemapreducehadoop_spark.functions.profile import profile
+from skylinemapreducehadoop_spark.functions.text import (
+    language_id,
+    quality_flags,
+    text_stats,
+)
 from skylinemapreducehadoop_spark.sources.tables import load_table, load_tables
+from skylinemapreducehadoop_spark.sources.gsod import read_gsod
 from skylinemapreducehadoop_spark.session import get_session
 
 __all__ = [
     "skyline",
     "skyline_by",
     "skyline_layers",
+    "exact_dedup",
+    "minhash_near_dup",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_dup",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup",
     "profile",
+    "text_stats",
+    "quality_flags",
+    "language_id",
     "load_table",
     "load_tables",
+    "read_gsod",
     "get_session",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

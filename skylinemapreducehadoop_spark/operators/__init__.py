@@ -3,5 +3,29 @@ from skylinemapreducehadoop_spark.operators.skyline import (
     skyline_by,
     skyline_layers,
 )
+from skylinemapreducehadoop_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup,
+)
+from skylinemapreducehadoop_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup,
+)
 
-__all__ = ["skyline", "skyline_by", "skyline_layers"]
+__all__ = [
+    "skyline",
+    "skyline_by",
+    "skyline_layers",
+    "exact_dedup",
+    "minhash_near_dup",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_dup",
+    "ann_lsh_topk",
+    "cosine_topk",
+    "embedding_near_dup",
+]

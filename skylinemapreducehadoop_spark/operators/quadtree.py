@@ -290,29 +290,24 @@ def quadtree_skyline(
         for j, (c, s) in enumerate(dim_signs)
     ]
     sky_signed = local_sky.select("__cell", *sexprs)
-    vpn_rows = (
-        sky_signed.groupBy("__cell")
-        .agg(*[F.max(f"__s{j}").alias(f"v{j}") for j in range(d)])
-        .collect()
-    )
-    cells = [r["__cell"] for r in vpn_rows]
-    vpn = np.array([[r[f"v{j}"] for j in range(d)] for r in vpn_rows], dtype=float)
-
-    filt_rows = (
+    side_rows = (
         sky_signed.groupBy("__cell")
         .agg(
+            *[F.max(f"__s{j}").alias(f"v{j}") for j in range(d)],
             *[
                 F.min_by(F.struct(*[f"__s{j}" for j in range(d)]), f"__s{j}").alias(
                     f"p{j}"
                 )
                 for j in range(d)
-            ]
+            ],
         )
         .collect()
     )
+    cells = [r["__cell"] for r in side_rows]
+    vpn = np.array([[r[f"v{j}"] for j in range(d)] for r in side_rows], dtype=float)
     fp = {
         tuple(r[f"p{j}"][f"__s{i}"] for i in range(d))
-        for r in filt_rows
+        for r in side_rows
         for j in range(d)
     }
     filter_pts = np.array(sorted(fp), dtype=float) if fp else np.zeros((0, d))

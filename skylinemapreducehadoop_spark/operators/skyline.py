@@ -44,6 +44,19 @@ from skylinemapreducehadoop_spark.operators._kernel import skyline_mask
 
 DimSpec = Sequence[tuple[str, str]]
 
+
+def _drop_null_dims(df: DataFrame, dim_cols: Sequence[str]) -> DataFrame:
+    """All-dims-non-null filter as an AND of per-column IsNotNull.
+
+    ``dropna(subset=...)`` compiles to ``atleastnnonnulls(n, ...)``,
+    which parquet cannot push; the explicit conjunction reaches the
+    scan as PushedFilters (verified in the formatted plan).
+    """
+    cond = F.lit(True)
+    for c in dim_cols:
+        cond = cond & F.col(c).isNotNull()
+    return df.where(cond)
+
 _VALID_DIRECTIONS = {"min", "max"}
 
 
@@ -145,7 +158,7 @@ def skyline(
     if missing:
         raise ValueError(f"skyline dims not in DataFrame: {missing}")
 
-    clean = df.dropna(subset=dim_cols)
+    clean = _drop_null_dims(df, dim_cols)
     fn = _partition_skyline_fn(dim_signs)
 
     if strategy == "bruteforce":
@@ -190,7 +203,7 @@ def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataF
     if isinstance(keys, str):
         keys = [keys]
     dim_signs = normalize_dims(dims)
-    clean = df.dropna(subset=[c for c, _ in dim_signs])
+    clean = _drop_null_dims(df, [c for c, _ in dim_signs])
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         return pandas_skyline(pdf, dim_signs)

@@ -1,3 +1,22 @@
 from skylinemapreducehadoop_spark.sources.tables import load_table, load_tables
+from skylinemapreducehadoop_spark.sources.gsod import (
+    GSOD_SKYLINE_DIMS,
+    nullify_sentinels,
+    read_gsod,
+)
+from skylinemapreducehadoop_spark.sources.sinks import (
+    write_csv,
+    write_parquet,
+    write_skyline_outputs,
+)
 
-__all__ = ["load_table", "load_tables"]
+__all__ = [
+    "load_table",
+    "load_tables",
+    "read_gsod",
+    "nullify_sentinels",
+    "GSOD_SKYLINE_DIMS",
+    "write_csv",
+    "write_parquet",
+    "write_skyline_outputs",
+]
