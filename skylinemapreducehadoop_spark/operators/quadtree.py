@@ -54,6 +54,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -186,18 +187,22 @@ def cell_bounds(cell_id: str, root_lo: np.ndarray, root_hi: np.ndarray):
     return lo, hi
 
 
-def _signed_matrix(pdf: pd.DataFrame, dim_signs) -> np.ndarray:
-    """(n, d) min-normalized matrix. Timestamps become epoch seconds via
-    the exact float ops Spark's cast(timestamp as double) performs
-    (micros / 1e6) so pandas-side and JVM-side coordinates agree to the
-    last ulp — the tree/VPn/bounds are built JVM-side and probed here."""
-    arr = np.empty((len(pdf), len(dim_signs)), dtype=np.float64)
+def _signed_matrix(tbl: pa.Table, dim_signs) -> np.ndarray:
+    """(n, d) min-normalized matrix from Arrow columns. Timestamps
+    become epoch seconds via the exact float ops Spark's
+    cast(timestamp as double) performs (micros / 1e6) so Python-side
+    and JVM-side coordinates agree to the last ulp — the tree/VPn/
+    bounds are built JVM-side and probed here. Arrow (not pandas) so
+    pass-through columns are never dtype-converted."""
+    arr = np.empty((tbl.num_rows, len(dim_signs)), dtype=np.float64)
     for j, (col, sign) in enumerate(dim_signs):
-        s = pdf[col]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            vals = (s.astype("int64").to_numpy() // 1000).astype(np.float64) / 1e6
+        c = tbl.column(col)
+        if pa.types.is_timestamp(c.type):
+            vals = c.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64) / 1e6
         else:
-            vals = s.to_numpy(dtype=np.float64, na_value=np.nan)
+            vals = c.to_numpy(zero_copy_only=False).astype(np.float64)
         arr[:, j] = sign * vals
     return arr
 
@@ -277,11 +282,11 @@ def quadtree_skyline(
     # Skyline.java:414)
     out_schema = with_cell.schema
 
-    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        mask = skyline_mask(_signed_matrix(pdf, dim_signs))
-        return pdf.loc[mask]
+    def per_cell(tbl: pa.Table) -> pa.Table:
+        mask = skyline_mask(_signed_matrix(tbl, dim_signs))
+        return tbl.filter(pa.array(mask))
 
-    local_sky = routed.groupBy("__cell").applyInPandas(per_cell, out_schema).cache()
+    local_sky = routed.groupBy("__cell").applyInArrow(per_cell, out_schema).cache()
 
     # --- A5 VPn + A6 sky-filter points: JVM-side aggregates, collected
     # (|cells| × d doubles — the reference's DistributedCache payloads)
@@ -336,52 +341,55 @@ def quadtree_skyline(
         list(out_schema.fields) + [T.StructField("__tag", T.StringType(), False)]
     )
 
-    def replicate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def replicate(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ctx = b_ctx.value
         fpts, vpns, needm, cidx = ctx["filter"], ctx["vpn"], ctx["need"], ctx["index"]
         cell_names = ctx["cells"]
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            vals = _signed_matrix(pdf, dim_signs)
+            tbl = pa.Table.from_batches([batch])
+            vals = _signed_matrix(tbl, dim_signs)
             if len(fpts):
                 le = (fpts[None, :, :] <= vals[:, None, :]).all(axis=2)
                 lt = (fpts[None, :, :] < vals[:, None, :]).any(axis=2)
                 alive = ~(le & lt).any(axis=1)
-                pdf, vals = pdf.loc[alive], vals[alive]
-            if len(pdf) == 0:
+                tbl, vals = tbl.filter(pa.array(alive)), vals[alive]
+            if tbl.num_rows == 0:
                 continue
-            plus = pdf.copy()
-            plus["__tag"] = "+"
-            yield plus
+            plus = tbl.append_column("__tag", pa.array(["+"] * tbl.num_rows))
+            yield from plus.combine_chunks().to_batches()
             # replicate p to cell c2 iff isNeeded(cell(p), c2) and
             # p dominates VPn(c2)
-            src = np.array([cidx[c] for c in pdf["__cell"]])
+            src = np.array([cidx[c] for c in tbl.column("__cell").to_pylist()])
             dom_le = (vals[:, None, :] <= vpns[None, :, :]).all(axis=2)
             dom_lt = (vals[:, None, :] < vpns[None, :, :]).any(axis=2)
             targets = dom_le & dom_lt & needm[src]
             pi, ci = np.nonzero(targets)
             if len(pi):
-                star = pdf.iloc[pi].copy()
-                star["__cell"] = [cell_names[c] for c in ci]
-                star["__tag"] = "*"
-                yield star
+                star = tbl.take(pa.array(pi))
+                star = star.set_column(
+                    star.schema.get_field_index("__cell"),
+                    "__cell",
+                    pa.array([cell_names[c] for c in ci]),
+                )
+                star = star.append_column("__tag", pa.array(["*"] * len(pi)))
+                yield from star.combine_chunks().to_batches()
 
-    merged = local_sky.mapInPandas(replicate, merge_schema)
+    merged = local_sky.mapInArrow(replicate, merge_schema)
 
     # --- J3 final per-cell check
-    def final_check(pdf: pd.DataFrame) -> pd.DataFrame:
-        plus = pdf[pdf["__tag"] == "+"]
-        star = pdf[pdf["__tag"] == "*"]
-        if len(plus) == 0:
-            return plus
-        if len(star) == 0:
+    def final_check(tbl: pa.Table) -> pa.Table:
+        tags = np.asarray(tbl.column("__tag").to_pylist())
+        plus = tbl.filter(pa.array(tags == "+"))
+        star = tbl.filter(pa.array(tags == "*"))
+        if plus.num_rows == 0 or star.num_rows == 0:
             return plus
         pv = _signed_matrix(plus, dim_signs)
         sv = _signed_matrix(star, dim_signs)
         le = (sv[None, :, :] <= pv[:, None, :]).all(axis=2)
         lt = (sv[None, :, :] < pv[:, None, :]).any(axis=2)
-        return plus.loc[~(le & lt).any(axis=1)]
+        return plus.filter(pa.array(~(le & lt).any(axis=1)))
 
-    result = merged.groupBy("__cell").applyInPandas(final_check, merge_schema)
+    result = merged.groupBy("__cell").applyInArrow(final_check, merge_schema)
     return result.drop("__cell", "__tag")

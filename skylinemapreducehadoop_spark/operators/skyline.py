@@ -37,6 +37,7 @@ from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,6 +98,30 @@ def _values_matrix(pdf: pd.DataFrame, dim_signs: list[tuple[str, float]]) -> np.
     return arr
 
 
+def _arrow_matrix(tbl: "pa.Table", dim_signs: list[tuple[str, float]]) -> np.ndarray:
+    """(n, d) min-normalized matrix straight from Arrow columns — no
+    pandas conversion, so non-dimension columns are never touched and
+    int64 values survive bit-exact (pandas would round-trip nullable
+    ints through float64, corrupting values above 2^53)."""
+    n = tbl.num_rows
+    arr = np.empty((n, len(dim_signs)), dtype=np.float64)
+    for j, (col, sign) in enumerate(dim_signs):
+        c = tbl.column(col)
+        if pa.types.is_timestamp(c.type) or pa.types.is_date(c.type):
+            c = c.cast(pa.int64())
+        vals = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        arr[:, j] = sign * vals
+    return arr
+
+
+def _arrow_skyline(tbl: "pa.Table", dim_signs: list[tuple[str, float]]) -> "pa.Table":
+    """Skyline of one in-memory Arrow table (dims already non-null)."""
+    if tbl.num_rows == 0:
+        return tbl
+    mask = skyline_mask(_arrow_matrix(tbl, dim_signs))
+    return tbl.filter(pa.array(mask))
+
+
 def pandas_skyline(pdf: pd.DataFrame, dim_signs: list[tuple[str, float]]) -> pd.DataFrame:
     """Skyline of one in-memory pandas frame (rows with NULL dims dropped)."""
     if len(pdf) == 0:
@@ -110,21 +135,23 @@ def pandas_skyline(pdf: pd.DataFrame, dim_signs: list[tuple[str, float]]) -> pd.
 
 
 def _partition_skyline_fn(dim_signs: list[tuple[str, float]]):
-    """mapInPandas function: incremental skyline over the partition's batches.
+    """mapInArrow function: incremental skyline over the partition's batches.
 
     Keeps a running skyline across Arrow batches so memory stays bounded
-    by the partition's Pareto set, not the partition.
+    by the partition's Pareto set, not the partition. Pure Arrow:
+    pass-through columns are never converted to pandas dtypes.
     """
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: pd.DataFrame | None = None
-        for pdf in batches:
-            if len(pdf) == 0:
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: pa.Table | None = None
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            combined = pd.concat([acc, pdf], ignore_index=True) if acc is not None else pdf
-            acc = pandas_skyline(combined, dim_signs)
-        if acc is not None and len(acc):
-            yield acc
+            tbl = pa.Table.from_batches([batch])
+            combined = pa.concat_tables([acc, tbl]) if acc is not None else tbl
+            acc = _arrow_skyline(combined, dim_signs)
+        if acc is not None and acc.num_rows:
+            yield from acc.combine_chunks().to_batches()
 
     return fn
 
@@ -162,7 +189,7 @@ def skyline(
     fn = _partition_skyline_fn(dim_signs)
 
     if strategy == "bruteforce":
-        return clean.repartition(1).mapInPandas(fn, df.schema)
+        return clean.repartition(1).mapInArrow(fn, df.schema)
 
     if strategy == "quadtree":
         from skylinemapreducehadoop_spark.operators.quadtree import quadtree_skyline
@@ -178,7 +205,7 @@ def skyline(
     sc = df.sparkSession.sparkContext
     if clean.rdd.getNumPartitions() < sc.defaultParallelism:
         clean = clean.repartition(sc.defaultParallelism)
-    local = clean.mapInPandas(fn, df.schema)
+    local = clean.mapInArrow(fn, df.schema)
     # Tree-reduce the (small) union of local skylines. Intermediate
     # levels only matter when the Pareto set itself is huge
     # (anti-correlated data at extreme scale); each level is a shuffle
@@ -189,8 +216,8 @@ def skyline(
         n_parts = max(int(np.sqrt(n_parts)), 1)
         if n_parts <= 1:
             break
-        current = current.repartition(n_parts).mapInPandas(fn, df.schema)
-    return current.repartition(1).mapInPandas(fn, df.schema)
+        current = current.repartition(n_parts).mapInArrow(fn, df.schema)
+    return current.repartition(1).mapInArrow(fn, df.schema)
 
 
 def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataFrame:
@@ -205,10 +232,10 @@ def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataF
     dim_signs = normalize_dims(dims)
     clean = _drop_null_dims(df, [c for c, _ in dim_signs])
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pandas_skyline(pdf, dim_signs)
+    def per_group(tbl: pa.Table) -> pa.Table:
+        return _arrow_skyline(tbl, dim_signs)
 
-    return clean.groupBy(*keys).applyInPandas(per_group, df.schema)
+    return clean.groupBy(*keys).applyInArrow(per_group, df.schema)
 
 
 def skyline_layers(df: DataFrame, dims: DimSpec, n_layers: int) -> DataFrame:

@@ -117,6 +117,24 @@ def test_bad_args(spark):
         skyline(df, [("x", "min")], strategy="wat")
 
 
+def test_bigint_passthrough_bit_exact(spark):
+    """Pass-through int64 columns above 2^53 must survive the kernel
+    round-trip bit-exact (Arrow path; pandas would go through float64)."""
+    big = (1 << 60) + 1
+    rows = [(big, "a", 1.0, 1.0), (None, "a", 2.0, 2.0), (big + 3, "b", 0.5, 3.0)]
+    df = spark.createDataFrame(rows, "payload long, g string, x double, y double")
+    dims = [("x", "min"), ("y", "min")]
+    for strat in ("twophase", "bruteforce", "quadtree"):
+        got = sorted(
+            (r["payload"] for r in skyline(df, dims, strategy=strat).collect()), key=str
+        )
+        assert got == [big, big + 3], strat
+    grouped = sorted(
+        (r["payload"] for r in skyline_by(df, "g", dims).collect()), key=str
+    )
+    assert grouped == [big, big + 3]
+
+
 def test_quadtree_matches_on_skewed_groups(spark):
     # clustered data exercises non-trivial tree + replication paths
     import numpy as np
