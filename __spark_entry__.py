@@ -243,6 +243,29 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skylinemapreducehadoop_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=["event_id"])
+    return out.select("user_id", "event_id", "ts", "event_id_right", "ts_right")
+
+
+def _range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from skylinemapreducehadoop_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = range_join(
+        ev, ev, left_on="ts", right_on="ts", by="user_id",
+        lower_seconds=0, upper_seconds=300,
+    )
+    return out.select("user_id", "event_id", F.col("event_id_r").alias("event_id_after"))
+
+
 def _distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -279,6 +302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_customers": _anti_join_customers,
         "sessionize_events": _sessionize_events,
         "distinct_users_by_type": _distinct_users_by_type,
+        "asof_join_events": _asof_join_events,
+        "range_join_events": _range_join_events,
     }
 
 
@@ -528,5 +553,18 @@ FROM (
         "distinct_users_by_type": """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type
+""",
+        "asof_join_events": """
+SELECT c.user_id, c.event_id, c.ts,
+       p.event_id AS event_id_right, p.ts AS ts_right
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+        "range_join_events": """
+SELECT l.user_id, l.event_id, r.event_id AS event_id_after
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE epoch_us(r.ts) - epoch_us(l.ts) > 0
+  AND epoch_us(r.ts) - epoch_us(l.ts) <= 300 * 1000000
 """,
     }

@@ -1,0 +1,125 @@
+"""Temporal join operators: as-of join and range join.
+
+Spark has no native ASOF JOIN; the naive formulation (inequality-only
+theta join + row_number) degenerates to a broadcast nested-loop or
+cartesian product. Both operators here are scale-safe by construction:
+
+- ``asof_join``: the union-and-window technique — tag left/right rows,
+  union them, sort within each ``by`` partition by (ts, side), and
+  carry the latest right row forward with ``last(ignorenulls=True)``.
+  One shuffle on ``by``, one window sort; no join node at all. This is
+  the standard log-merge formulation of as-of semantics (each left row
+  matches the greatest right ts <= its ts).
+- ``range_join``: band-bucketing — bucket both sides by
+  ``floor(ts / width)`` where width = the range upper bound, equi-join
+  on (by, bucket) with the right side exploded to adjacent buckets,
+  then apply the exact range predicate. Turns an inequality join into
+  an equi-join with fan-out 2, which Catalyst executes as a hash join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str | Sequence[str],
+    right_cols: Sequence[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``on`` value <= the left row's (within the same ``by`` group);
+    right columns arrive suffixed, NULL when no match exists.
+
+    Backward as-of semantics, ties on ``on`` match (right sorts before
+    left at equal timestamps).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by and c != on]
+
+    l_tag = left.withColumn("__side", F.lit(1))
+    for c in right_cols:
+        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
+    l_tag = l_tag.withColumn(f"{on}{suffix}", F.lit(None).cast(dict(right.dtypes)[on]))
+
+    r_tag = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(on).alias(f"{on}{suffix}"),
+    )
+    for c in left.columns:
+        if c not in by and c != on:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+
+    unioned = l_tag.unionByName(r_tag)
+
+    # right rows (side=0) sort before left rows at equal ts, so a
+    # same-timestamp right row is visible to the left row
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[c for c in unioned.columns if not c.endswith(suffix)],
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in [*right_cols, on]
+        ],
+    )
+    return carried.where(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    by: str | Sequence[str],
+    lower_seconds: float,
+    upper_seconds: float,
+) -> DataFrame:
+    """Pairs where ``lower < right_on - left_on <= upper`` within the
+    same ``by`` group, as a bucketed hash equi-join (no theta join).
+
+    Returns left columns + right columns suffixed ``_r`` where names
+    collide.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    width = int(upper_seconds * 1_000_000)  # microsecond buckets
+    lo_us = int(lower_seconds * 1_000_000)
+    up_us = int(upper_seconds * 1_000_000)
+
+    l = left.withColumn("__b", (F.unix_micros(F.col(left_on)) / width).cast("long"))
+    # right rows land in their own bucket and the previous one, so every
+    # in-range (left, right) pair shares a bucket key exactly once after
+    # the range filter
+    r = right.withColumn(
+        "__bs",
+        F.array(
+            (F.unix_micros(F.col(right_on)) / width).cast("long"),
+            (F.unix_micros(F.col(right_on)) / width).cast("long") - 1,
+        ),
+    ).withColumn("__b", F.explode("__bs")).drop("__bs")
+
+    rename = {
+        c: f"{c}_r" for c in r.columns if c in set(l.columns) and c not in by and c != "__b"
+    }
+    for old, new in rename.items():
+        r = r.withColumnRenamed(old, new)
+    right_on_out = rename.get(right_on, right_on)
+
+    joined = l.join(r, on=[*by, "__b"], how="inner")
+    delta = F.unix_micros(F.col(right_on_out)) - F.unix_micros(F.col(left_on))
+    return joined.where((delta > F.lit(lo_us)) & (delta <= F.lit(up_us))).drop("__b")

@@ -1,0 +1,93 @@
+"""As-of and range join tests vs pandas/brute-force oracles."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+
+from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(minutes):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minutes)
+
+
+def _random_events(spark, n_left=200, n_right=150, n_users=10, seed=0):
+    rng = np.random.RandomState(seed)
+    left = [
+        (int(rng.randint(n_users)), _ts(float(rng.uniform(0, 600))), i)
+        for i in range(n_left)
+    ]
+    right = [
+        (int(rng.randint(n_users)), _ts(float(rng.uniform(0, 600))), 1000 + i, float(rng.rand()))
+        for i in range(n_right)
+    ]
+    ldf = spark.createDataFrame(left, "user_id int, ts timestamp, left_id int")
+    rdf = spark.createDataFrame(right, "user_id int, ts timestamp, right_id int, val double")
+    return left, right, ldf, rdf
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    left, right, ldf, rdf = _random_events(spark)
+    out = asof_join(ldf, rdf, on="ts", by="user_id").collect()
+    got = {r["left_id"]: r["right_id_right"] for r in out}
+
+    lpd = pd.DataFrame(left, columns=["user_id", "ts", "left_id"]).sort_values("ts")
+    rpd = pd.DataFrame(right, columns=["user_id", "ts", "right_id", "val"]).sort_values("ts")
+    expect_df = pd.merge_asof(
+        lpd, rpd, on="ts", by="user_id", direction="backward", suffixes=("", "_r")
+    )
+    expect = {
+        int(r.left_id): (None if pd.isna(r.right_id) else int(r.right_id))
+        for r in expect_df.itertuples()
+    }
+    assert len(out) == len(left)
+    assert got == expect
+
+
+def test_asof_tie_matches(spark):
+    ldf = spark.createDataFrame([(1, _ts(10), 1)], "user_id int, ts timestamp, left_id int")
+    rdf = spark.createDataFrame(
+        [(1, _ts(10), 100, 1.0), (1, _ts(5), 101, 2.0)],
+        "user_id int, ts timestamp, right_id int, val double",
+    )
+    out = asof_join(ldf, rdf, on="ts", by="user_id").collect()
+    assert out[0]["right_id_right"] == 100  # equal-ts right row matches
+
+
+def test_asof_no_match_is_null(spark):
+    ldf = spark.createDataFrame([(1, _ts(1), 1)], "user_id int, ts timestamp, left_id int")
+    rdf = spark.createDataFrame(
+        [(1, _ts(5), 100, 1.0)], "user_id int, ts timestamp, right_id int, val double"
+    )
+    out = asof_join(ldf, rdf, on="ts", by="user_id").collect()
+    assert out[0]["right_id_right"] is None and out[0]["ts_right"] is None
+
+
+def test_range_join_matches_bruteforce(spark):
+    left, right, ldf, rdf = _random_events(spark)
+    out = range_join(
+        ldf, rdf, left_on="ts", right_on="ts", by="user_id",
+        lower_seconds=0, upper_seconds=120,
+    ).collect()
+    got = sorted((r["left_id"], r["right_id"]) for r in out)
+
+    expect = sorted(
+        (l[2], r[2])
+        for l in left
+        for r in right
+        if l[0] == r[0] and 0 < (r[1] - l[1]).total_seconds() <= 120
+    )
+    assert got == expect
+
+
+def test_range_join_plan_is_hash_join(spark):
+    _, _, ldf, rdf = _random_events(spark, n_left=50, n_right=50)
+    plan = (
+        range_join(ldf, rdf, left_on="ts", right_on="ts", by="user_id",
+                   lower_seconds=0, upper_seconds=60)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -23,6 +23,8 @@ from skylinemapreducehadoop_spark.sources.tables import TABLES
 def _norm_cell(v):
     if v is None:
         return None
+    if not isinstance(v, (list, tuple, np.ndarray, dict)) and pd.isna(v):
+        return None
     if isinstance(v, Decimal):
         return str(v)
     if isinstance(v, (np.integer,)):
