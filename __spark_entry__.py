@@ -138,6 +138,11 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.rolling_fingerprint("text").alias("roll_fp"))
+
+
 def _quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TX.quality_flags(docs)
@@ -179,6 +184,13 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
     top = S.ann_lsh_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
+    return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    top = S.ivf_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
     return top.select("vec_id", F.round("score", 6).alias("score"))
 
 
@@ -288,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top2_orders": _window_top2_orders,
         "events_hourly": _events_hourly,
         "text_stats_documents": _text_stats,
+        "fingerprint_rolling_documents": _fingerprint_rolling,
         "quality_flags_documents": _quality_flags,
         "dedup_exact_documents": _dedup_exact,
         "dedup_minhash_documents": _dedup_minhash,
@@ -295,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": _ngram_jaccard,
         "topk_similarity": _topk_similarity,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dup": _embedding_near_dup,
         "multimodal_stats": _multimodal_stats,
         "set_ops_customers": _set_ops_customers,
@@ -474,6 +488,16 @@ SELECT doc_id,
        len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS n_distinct_tokens,
        len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t IN {_STOPWORDS_SQL})) AS n_stopwords,
        ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
+FROM documents
+""",
+        "fingerprint_rolling_documents": """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [('0x' || substr(md5(t), 1, 15))::BIGINT
+            FOR t IN regexp_split_to_array(trim(text), '\\s+')]),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647
+       ) AS roll_fp
 FROM documents
 """,
         "quality_flags_documents": f"""

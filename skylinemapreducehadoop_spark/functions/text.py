@@ -76,6 +76,29 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
+#: polynomial rolling-hash parameters (order-sensitive fingerprint)
+_ROLL_B = 1_000_003
+_ROLL_M = (1 << 31) - 1
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream:
+    ``h = fold(tokens, 0, (acc, t) -> (acc*B + h60(t)) mod M)``.
+
+    Pure JVM ``aggregate`` over the token array (no UDF) with md5-based
+    60-bit token hashes, so the identical fold is expressible in ANSI
+    SQL (DuckDB ``list_reduce``) for cross-engine verification. Unlike
+    ``doc_fingerprint`` (whole-text md5), token *order* changes the
+    value but intervening whitespace does not.
+    """
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(_ROLL_B) + tok_hash(t)) % F.lit(_ROLL_M),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
     """Per-document token statistics — one narrow projection, no shuffle.
 

@@ -14,9 +14,14 @@ from skylinemapreducehadoop_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dup,
+    ivf_topk,
 )
+from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
+    "asof_join",
+    "range_join",
+    "ivf_topk",
     "skyline",
     "skyline_by",
     "skyline_layers",

@@ -122,6 +122,70 @@ def ann_lsh_topk(
     return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
 
 
+def _kmeans_centroids(sample: np.ndarray, k: int, n_iter: int, seed: int) -> np.ndarray:
+    """Driver-side Lloyd iterations on a sample (k-means++ seeding).
+    The sample is small (collected once); the full data never leaves
+    the cluster — only centroids are broadcast back."""
+    rng = np.random.RandomState(seed)
+    # k-means++ init
+    centroids = [sample[rng.randint(len(sample))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [((sample - c) ** 2).sum(axis=1) for c in centroids], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centroids.append(sample[rng.choice(len(sample), p=probs)])
+    C = np.array(centroids)
+    for _ in range(n_iter):
+        assign = np.argmin(((sample[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 10_000,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the
+    vector space into ``n_lists`` cells; the query exactly re-ranks only
+    the ``n_probe`` nearest cells. At scale the assignment column is
+    precomputed/persisted and the probe is a partition-pruned scan."""
+    n_rows = df.count()
+    if n_rows == 0:
+        return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    frac = min(1.0, sample_rows / max(n_rows, 1))
+    sample_pdf = df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows).toPandas()
+    dim = len(sample_pdf.iloc[0, 0])
+    sample = _as_matrix(sample_pdf[vec_col], dim)
+    n_lists = min(n_lists, len(sample))
+    C = _kmeans_centroids(sample, n_lists, n_iter, seed)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = _as_matrix(vecs, dim)
+        d2 = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    probe = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:n_probe]
+    cand = df.withColumn("__list", assign(F.col(vec_col))).where(
+        F.col("__list").isin([int(p) for p in probe])
+    )
+    return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
+
+
 def embedding_near_dup(
     df: DataFrame,
     *,

@@ -70,6 +70,46 @@ def test_nullify_sentinels(spark):
     assert out[1] is None and out[2] == 3.0
 
 
+def test_gsod_9dim_skyline_end_to_end(spark, tmp_path_factory):
+    """The reference's native query: 9-dim mixed-direction skyline over
+    GSOD records — all three strategies must agree, with sentinel rows
+    excluded (they have NULL dims)."""
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.skyline import skyline
+
+    rng = np.random.RandomState(0)
+    p = tmp_path_factory.mktemp("gsod9") / "big.op"
+    lines = []
+    for i in range(1500):
+        vals = {
+            "temp": round(float(rng.uniform(-20, 110)), 1),
+            "dewp": round(float(rng.uniform(-20, 80)), 1),
+            "slp": round(float(rng.uniform(950, 1050)), 1),
+            "max_temp": round(float(rng.uniform(-10, 120)), 1),
+            "stp": round(float(rng.uniform(900, 1050)), 1),
+            "wdsp": round(float(rng.uniform(0, 60)), 1),
+            "mxspd": round(float(rng.uniform(0, 80)), 1),
+            "gust": round(float(rng.uniform(0, 120)), 1),
+            "min_temp": round(float(rng.uniform(-30, 90)), 1),
+        }
+        if i % 50 == 0:
+            vals["gust"] = 999.9  # sentinel -> NULL -> excluded
+        lines.append(_gsod_line(10000 + i, 20240101 + i % 28, vals))
+    p.write_text("\n".join(lines) + "\n")
+
+    df = read_gsod(spark, str(p))
+    key = lambda res: sorted(r["stn"] for r in res.collect())
+    a = key(skyline(df, GSOD_SKYLINE_DIMS, strategy="twophase"))
+    b = key(skyline(df, GSOD_SKYLINE_DIMS, strategy="bruteforce"))
+    c = key(skyline(df, GSOD_SKYLINE_DIMS, strategy="quadtree"))
+    assert a == b == c
+    assert len(a) > 0
+    # sentinel rows cannot appear (NULL dim)
+    sentinel_stns = {10000 + i for i in range(0, 1500, 50)}
+    assert not (set(a) & sentinel_stns)
+
+
 def test_parquet_and_csv_sinks(spark, tmp_path):
     df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id int, g string, x double")
     pq = str(tmp_path / "pq")

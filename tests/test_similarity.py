@@ -37,6 +37,17 @@ def test_ann_lsh_recall(spark):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_topk_recall(spark):
+    m, df = _vectors(spark, n=500, seed=3)
+    q = m[2]
+    exact = {r["vec_id"] for r in S.cosine_topk(df.where("vec_id != 2"), q, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in S.ivf_topk(df.where("vec_id != 2"), q, k=10, n_lists=8, n_probe=4).collect()
+    }
+    assert len(exact & approx) >= 5
+
+
 def test_embedding_near_dup_finds_planted(spark):
     rng = np.random.RandomState(2)
     base = rng.standard_normal((50, 16))
