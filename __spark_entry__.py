@@ -148,6 +148,12 @@ def _quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_flags(docs)
 
 
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # heuristic scorer -> no SQL twin; driver records rows-only
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.language_id(docs).select("doc_id", "lang_pred")
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.exact_dedup(docs)
@@ -302,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": _text_stats,
         "fingerprint_rolling_documents": _fingerprint_rolling,
         "quality_flags_documents": _quality_flags,
+        "lang_id_documents": _lang_id,
         "dedup_exact_documents": _dedup_exact,
         "dedup_minhash_documents": _dedup_minhash,
         "dedup_simhash_documents": _dedup_simhash,
