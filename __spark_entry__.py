@@ -292,6 +292,141 @@ def _distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# revenue terms are computed in exact decimal (ep dec(12,2), disc dec(6,4)
+# -> product dec(19,6); no precision overflow in Spark or DuckDB) and cast
+# to double only at the very end, so value hashes match bit-for-bit.
+# (column factories, not constants: F.col needs an active SparkContext)
+def _ep_dec():
+    return F.col("l_extendedprice").cast("decimal(12,2)")
+
+
+def _disc_dec():
+    return F.col("l_discount").cast("decimal(6,4)")
+
+
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (F.sum(_ep_dec()) - F.sum(_ep_dec() * _disc_dec()))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_ep_dec() * _disc_dec()).cast("double").alias("revenue"))
+    )
+
+
+def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # avg(l_quantity) is exact (integer-valued doubles sum without rounding),
+    # so the 0.2*avg threshold is engine-independent.
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#13")
+    thresholds = (
+        li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_limit"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg((F.sum(_ep_dec()).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def _semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+def _above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar-subquery pattern: compare against the global mean without a
+    # lossy decimal division — o_totalprice*n > total  <=>  price > total/n.
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("tot"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+    )
+    return (
+        orders.join(F.broadcast(stats))
+        .where(F.col("o_totalprice").cast("decimal(12,2)") * F.col("n") > F.col("tot"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# GPT-2-style pre-tokenizer, restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def _token_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skyline_twophase": _sky("twophase"),
@@ -325,6 +460,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_by_type": _distinct_users_by_type,
         "asof_join_events": _asof_join_events,
         "range_join_events": _range_join_events,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "semi_join_customers": _semi_join_customers,
+        "pivot_user_events": _pivot_user_events,
+        "above_avg_orders": _above_avg_orders,
+        "token_bpe_documents": _token_bpe_documents,
     }
 
 
@@ -597,5 +740,67 @@ SELECT l.user_id, l.event_id, r.event_id AS event_id_after
 FROM events l JOIN events r ON l.user_id = r.user_id
 WHERE epoch_us(r.ts) - epoch_us(l.ts) > 0
   AND epoch_us(r.ts) - epoch_us(l.ts) <= 300 * 1000000
+""",
+        "q3_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+          - sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4)))
+         AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""",
+        "q6_forecast_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "q17_small_qty_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(q.l_quantity) FROM lineitem q WHERE q.l_partkey = l.l_partkey)
+""",
+        "q18_large_orders": """
+SELECT c_name, o_orderkey, o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "semi_join_customers": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+        "pivot_user_events": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
+        "above_avg_orders": """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT CAST(count(*) AS DECIMAL(10,0)) FROM orders)
+      > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
+""",
+        "token_bpe_documents": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS INTEGER) AS n_bpe_tokens
+FROM documents
 """,
     }
