@@ -32,6 +32,13 @@ BENCH_QUERIES = [
     "dedup_minhash_documents",
     "dedup_simhash_documents",
     "topk_similarity",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "above_avg_orders",
+    "token_bpe_documents",
+    "asof_join_events",
+    "sessionize_events",
 ]
 
 

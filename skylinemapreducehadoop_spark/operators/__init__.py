@@ -17,10 +17,13 @@ from skylinemapreducehadoop_spark.operators.similarity import (
     ivf_topk,
 )
 from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
+from skylinemapreducehadoop_spark.operators.skew import salted_agg, salted_join
 
 __all__ = [
     "asof_join",
     "range_join",
+    "salted_agg",
+    "salted_join",
     "ivf_topk",
     "skyline",
     "skyline_by",

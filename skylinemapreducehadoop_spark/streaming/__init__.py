@@ -4,10 +4,16 @@ from skylinemapreducehadoop_spark.streaming.incremental import (
     incremental_skyline,
     incremental_skyline_foreachbatch,
 )
+from skylinemapreducehadoop_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    streaming_seen_filter,
+)
 
 __all__ = [
     "SkylineAccumulator",
     "hourly_rollup",
     "incremental_skyline",
     "incremental_skyline_foreachbatch",
+    "streaming_exact_dedup",
+    "streaming_seen_filter",
 ]

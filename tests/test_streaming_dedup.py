@@ -1,0 +1,84 @@
+"""Streaming dedup: file-source micro-batches, availableNow trigger,
+checked against the batch exact-dedup oracle."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from skylinemapreducehadoop_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    streaming_seen_filter,
+)
+
+
+def _write_doc_batches(spark, base_dir):
+    """Two arrivals; texts repeat within and across batches."""
+    base = datetime.datetime(2024, 1, 1)
+    texts = ["alpha beta", "gamma", "alpha beta", "delta", "gamma", "epsilon zeta"]
+    rows = []
+    for b in range(2):
+        batch = [
+            (
+                b * 10 + i,
+                texts[(b * 3 + i) % len(texts)],
+                base + datetime.timedelta(minutes=b * 10 + i),
+            )
+            for i in range(3)
+        ]
+        rows += batch
+        spark.createDataFrame(
+            batch, "doc_id long, text string, ts timestamp"
+        ).write.mode("append").parquet(str(base_dir))
+    return rows
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    src = tmp_path / "docs"
+    rows = _write_doc_batches(spark, src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        str(src)
+    )
+    out = streaming_exact_dedup(stream, watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select text from sdedup").collect()
+    got_texts = sorted(r["text"] for r in got)
+    expect = sorted({t for _, t, _ in rows})
+    # every distinct content appears exactly once
+    assert got_texts == expect
+
+
+def test_streaming_seen_filter(spark, tmp_path):
+    src = tmp_path / "docs2"
+    rows = _write_doc_batches(spark, src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        str(src)
+    )
+    out = streaming_seen_filter(stream, n_shards=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("seenf")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from seenf").collect()
+    # one emitted row per distinct content, ids are valid
+    n_distinct = len({t for _, t, _ in rows})
+    assert len(got) == n_distinct
+    assert len({r["fingerprint"] for r in got}) == n_distinct
+    valid_ids = {i for i, _, _ in rows}
+    assert all(r["doc_id"] in valid_ids for r in got)
+    # shard column really is fingerprint mod n_shards
+    assert all(r["shard"] == r["fingerprint"] % 4 for r in got)
