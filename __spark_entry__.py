@@ -427,6 +427,56 @@ def _token_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _percentile_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact percentiles: Spark's percentile() and DuckDB's quantile_cont
+    # share the linear-interpolation definition, bit-identical on doubles
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+    )
+
+
+def _cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_of_day", F.hour("ts"))
+        .cube("event_type", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _explode_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+def _string_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 20)
+    return docs.select(
+        "doc_id",
+        F.upper(head).alias("head_upper"),
+        F.reverse(head).alias("head_rev"),
+        F.levenshtein(head, F.lit("the quick brown fox")).alias("lev_dist"),
+    )
+
+
+def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog sketch — approximate by design, so rows-only check;
+    # tests/test_sketches.py bounds the error vs the exact count
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "skyline_twophase": _sky("twophase"),
@@ -468,6 +518,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_user_events": _pivot_user_events,
         "above_avg_orders": _above_avg_orders,
         "token_bpe_documents": _token_bpe_documents,
+        "percentile_value_by_type": _percentile_value_by_type,
+        "cube_events": _cube_events,
+        "explode_tokens_topk": _explode_tokens_topk,
+        "string_funcs_documents": _string_funcs_documents,
+        "approx_distinct_users": _approx_distinct_users,
     }
 
 
@@ -803,4 +858,25 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS INTEGER) AS n_bpe_tokens
 FROM documents
 """,
+        "percentile_value_by_type": """
+SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90
+FROM events GROUP BY event_type
+""",
+        "cube_events": """
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day, count(*) AS n_events
+FROM events GROUP BY CUBE (event_type, hour(ts))
+""",
+        "explode_tokens_topk": """
+SELECT t AS token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents)
+GROUP BY t ORDER BY n DESC, t LIMIT 20
+""",
+        "string_funcs_documents": """
+SELECT doc_id,
+       upper(substr(text, 1, 20)) AS head_upper,
+       reverse(substr(text, 1, 20)) AS head_rev,
+       CAST(levenshtein(substr(text, 1, 20), 'the quick brown fox') AS INTEGER) AS lev_dist
+FROM documents
+""",
+        # approx_distinct_users: HLL sketch, approximate by design -> rows-only
     }
