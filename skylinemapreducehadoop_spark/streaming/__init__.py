@@ -3,6 +3,7 @@ from skylinemapreducehadoop_spark.streaming.incremental import (
     hourly_rollup,
     incremental_skyline,
     incremental_skyline_foreachbatch,
+    session_rollup,
 )
 from skylinemapreducehadoop_spark.streaming.dedup import (
     streaming_exact_dedup,
@@ -14,6 +15,7 @@ __all__ = [
     "hourly_rollup",
     "incremental_skyline",
     "incremental_skyline_foreachbatch",
+    "session_rollup",
     "streaming_exact_dedup",
     "streaming_seen_filter",
 ]

@@ -61,6 +61,32 @@ def hourly_rollup(
     )
 
 
+def session_rollup(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation: events within ``gap`` of each other
+    merge into one session per key (Spark's native ``session_window`` —
+    dynamic-length state merged by the engine, closed by the watermark).
+    The batch twin of this logic (lag + running-sum sessionization) is
+    oracle-checked as ``queries()['sessionize_events']``."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w").start.alias("session_start"),
+            F.col("w").end.alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
 def incremental_skyline(
     stream: DataFrame,
     dims: DimSpec,

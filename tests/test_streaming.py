@@ -12,6 +12,7 @@ from skylinemapreducehadoop_spark.streaming.incremental import (
     hourly_rollup,
     incremental_skyline,
     incremental_skyline_foreachbatch,
+    session_rollup,
 )
 
 
@@ -75,6 +76,37 @@ def test_incremental_skyline_foreachbatch(spark, tmp_path):
     expect = sorted(map(tuple, vals[skyline_mask(vals)]))
     got = sorted(map(tuple, acc.current[["x", "y"]].to_numpy()))
     assert got == expect
+
+
+def test_session_rollup_stream(spark, tmp_path):
+    import datetime
+
+    src = tmp_path / "sess"
+    base = datetime.datetime(2024, 1, 1)
+    # user u1: two bursts separated by 2 hours -> 2 sessions (3+2 events);
+    # user u2: one burst -> 1 session (2 events)
+    rows = (
+        [(base + datetime.timedelta(minutes=5 * i), "u1") for i in range(3)]
+        + [(base + datetime.timedelta(hours=2, minutes=5 * i), "u1") for i in range(2)]
+        + [(base + datetime.timedelta(minutes=7 * i), "u2") for i in range(2)]
+    )
+    spark.createDataFrame(rows, "ts timestamp, user_id string").write.parquet(str(src))
+    stream = spark.readStream.schema("ts timestamp, user_id string").parquet(str(src))
+    out = session_rollup(stream, gap="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("select * from sessions").collect()
+    )
+    assert got == [("u1", 2), ("u1", 3), ("u2", 2)]
 
 
 def test_hourly_rollup_stream(spark, tmp_path):
