@@ -69,6 +69,26 @@ def _sky_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_layers(li, _DIMS3, n_layers=3)
 
 
+_DIMS5 = [
+    ("l_extendedprice", "min"),
+    ("l_discount", "min"),
+    ("l_quantity", "max"),
+    ("l_tax", "min"),
+    ("l_shipdate", "max"),
+]
+
+
+def _sky_5dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # closest synthetic analogue of the reference's 9-dim mixed-direction
+    # GSOD flagship (4 maximized / 5 minimized, Skyline.java:25-31):
+    # 5 dims, 2 maximized, one temporal
+    li = load_table(spark, sf_dir, "lineitem")
+    return skyline(li, _DIMS5).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+        "l_quantity", "l_tax", "l_shipdate",
+    )
+
+
 def _sky_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return skyline(ev, [("value", "max"), ("ts", "min")]).select("event_id", "ts", "value")
@@ -482,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_twophase": _sky("twophase"),
         "skyline_bruteforce": _sky("bruteforce"),
         "skyline_quadtree": _sky("quadtree"),
+        "skyline_5dim": _sky_5dim,
         "skyline_grouped": _sky_grouped,
         "skyline_layers": _sky_layers,
         "skyline_events": _sky_events,
@@ -633,6 +654,20 @@ WHERE p.l_extendedprice IS NOT NULL AND p.l_quantity IS NOT NULL
       AND q.l_extendedprice <= p.l_extendedprice
       AND q.l_quantity >= p.l_quantity
       AND (q.l_extendedprice < p.l_extendedprice OR q.l_quantity > p.l_quantity))
+""",
+        "skyline_5dim": """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity, l_tax, l_shipdate
+FROM lineitem p
+WHERE p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_quantity IS NOT NULL
+  AND p.l_tax IS NOT NULL AND p.l_shipdate IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem q
+    WHERE q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_quantity IS NOT NULL
+      AND q.l_tax IS NOT NULL AND q.l_shipdate IS NOT NULL
+      AND q.l_extendedprice <= p.l_extendedprice AND q.l_discount <= p.l_discount
+      AND q.l_quantity >= p.l_quantity AND q.l_tax <= p.l_tax AND q.l_shipdate >= p.l_shipdate
+      AND (q.l_extendedprice < p.l_extendedprice OR q.l_discount < p.l_discount
+        OR q.l_quantity > p.l_quantity OR q.l_tax < p.l_tax OR q.l_shipdate > p.l_shipdate))
 """,
         "skyline_layers": _layers_oracle(),
         "skyline_events": """
