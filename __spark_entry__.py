@@ -397,6 +397,45 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # customer and supplier must share a nation: the classic 5-way join
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(_ep_dec()) - F.sum(_ep_dec() * _disc_dec()))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            (F.sum(_ep_dec()) - F.sum(_ep_dec() * _disc_dec()))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -535,6 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q18_large_orders": _q18_large_orders,
+        "q5_local_supplier": _q5_local_supplier,
+        "q10_returned_items": _q10_returned_items,
         "semi_join_customers": _semi_join_customers,
         "pivot_user_events": _pivot_user_events,
         "above_avg_orders": _above_avg_orders,
@@ -868,6 +909,30 @@ FROM (
   HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
+""",
+        "q5_local_supplier": """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+          - sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4)))
+         AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "q10_returned_items": """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+          - sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4)))
+         AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
 """,
         "semi_join_customers": """
 SELECT c_custkey, c_name FROM customer c
