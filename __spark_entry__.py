@@ -527,6 +527,21 @@ def _string_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the end-to-end training-data pipeline in one plan:
+    # quality filter -> exact dedup (keep min doc_id) -> token stats
+    docs = load_table(spark, sf_dir, "documents")
+    flags = TX.quality_flags(docs).where(F.col("quality_ok")).select(
+        "doc_id", "n_tokens"
+    )
+    fps = docs.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
+    qual = flags.join(fps, "doc_id")
+    keep = qual.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return keep.join(qual, ["doc_id", "fingerprint"]).select(
+        "doc_id", "fingerprint", "n_tokens"
+    )
+
+
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog sketch — approximate by design, so rows-only check;
     # tests/test_sketches.py bounds the error vs the exact count
@@ -585,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens_topk": _explode_tokens_topk,
         "string_funcs_documents": _string_funcs_documents,
         "approx_distinct_users": _approx_distinct_users,
+        "curate_corpus": _curate_corpus,
     }
 
 
@@ -979,4 +995,20 @@ SELECT doc_id,
 FROM documents
 """,
         # approx_distinct_users: HLL sketch, approximate by design -> rows-only
+        "curate_corpus": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), s -> s IN {_STOPWORDS_SQL})) AS n_stop,
+         length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+  FROM documents),
+q AS (
+  SELECT doc_id, n_tok, fp FROM t
+  WHERE n_tok >= 10 AND n_stop * 100 <= 50 * n_tok AND n_punct * 100 <= 20 * n_chars),
+d AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp)
+SELECT d.doc_id, d.fp AS fingerprint, q.n_tok AS n_tokens
+FROM d JOIN q ON d.doc_id = q.doc_id AND d.fp = q.fp
+""",
     }
