@@ -31,7 +31,10 @@ from skylinemapreducehadoop_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dup,
+    ivf_topk,
 )
+from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
+from skylinemapreducehadoop_spark.operators.skew import salted_agg, salted_join
 from skylinemapreducehadoop_spark.functions.profile import profile
 from skylinemapreducehadoop_spark.functions.text import (
     language_id,
@@ -53,7 +56,12 @@ __all__ = [
     "simhash_near_dup",
     "cosine_topk",
     "ann_lsh_topk",
+    "ivf_topk",
     "embedding_near_dup",
+    "asof_join",
+    "range_join",
+    "salted_agg",
+    "salted_join",
     "profile",
     "text_stats",
     "quality_flags",

@@ -9,8 +9,16 @@ from skylinemapreducehadoop_spark.sources.sinks import (
     write_parquet,
     write_skyline_outputs,
 )
+from skylinemapreducehadoop_spark.sources.bucketing import (
+    bucketed_join,
+    read_bucketed,
+    write_bucketed,
+)
 
 __all__ = [
+    "write_bucketed",
+    "read_bucketed",
+    "bucketed_join",
     "load_table",
     "load_tables",
     "read_gsod",
