@@ -608,45 +608,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracle SQL
 
 
-def _sky_oracle(cols: str = "l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity") -> str:
+# --- fast skyline oracle SQL -------------------------------------------
+# The naive NOT EXISTS dominance anti-join is O(n²) and dominates the
+# whole correctness run's wall clock. These generators emit a two-phase
+# equivalent: (1) skyline of the `pre_limit` best rows by a normalized
+# monotone score ("presky"), (2) drop every row strictly dominated by a
+# presky point ("cand" — only dominated rows are removed, so
+# skyline(cand) = skyline(base), with transitivity covering dominators
+# that were themselves removed), (3) NOT EXISTS within the tiny cand
+# set. Output rows are IDENTICAL to the naive SQL; verified row-for-row
+# in tests and at swap-in time.
+
+_TS_DIMS = {"l_shipdate", "ts"}
+
+
+def _dom_sql(qa: str, pa: str, dims, prefix: str = "") -> str:
+    le = " AND ".join(f"{qa}.{c} {'<=' if d == 'min' else '>='} {pa}.{c}" for c, d in dims)
+    lt = " OR ".join(f"{qa}.{c} {'<' if d == 'min' else '>'} {pa}.{c}" for c, d in dims)
+    return f"{prefix}{le} AND ({lt})"
+
+
+def _score_sql(dims, over: str = "") -> str:
+    terms = []
+    for c, d in dims:
+        v = f"epoch_us({c})" if c in _TS_DIMS else c
+        s = v if d == "min" else f"(-({v}))"
+        terms.append(
+            f"coalesce((({s}) - min({s}) OVER ({over}))"
+            f" / nullif(max({s}) OVER ({over}) - min({s}) OVER ({over}), 0), 0)"
+        )
+    return " + ".join(terms)
+
+
+def _fast_sky_sql(cols: str, dims, table: str = "lineitem", pre_limit: int = 2000) -> str:
+    nn = " AND ".join(f"{c} IS NOT NULL" for c, _ in dims)
+    dom_qp = _dom_sql("q", "p", dims)
+    dom_sb = _dom_sql("s", "b", dims)
     return f"""
-SELECT {cols}
-FROM lineitem p
-WHERE p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_quantity IS NOT NULL
-  AND NOT EXISTS (
-    SELECT 1 FROM lineitem q
-    WHERE q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_quantity IS NOT NULL
-      AND q.l_extendedprice <= p.l_extendedprice
-      AND q.l_discount     <= p.l_discount
-      AND q.l_quantity     >= p.l_quantity
-      AND (q.l_extendedprice < p.l_extendedprice
-        OR q.l_discount      < p.l_discount
-        OR q.l_quantity      > p.l_quantity))
+WITH base AS (SELECT {cols} FROM {table} WHERE {nn}),
+sc AS (SELECT *, {_score_sql(dims)} AS __sc FROM base),
+pre AS (SELECT {cols} FROM sc ORDER BY __sc LIMIT {pre_limit}),
+presky AS (SELECT * FROM pre p WHERE NOT EXISTS (SELECT 1 FROM pre q WHERE {dom_qp})),
+cand AS (SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM presky s WHERE {dom_sb}))
+SELECT {cols} FROM cand p WHERE NOT EXISTS (SELECT 1 FROM cand q WHERE {dom_qp})
+"""
+
+
+_SKY_DIMS_SQL = [("l_extendedprice", "min"), ("l_discount", "min"), ("l_quantity", "max")]
+
+
+def _sky_oracle(cols: str = "l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity") -> str:
+    return _fast_sky_sql(cols, _SKY_DIMS_SQL)
+
+
+def _grouped_sky_oracle() -> str:
+    dims = [("l_extendedprice", "min"), ("l_quantity", "max")]
+    cols = "l_returnflag, l_orderkey, l_linenumber, l_extendedprice, l_quantity"
+    over = "PARTITION BY l_returnflag"
+    dom_qp = _dom_sql("q", "p", dims, "q.l_returnflag = p.l_returnflag AND ")
+    dom_sb = _dom_sql("s", "b", dims, "s.l_returnflag = b.l_returnflag AND ")
+    return f"""
+WITH base AS (
+  SELECT {cols} FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+sc AS (SELECT *, {_score_sql(dims, over)} AS __sc FROM base),
+rk AS (SELECT *, row_number() OVER ({over} ORDER BY __sc) AS __rn FROM sc),
+pre AS (SELECT {cols} FROM rk WHERE __rn <= 2000),
+presky AS (SELECT * FROM pre p WHERE NOT EXISTS (SELECT 1 FROM pre q WHERE {dom_qp})),
+cand AS (SELECT * FROM base b WHERE NOT EXISTS (SELECT 1 FROM presky s WHERE {dom_sb}))
+SELECT {cols} FROM cand p WHERE NOT EXISTS (SELECT 1 FROM cand q WHERE {dom_qp})
 """
 
 
 def _layers_oracle() -> str:
-    def dom(alias_p: str, alias_q: str) -> str:
-        return (
-            f"{alias_q}.l_extendedprice <= {alias_p}.l_extendedprice "
-            f"AND {alias_q}.l_discount <= {alias_p}.l_discount "
-            f"AND {alias_q}.l_quantity >= {alias_p}.l_quantity "
-            f"AND ({alias_q}.l_extendedprice < {alias_p}.l_extendedprice "
-            f"OR {alias_q}.l_discount < {alias_p}.l_discount "
-            f"OR {alias_q}.l_quantity > {alias_p}.l_quantity)"
+    dims = _SKY_DIMS_SQL
+    cols = "l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity"
+    dom_qp = _dom_sql("q", "p", dims)
+    dom_sb = _dom_sql("s", "b", dims)
+    parts = [
+        f"""base1 AS (
+  SELECT {cols} FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL AND l_quantity IS NOT NULL)"""
+    ]
+    for k in (1, 2, 3):
+        parts.append(
+            f"""sc{k} AS (SELECT *, {_score_sql(dims)} AS __sc FROM base{k}),
+pre{k} AS (SELECT {cols} FROM sc{k} ORDER BY __sc LIMIT 2000),
+presky{k} AS (SELECT * FROM pre{k} p WHERE NOT EXISTS (SELECT 1 FROM pre{k} q WHERE {dom_qp})),
+cand{k} AS (SELECT * FROM base{k} b WHERE NOT EXISTS (SELECT 1 FROM presky{k} s WHERE {dom_sb})),
+l{k} AS (SELECT {cols} FROM cand{k} p WHERE NOT EXISTS (SELECT 1 FROM cand{k} q WHERE {dom_qp}))"""
         )
-
+        if k < 3:
+            parts.append(f"base{k+1} AS (SELECT * FROM base{k} EXCEPT ALL SELECT * FROM l{k})")
+    ctes = ",\n".join(parts)
     return f"""
-WITH base AS (
-  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity
-  FROM lineitem
-  WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL AND l_quantity IS NOT NULL
-),
-l1 AS (SELECT * FROM base p WHERE NOT EXISTS (SELECT 1 FROM base q WHERE {dom('p','q')})),
-b2 AS (SELECT * FROM base EXCEPT ALL SELECT * FROM l1),
-l2 AS (SELECT * FROM b2 p WHERE NOT EXISTS (SELECT 1 FROM b2 q WHERE {dom('p','q')})),
-b3 AS (SELECT * FROM b2 EXCEPT ALL SELECT * FROM l2),
-l3 AS (SELECT * FROM b3 p WHERE NOT EXISTS (SELECT 1 FROM b3 q WHERE {dom('p','q')}))
+WITH {ctes}
 SELECT *, CAST(1 AS INTEGER) AS layer FROM l1
 UNION ALL SELECT *, CAST(2 AS INTEGER) FROM l2
 UNION ALL SELECT *, CAST(3 AS INTEGER) FROM l3
@@ -700,32 +756,11 @@ def oracle_sql() -> dict[str, str]:
         "skyline_twophase": sky,
         "skyline_bruteforce": sky,
         "skyline_quadtree": sky,
-        "skyline_grouped": """
-SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, l_quantity
-FROM lineitem p
-WHERE p.l_extendedprice IS NOT NULL AND p.l_quantity IS NOT NULL
-  AND NOT EXISTS (
-    SELECT 1 FROM lineitem q
-    WHERE q.l_returnflag = p.l_returnflag
-      AND q.l_extendedprice IS NOT NULL AND q.l_quantity IS NOT NULL
-      AND q.l_extendedprice <= p.l_extendedprice
-      AND q.l_quantity >= p.l_quantity
-      AND (q.l_extendedprice < p.l_extendedprice OR q.l_quantity > p.l_quantity))
-""",
-        "skyline_5dim": """
-SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity, l_tax, l_shipdate
-FROM lineitem p
-WHERE p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_quantity IS NOT NULL
-  AND p.l_tax IS NOT NULL AND p.l_shipdate IS NOT NULL
-  AND NOT EXISTS (
-    SELECT 1 FROM lineitem q
-    WHERE q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_quantity IS NOT NULL
-      AND q.l_tax IS NOT NULL AND q.l_shipdate IS NOT NULL
-      AND q.l_extendedprice <= p.l_extendedprice AND q.l_discount <= p.l_discount
-      AND q.l_quantity >= p.l_quantity AND q.l_tax <= p.l_tax AND q.l_shipdate >= p.l_shipdate
-      AND (q.l_extendedprice < p.l_extendedprice OR q.l_discount < p.l_discount
-        OR q.l_quantity > p.l_quantity OR q.l_tax < p.l_tax OR q.l_shipdate > p.l_shipdate))
-""",
+        "skyline_grouped": _grouped_sky_oracle(),
+        "skyline_5dim": _fast_sky_sql(
+            "l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity, l_tax, l_shipdate",
+            _DIMS5,
+        ),
         "skyline_layers": _layers_oracle(),
         "skyline_events": """
 SELECT event_id, ts, value
