@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "token_bpe_documents",
     "asof_join_events",
     "sessionize_events",
+    "curate_corpus",
 ]
 
 
