@@ -28,18 +28,44 @@ TABLES = (
 )
 
 
-def _normalize_nanos(df: DataFrame) -> DataFrame:
+def _nano_columns(path: str) -> set[str] | None:
+    """Column names stored as TIMESTAMP(NANOS) in the parquet footer.
+
+    Reads the Arrow schema of the file (or, for a directory dataset, its
+    first fragment) — exact metadata, so no column-name convention is
+    required. Returns ``None`` when the footer can't be inspected, in
+    which case the caller falls back to the ``ts``/``*_ts`` heuristic.
+    """
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return {
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return None
+
+
+def _normalize_nanos(df: DataFrame, nano_cols: set[str] | None = None) -> DataFrame:
     """Cast long-nanosecond columns (read via nanosAsLong) to timestamps.
 
     With ``spark.sql.legacy.parquet.nanosAsLong=true`` a parquet
     TIMESTAMP(NANOS) column arrives as a raw long; truncating to
     microseconds matches what microsecond-native readers (DuckDB — the
     correctness oracle — and Spark's own TimestampType) produce.
-    Heuristic: long columns named ``ts`` or ``*_ts`` are nano epochs.
+    ``nano_cols`` comes from the parquet footer when available; the
+    fallback heuristic treats long columns named ``ts``/``*_ts`` as
+    nano epochs.
     """
     for field in df.schema.fields:
         if field.dataType == T.LongType() and (
-            field.name == "ts" or field.name.endswith("_ts")
+            field.name in nano_cols
+            if nano_cols is not None
+            else (field.name == "ts" or field.name.endswith("_ts"))
         ):
             # integer `div`, not `/`: float division loses ulps on
             # 19-digit nano epochs and rounds instead of truncating
@@ -50,18 +76,32 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
+def _ensure_nanos_readable(spark: SparkSession) -> None:
+    """Allow TIMESTAMP(NANOS) parquet columns on ANY session.
+
+    The engine can't assume the caller built its session through
+    ``session.get_spark`` (the correctness driver, notebooks, and
+    spark-submit jobs all hand us vanilla sessions), so the loader sets
+    the runtime-settable legacy flag itself. Idempotent and cheap.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _normalize_nanos(df)
+    _ensure_nanos_readable(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    return _normalize_nanos(df, _nano_columns(path))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every standard table and register each as a temp view."""
+    _ensure_nanos_readable(spark)
     out = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = _normalize_nanos(spark.read.parquet(path))
+            df = _normalize_nanos(spark.read.parquet(path), _nano_columns(path))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

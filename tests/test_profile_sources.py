@@ -32,6 +32,19 @@ def test_load_all_tables(spark, sf_dir):
         assert df.count() > 0, name
 
 
+def test_load_table_on_vanilla_session(spark, sf_dir):
+    """Regression: the loader must not rely on session-build-time config.
+
+    The correctness driver constructs its own vanilla SparkSession, so
+    ``load_table`` itself has to make TIMESTAMP(NANOS) parquet readable
+    (round-2 failure mode: 10 ERR rows from PARQUET_TYPE_ILLEGAL).
+    """
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    ev = load_table(spark, sf_dir, "events")
+    assert ev.schema["ts"].dataType.typeName() == "timestamp"
+    assert ev.count() > 0
+
+
 def test_events_timestamps_match_duckdb(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert ev.schema["ts"].dataType.typeName() == "timestamp"
