@@ -221,8 +221,16 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.embedding_near_dup(emb, threshold=0.9)
+    # the synthetic embeddings have max natural pairwise cosine ~0.51, so
+    # a 0.9-threshold check over the raw table is vacuous (0 == 0). Plant
+    # 25 exact duplicates (same vector, shifted id): identical directions
+    # share every LSH bucket, so recall is exactly 1.0 and the green row
+    # actually exercises the bucket-join + verify path.
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    pairs = S.embedding_near_dup(emb.unionByName(planted), threshold=0.9)
     return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
@@ -534,11 +542,15 @@ def _curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = TX.quality_flags(docs).where(F.col("quality_ok")).select(
         "doc_id", "n_tokens"
     )
-    fps = docs.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
+    # dedup equality on the FULL 128-bit md5 (60 bits would birthday-
+    # collide at 10^10 docs); the projected fingerprint stays 60-bit
+    fps = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("__md5"))
     qual = flags.join(fps, "doc_id")
-    keep = qual.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    return keep.join(qual, ["doc_id", "fingerprint"]).select(
-        "doc_id", "fingerprint", "n_tokens"
+    keep = qual.groupBy("__md5").agg(F.min("doc_id").alias("doc_id"))
+    return keep.join(qual, ["doc_id", "__md5"]).select(
+        "doc_id",
+        F.conv(F.substring("__md5", 1, 15), 16, 10).cast("long").alias("fingerprint"),
+        "n_tokens",
     )
 
 
@@ -848,9 +860,11 @@ SELECT doc_id, n_tok AS n_tokens,
 FROM t
 """,
         "dedup_exact_documents": """
-SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint,
-       min(doc_id) AS keep_id, count(*) AS n_copies
-FROM documents GROUP BY 1
+WITH g AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM documents GROUP BY 1)
+SELECT ('0x' || substr(h, 1, 15))::BIGINT AS fingerprint, keep_id, n_copies
+FROM g
 """,
         "dedup_minhash_documents": _JACCARD_PAIRS_SQL,
         "ngram_jaccard_documents": _JACCARD_PAIRS_SQL,
@@ -865,7 +879,11 @@ LIMIT 10
 """,
         # ann_lsh_topk: approximate by design → rows-only check (omitted)
         "embedding_near_dup": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 25
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS score
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1037,13 +1055,13 @@ WITH t AS (
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'), s -> s IN {_STOPWORDS_SQL})) AS n_stop,
          length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS n_punct,
          length(text) AS n_chars,
-         ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+         md5(text) AS h
   FROM documents),
 q AS (
-  SELECT doc_id, n_tok, fp FROM t
+  SELECT doc_id, n_tok, h FROM t
   WHERE n_tok >= 10 AND n_stop * 100 <= 50 * n_tok AND n_punct * 100 <= 20 * n_chars),
-d AS (SELECT fp, min(doc_id) AS doc_id FROM q GROUP BY fp)
-SELECT d.doc_id, d.fp AS fingerprint, q.n_tok AS n_tokens
-FROM d JOIN q ON d.doc_id = q.doc_id AND d.fp = q.fp
+d AS (SELECT h, min(doc_id) AS doc_id FROM q GROUP BY h)
+SELECT d.doc_id, ('0x' || substr(d.h, 1, 15))::BIGINT AS fingerprint, q.n_tok AS n_tokens
+FROM d JOIN q ON d.doc_id = q.doc_id AND d.h = q.h
 """,
     }

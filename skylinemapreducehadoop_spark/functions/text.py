@@ -152,30 +152,36 @@ def quality_flags(
 
 
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Heuristic language ID: marker-word voting with an ASCII-ratio CJK
-    check. Arrow-batched pandas UDF (the scorer needs dict lookups);
-    profiles are tiny constants captured in the closure.
+    """Heuristic language ID: marker-word voting with a byte-ratio CJK
+    check. Fully batch-vectorized — the non-ASCII gate is a JVM column
+    expression (``octet_length`` vs ``char_length``: each non-ASCII char
+    costs ≥1 extra UTF-8 byte, CJK costs 2), and the marker scorer is
+    one vectorized ``Series.str.count`` per language inside an
+    Arrow-batched pandas UDF (no per-row Python function).
 
     Returns ``df`` plus ``out_col``. Unknown/ambiguous → 'en' (ties are
     broken by marker-list order), non-ASCII-heavy → 'zh'.
     """
+    # one whitespace-bounded alternation regex per language
+    lang_patterns = {
+        lang: r"(?<!\S)(?:" + "|".join(markers) + r")(?!\S)"
+        for lang, markers in _LANG_MARKERS.items()
+    }
 
     @F.pandas_udf(T.StringType())
-    def score(texts: pd.Series) -> pd.Series:
-        def one(s: str | None) -> str:
-            if not s:
-                return "en"
-            n_non_ascii = sum(1 for ch in s if ord(ch) > 127)
-            if n_non_ascii * 3 > len(s):
-                return "zh"
-            toks = s.lower().split()
-            best, best_hits = "en", -1
-            for lang, markers in _LANG_MARKERS.items():
-                hits = sum(1 for t in toks if t in markers)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            return best
+    def marker_vote(texts: pd.Series) -> pd.Series:
+        sl = texts.fillna("").str.lower()
+        hits = pd.DataFrame({lang: sl.str.count(pat) for lang, pat in lang_patterns.items()})
+        # idxmax returns the FIRST max column → ties break by dict
+        # (marker-list) order, 'en' first
+        return hits.idxmax(axis=1)
 
-        return texts.map(one)
-
-    return df.withColumn(out_col, score(F.col(text_col)))
+    t = F.col(text_col)
+    extra_bytes = F.octet_length(t) - F.char_length(t)  # ≈ 2×(CJK chars)
+    non_ascii_heavy = extra_bytes * 3 > F.char_length(t) * 2
+    return df.withColumn(
+        out_col,
+        F.when(t.isNull() | (F.char_length(t) == 0), F.lit("en"))
+        .when(non_ascii_heavy, F.lit("zh"))
+        .otherwise(marker_vote(t)),
+    )

@@ -3,16 +3,21 @@
 Two scale-conscious designs:
 
 - ``streaming_exact_dedup``: built-in ``dropDuplicatesWithinWatermark``
-  keyed on the 60-bit content fingerprint. State = one fingerprint per
+  keyed on the FULL 128-bit md5 of the content. State = one digest per
   distinct document inside the watermark horizon, evicted by the
   watermark — bounded, engine-managed (RocksDB-able), no Python state.
 - ``streaming_seen_filter``: ``applyInPandasWithState`` variant for
-  *unbounded* exactness per key-shard: state is the set of fingerprints
-  seen so far, sharded by fingerprint prefix so no single state entry
+  *unbounded* exactness per key-shard: state is the set of content
+  digests seen so far, sharded by digest prefix so no single state entry
   grows with the corpus. Emits only first-seen rows. Use when the dedup
-  horizon must be "forever" and the fingerprint set fits the cluster's
-  aggregate state store (8 bytes/doc — 100 TB of 10 KB docs is ~80 GB of
-  state spread over shards, feasible; holding *texts* would not be).
+  horizon must be "forever" and the digest set fits the cluster's
+  aggregate state store (16 bytes/doc — 100 TB of 10 KB docs is ~160 GB
+  of state spread over shards, feasible; holding *texts* would not be).
+
+Both paths key on 128 bits (two 60-bit md5 halves for the stateful
+variant): at ~10^10 documents a 60-bit key already expects birthday
+collisions, which would silently drop distinct documents as
+"duplicates".
 """
 
 from __future__ import annotations
@@ -25,7 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from skylinemapreducehadoop_spark.functions.text import doc_fingerprint
+
+def _md5_half(col, offset: int):
+    """60-bit BIGINT from 15 hex chars of md5 starting at ``offset``."""
+    md5c = F.md5(col.cast("binary"))
+    return F.conv(F.substring(md5c, offset, 15), 16, 10).cast("long")
 
 
 def streaming_exact_dedup(
@@ -37,11 +46,15 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """First occurrence of each distinct content within the watermark
     horizon; late duplicates beyond the horizon are the accepted
-    trade-off for bounded state."""
+    trade-off for bounded state. Dedup key = full 128-bit md5; the
+    60-bit ``fingerprint`` column is kept for cross-engine checks."""
+    md5c = F.md5(F.col(text_col).cast("binary"))
     return (
-        stream.withColumn("fingerprint", doc_fingerprint(text_col))
+        stream.withColumn("__md5", md5c)
+        .withColumn("fingerprint", F.conv(F.substring("__md5", 1, 15), 16, 10).cast("long"))
         .withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["__md5"])
+        .drop("__md5")
     )
 
 
@@ -55,9 +68,11 @@ def streaming_seen_filter(
     """Unbounded-horizon streaming dedup: emit (shard, doc_id,
     fingerprint) for first-seen contents only.
 
-    Rows are sharded by fingerprint modulus, so each state entry holds
-    ~1/n_shards of the fingerprint set and the shuffle key is uniform by
-    construction (hash sharding = no skew).
+    Rows are sharded by digest modulus, so each state entry holds
+    ~1/n_shards of the digest set and the shuffle key is uniform by
+    construction (hash sharding = no skew). Equality is on the
+    (hi, lo) 120-bit digest pair; the emitted ``fingerprint`` is the
+    hi half (display/compat).
     """
     out_schema = T.StructType(
         [
@@ -66,22 +81,33 @@ def streaming_seen_filter(
             T.StructField("fingerprint", T.LongType()),
         ]
     )
+    # two aligned arrays instead of an array of structs: pandas-state
+    # round-trips flat long arrays cheaply
     state_schema = T.StructType(
-        [T.StructField("seen", T.ArrayType(T.LongType()))]
+        [
+            T.StructField("seen_hi", T.ArrayType(T.LongType())),
+            T.StructField("seen_lo", T.ArrayType(T.LongType())),
+        ]
     )
 
     def update(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            hi, lo = state.get
+            seen = set(zip(hi, lo))
+        else:
+            seen = set()
         out_ids, out_fps = [], []
         for pdf in batches:
-            for doc_id, fp in zip(pdf[id_col], pdf["fingerprint"]):
-                if fp not in seen:
-                    seen.add(fp)
+            for doc_id, fp_hi, fp_lo in zip(pdf[id_col], pdf["fp_hi"], pdf["fp_lo"]):
+                pair = (int(fp_hi), int(fp_lo))
+                if pair not in seen:
+                    seen.add(pair)
                     out_ids.append(int(doc_id))
-                    out_fps.append(int(fp))
-        state.update((sorted(seen),))
+                    out_fps.append(pair[0])
+        pairs = sorted(seen)
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
         yield pd.DataFrame(
             {
                 "shard": [int(key[0])] * len(out_ids),
@@ -90,12 +116,14 @@ def streaming_seen_filter(
             }
         )
 
-    fp = doc_fingerprint(text_col)
+    c = F.col(text_col)
+    fp_hi, fp_lo = _md5_half(c, 1), _md5_half(c, 17)
     return (
         stream.select(
-            F.pmod(fp, F.lit(n_shards)).cast("int").alias("shard"),
+            F.pmod(fp_hi, F.lit(n_shards)).cast("int").alias("shard"),
             F.col(id_col),
-            fp.alias("fingerprint"),
+            fp_hi.alias("fp_hi"),
+            fp_lo.alias("fp_lo"),
         )
         .groupBy("shard")
         .applyInPandasWithState(

@@ -39,6 +39,24 @@ def test_exact_dedup(spark):
     assert sum(r["n_copies"] for r in out) == docs.count()
 
 
+def test_shingles_short_and_empty_docs(spark):
+    """Regression: docs with < k tokens must yield an EMPTY shingle set,
+    not a descending sequence(1,0) that crashes slice() at runtime."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, ""), (1, "one"), (2, "one two"), (3, "one two three"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", D.shingles("text", 3).alias("sh")).collect()
+    }
+    assert out[0] == [] and out[1] == [] and out[2] == []
+    assert out[3] == ["one two three"]
+    assert out[4] == []
+    # and the full near-dup pipeline survives a corpus containing them
+    assert D.minhash_near_dup(df, threshold=0.5).count() == 0
+
+
 def test_minhash_finds_planted_near_dups(spark):
     docs = _make_docs(spark)
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.minhash_near_dup(docs, threshold=0.5).collect()}
