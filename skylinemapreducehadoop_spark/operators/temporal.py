@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -44,18 +45,25 @@ def asof_join(
     by = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by and c != on]
+    carry_cols = [*right_cols, on]
 
-    l_tag = left.withColumn("__side", F.lit(1))
-    for c in right_cols:
-        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
-    l_tag = l_tag.withColumn(f"{on}{suffix}", F.lit(None).cast(dict(right.dtypes)[on]))
+    # carry ONE struct of all right columns: last(ignorenulls) over the
+    # struct is NULL only for "no right row yet", so a matched right
+    # row's NULL *field* is attached as-is instead of being backfilled
+    # from an older right row (per-column carry mixed fields across rows)
+    right_types = {f.name: f.dataType for f in right.schema.fields}
+    r_struct_type = T.StructType(
+        [T.StructField(c, right_types[c], True) for c in carry_cols]
+    )
 
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(r_struct_type)
+    )
     r_tag = right.select(
         *by,
         F.col(on),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(on).alias(f"{on}{suffix}"),
+        F.struct(*[F.col(c) for c in carry_cols]).alias("__r"),
     )
     for c in left.columns:
         if c not in by and c != on:
@@ -70,14 +78,11 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *[c for c in unioned.columns if not c.endswith(suffix)],
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in [*right_cols, on]
-        ],
+    carried = unioned.withColumn("__r", F.last("__r", ignorenulls=True).over(w))
+    return carried.where(F.col("__side") == 1).select(
+        *[c for c in left.columns],
+        *[F.col("__r").getField(c).alias(f"{c}{suffix}") for c in carry_cols],
     )
-    return carried.where(F.col("__side") == 1).drop("__side")
 
 
 def range_join(
@@ -96,6 +101,15 @@ def range_join(
     Returns left columns + right columns suffixed ``_r`` where names
     collide.
     """
+    if upper_seconds <= 0:
+        raise ValueError(f"upper_seconds must be > 0, got {upper_seconds}")
+    if lower_seconds < 0:
+        raise ValueError(
+            "lower_seconds must be >= 0 (right-before-left pairs would "
+            f"need a wider bucket explosion), got {lower_seconds}"
+        )
+    if lower_seconds >= upper_seconds:
+        raise ValueError("lower_seconds must be < upper_seconds")
     by = [by] if isinstance(by, str) else list(by)
     width = int(upper_seconds * 1_000_000)  # microsecond buckets
     lo_us = int(lower_seconds * 1_000_000)

@@ -66,6 +66,29 @@ def test_asof_no_match_is_null(spark):
     assert out[0]["right_id_right"] is None and out[0]["ts_right"] is None
 
 
+def test_asof_matched_row_null_field_not_backfilled(spark):
+    """A matched right row's NULL field must be attached as-is, not
+    backfilled from an OLDER right row (true ASOF = whole-row match)."""
+    ldf = spark.createDataFrame([(1, _ts(20), 1)], "user_id int, ts timestamp, left_id int")
+    rdf = spark.createDataFrame(
+        [(1, _ts(5), 100, 7.0), (1, _ts(10), 101, None)],
+        "user_id int, ts timestamp, right_id int, val double",
+    )
+    out = asof_join(ldf, rdf, on="ts", by="user_id").collect()
+    assert out[0]["right_id_right"] == 101
+    assert out[0]["val_right"] is None  # NOT 7.0 from the older row
+
+
+def test_range_join_rejects_degenerate_params(spark):
+    import pytest
+
+    _, _, ldf, rdf = _random_events(spark, n_left=5, n_right=5)
+    for lo, up in ((0, 0), (-10, 60), (60, 60), (90, 60)):
+        with pytest.raises(ValueError):
+            range_join(ldf, rdf, left_on="ts", right_on="ts", by="user_id",
+                       lower_seconds=lo, upper_seconds=up)
+
+
 def test_range_join_matches_bruteforce(spark):
     left, right, ldf, rdf = _random_events(spark)
     out = range_join(
