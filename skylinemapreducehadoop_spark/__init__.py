@@ -31,7 +31,11 @@ from skylinemapreducehadoop_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dup,
+    ivf_build,
+    ivf_probe,
+    ivf_read,
     ivf_topk,
+    ivf_write,
 )
 from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
 from skylinemapreducehadoop_spark.operators.skew import salted_agg, salted_join
@@ -56,7 +60,11 @@ __all__ = [
     "simhash_near_dup",
     "cosine_topk",
     "ann_lsh_topk",
+    "ivf_build",
+    "ivf_probe",
+    "ivf_read",
     "ivf_topk",
+    "ivf_write",
     "embedding_near_dup",
     "asof_join",
     "range_join",

@@ -14,7 +14,11 @@ from skylinemapreducehadoop_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dup,
+    ivf_build,
+    ivf_probe,
+    ivf_read,
     ivf_topk,
+    ivf_write,
 )
 from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
 from skylinemapreducehadoop_spark.operators.skew import salted_agg, salted_join
@@ -24,7 +28,11 @@ __all__ = [
     "range_join",
     "salted_agg",
     "salted_join",
+    "ivf_build",
+    "ivf_probe",
+    "ivf_read",
     "ivf_topk",
+    "ivf_write",
     "skyline",
     "skyline_by",
     "skyline_layers",

@@ -145,6 +145,86 @@ def _kmeans_centroids(sample: np.ndarray, k: int, n_iter: int, seed: int) -> np.
     return C
 
 
+def ivf_build(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    sample_rows: int = 10_000,
+    n_iter: int = 5,
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """ONE-TIME IVF index build: returns (df + ``__list`` assignment
+    column, centroid matrix). Persist the frame with ``ivf_write`` so
+    every subsequent probe is a partition-pruned scan.
+
+    The k-means training sample is drawn deterministically WITHOUT a
+    ``count()`` pass: order by a hash of the id and take the first
+    ``sample_rows`` — Spark executes that as per-partition top-k heaps
+    (TakeOrdered), never a full sort or full scan to the driver.
+    """
+    sample_pdf = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    if len(sample_pdf) == 0:
+        raise ValueError("ivf_build: input has no rows")
+    dim = len(sample_pdf.iloc[0, 0])
+    sample = _as_matrix(sample_pdf["v"], dim)
+    n_lists = min(n_lists, len(sample))
+    C = _kmeans_centroids(sample, n_lists, n_iter, seed)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = _as_matrix(vecs, dim)
+        d2 = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return df.withColumn("__list", assign(F.col(vec_col))), C
+
+
+def ivf_write(assigned: DataFrame, centroids: np.ndarray, path: str) -> None:
+    """Persist an IVF index: vectors parquet-partitioned by ``__list``
+    (probe scans prune whole directories) + the tiny centroid table."""
+    assigned.write.mode("overwrite").partitionBy("__list").parquet(f"{path}/vectors")
+    spark = assigned.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "list_id int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a persisted IVF index → (assigned frame, centroid matrix)."""
+    assigned = spark.read.parquet(f"{path}/vectors")
+    cent = spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    C = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
+    return assigned, C
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe an IVF index: exact-rerank ONLY the ``n_probe`` cells whose
+    centroids are nearest the query. On an ``ivf_write``-persisted index
+    the ``__list`` filter is a partition filter — pruned at the
+    directory level, nothing else is even read."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    probe = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1))[:n_probe]
+    cand = assigned.where(F.col("__list").isin([int(p) for p in probe]))
+    return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: Sequence[float],
@@ -158,32 +238,22 @@ def ivf_topk(
     n_iter: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means partitions the
-    vector space into ``n_lists`` cells; the query exactly re-ranks only
-    the ``n_probe`` nearest cells. At scale the assignment column is
-    precomputed/persisted and the probe is a partition-pruned scan."""
-    n_rows = df.count()
-    if n_rows == 0:
-        return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
-    frac = min(1.0, sample_rows / max(n_rows, 1))
-    sample_pdf = df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows).toPandas()
-    dim = len(sample_pdf.iloc[0, 0])
-    sample = _as_matrix(sample_pdf[vec_col], dim)
-    n_lists = min(n_lists, len(sample))
-    C = _kmeans_centroids(sample, n_lists, n_iter, seed)
-
-    @F.pandas_udf(T.IntegerType())
-    def assign(vecs: pd.Series) -> pd.Series:
-        m = _as_matrix(vecs, dim)
-        d2 = ((m[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
-
-    q = np.asarray(list(query_vec), dtype=np.float64)
-    probe = np.argsort(((C - q[None, :]) ** 2).sum(axis=1))[:n_probe]
-    cand = df.withColumn("__list", assign(F.col(vec_col))).where(
-        F.col("__list").isin([int(p) for p in probe])
+    """Convenience build+probe in one call (ad-hoc / testing). For
+    repeated queries, ``ivf_build`` + ``ivf_write`` once, then
+    ``ivf_read`` + ``ivf_probe`` per query — the probe is then a
+    partition-pruned scan with no full-data UDF stage."""
+    assigned, C = ivf_build(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_lists=n_lists,
+        sample_rows=sample_rows,
+        n_iter=n_iter,
+        seed=seed,
     )
-    return cosine_topk(cand, query_vec, k, vec_col=vec_col, id_col=id_col)
+    return ivf_probe(
+        assigned, C, query_vec, k, vec_col=vec_col, id_col=id_col, n_probe=n_probe
+    )
 
 
 def embedding_near_dup(

@@ -48,6 +48,32 @@ def test_ivf_topk_recall(spark):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_build_probe_persisted_index(spark, tmp_path):
+    """The persisted-index path: probe must (a) prune partitions at the
+    scan — only the probed __list directories are read — (b) run no
+    full-data UDF stage, and (c) keep recall vs exact top-k."""
+    m, df = _vectors(spark, n=500, seed=7)
+    q = m[4]
+    assigned, C = S.ivf_build(df.where("vec_id != 4"), n_lists=8)
+    path = str(tmp_path / "ivf")
+    S.ivf_write(assigned, C, path)
+
+    assigned2, C2 = S.ivf_read(spark, path)
+    assert np.allclose(C, C2)
+    probe_df = S.ivf_probe(assigned2, C2, q, k=10, n_probe=4)
+
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    # partition filter on __list reaches the file scan...
+    assert "__list" in plan and "PartitionFilters" in plan
+    # ...and the probe never re-assigns vectors (no pandas UDF stage
+    # before the scoring; the only Python eval is the cosine rerank)
+    assert plan.count("ArrowEvalPython") <= 1
+
+    exact = {r["vec_id"] for r in S.cosine_topk(df.where("vec_id != 4"), q, k=10).collect()}
+    approx = {r["vec_id"] for r in probe_df.collect()}
+    assert len(exact & approx) >= 5
+
+
 def test_embedding_near_dup_finds_planted(spark):
     rng = np.random.RandomState(2)
     base = rng.standard_normal((50, 16))
