@@ -156,12 +156,19 @@ def _partition_skyline_fn(dim_signs: list[tuple[str, float]]):
     return fn
 
 
+#: rows one merge task handles comfortably (vectorized SFS kernel)
+_MERGE_BATCH_ROWS = 1_000_000
+#: upstream partitions absorbed per task at each extra tree level
+_MERGE_FAN_IN = 16
+
+
 def skyline(
     df: DataFrame,
     dims: DimSpec,
     *,
     strategy: str = "twophase",
-    reduce_levels: int = 1,
+    reduce_levels: int | None = None,
+    merge_batch_rows: int = _MERGE_BATCH_ROWS,
     quadtree_opts: dict | None = None,
 ) -> DataFrame:
     """Pareto-optimal rows of ``df`` under per-dimension min/max directions.
@@ -199,24 +206,49 @@ def skyline(
     if strategy != "twophase":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    # The local pass is CPU-bound pandas work: if the scan yields fewer
-    # partitions than cores (small files / single parquet), fan out
+    # The local pass is CPU-bound kernel work: if the scan has fewer
+    # input files than cores (small files / single parquet), fan out
     # first. At cluster scale input splits >> cores and this no-ops.
     sc = df.sparkSession.sparkContext
-    if clean.rdd.getNumPartitions() < sc.defaultParallelism:
+    try:
+        n_files = len(clean.inputFiles())
+    except Exception:
+        n_files = sc.defaultParallelism
+    if 0 < n_files < sc.defaultParallelism:
         clean = clean.repartition(sc.defaultParallelism)
     local = clean.mapInArrow(fn, df.schema)
-    # Tree-reduce the (small) union of local skylines. Intermediate
-    # levels only matter when the Pareto set itself is huge
-    # (anti-correlated data at extreme scale); each level is a shuffle
-    # of already-reduced rows.
+
+    # Tree-reduce the union of local skylines down to one partition.
+    # The final merge MUST be a single partition (global dominance needs
+    # every surviving candidate in one place — the reference's single
+    # reducer, /root/reference/Skyline.java:414), but on anti-correlated
+    # data the union of local skylines can be huge, so intermediate
+    # levels bound each merge task's fan-in.
+    if reduce_levels is None:
+        # auto guard: materialize the (small) local skyline once and
+        # measure it; widths then cap rows-per-merge-task. The persist
+        # means the local pass is not recomputed by the merge.
+        local = local.persist()
+        n_local = local.count()
+        widths: list[int] = []
+        w = -(-n_local // merge_batch_rows)  # ceil
+        while w > 1:
+            widths.append(int(w))
+            w = -(-w // _MERGE_FAN_IN)
+    else:
+        # explicit override: reduce_levels-1 intermediate levels with
+        # sqrt-decaying widths (legacy behavior)
+        widths = []
+        n_parts = max(sc.defaultParallelism if reduce_levels > 1 else 1, 1)
+        for _ in range(max(reduce_levels - 1, 0)):
+            n_parts = max(int(np.sqrt(n_parts)), 1)
+            if n_parts <= 1:
+                break
+            widths.append(n_parts)
+
     current = local
-    n_parts = max(df.sparkSession.sparkContext.defaultParallelism if reduce_levels > 1 else 1, 1)
-    for level in range(max(reduce_levels - 1, 0)):
-        n_parts = max(int(np.sqrt(n_parts)), 1)
-        if n_parts <= 1:
-            break
-        current = current.repartition(n_parts).mapInArrow(fn, df.schema)
+    for w in widths:
+        current = current.repartition(w).mapInArrow(fn, df.schema)
     return current.repartition(1).mapInArrow(fn, df.schema)
 
 
@@ -254,10 +286,17 @@ def skyline_layers(df: DataFrame, dims: DimSpec, n_layers: int) -> DataFrame:
         # Each layer's skyline feeds BOTH the output union and the next
         # round's exceptAll — cache so the kernel runs once per layer,
         # not once per reference (and lineage doesn't re-read the scan).
+        # sky caches stay pinned (they ARE the output); each round's
+        # remaining is unpersisted once the next round's is materialized
+        # (layer 1's `remaining` is the caller's frame — never touched).
         sky = skyline(remaining, dims).cache()
         tagged = sky.withColumn("layer", F.lit(layer))
         out = tagged if out is None else out.unionByName(tagged)
         if layer < n_layers:
-            remaining = remaining.exceptAll(sky).cache()
+            nxt = remaining.exceptAll(sky).cache()
+            nxt.count()  # materialize before freeing the parent cache
+            if layer > 1:
+                remaining.unpersist()
+            remaining = nxt
     assert out is not None
     return out

@@ -51,6 +51,26 @@ def test_duplicates_survive(spark):
     assert got == [1, 2]
 
 
+def test_auto_tree_merge_anticorrelated(spark):
+    """Worst case for the merge: anti-correlated data where the skyline
+    is EVERY row. The auto guard must pick a multi-partition tree merge
+    (tiny merge_batch_rows forces it here) and still hash-match the
+    brute-force single-partition answer."""
+    n = 400
+    rows = [(i, float(i), float(n - i)) for i in range(n)]  # x+y const
+    df = spark.createDataFrame(rows, "id int, x double, y double").repartition(8)
+    dims = [("x", "min"), ("y", "min")]
+
+    auto = skyline(df, dims, merge_batch_rows=50)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    # local pass + >=1 intermediate tree level + final merge
+    assert plan.count("MapInArrow") >= 3
+
+    got = _ids(auto)
+    want = _ids(skyline(df, dims, strategy="bruteforce"))
+    assert got == want == list(range(n))
+
+
 def test_strategies_agree(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     dims = [("l_extendedprice", "min"), ("l_discount", "min"), ("l_quantity", "max")]
