@@ -95,6 +95,68 @@ def _sky_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline(ev, [("value", "max"), ("ts", "min")]).select("event_id", "ts", "value")
 
 
+#: deterministic fixed-width GSOD sample shared by the Spark query and
+#: the DuckDB oracle (content depends only on n_rows/seed)
+_GSOD_FIXTURE = "/tmp/gsod_9dim_fixture.txt"
+
+
+def _sky_gsod_9dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL flagship: 9-dim mixed-direction skyline
+    over fixed-width GSOD text (/root/reference/Skyline.java:25-31),
+    end-to-end through read_gsod (header/blank filtering, sentinel→NULL)."""
+    from skylinemapreducehadoop_spark.sources.gsod import (
+        GSOD_SKYLINE_DIMS,
+        make_gsod_fixture,
+        read_gsod,
+    )
+
+    path = make_gsod_fixture(_GSOD_FIXTURE)
+    return skyline(read_gsod(spark, path), GSOD_SKYLINE_DIMS)
+
+
+def _gsod_oracle() -> str:
+    # re-parse the same fixed-width bytes in SQL, then NOT EXISTS
+    # dominance with the reference's directions (temp/dewp/slp/max_temp
+    # MAX; stp/wdsp/mxspd/gust/min_temp MIN)
+    return f"""
+WITH raw AS (
+  SELECT line FROM read_csv('{_GSOD_FIXTURE}', header=false, delim='\x01',
+                            quote='', columns={{'line':'VARCHAR'}})
+),
+parsed AS (
+  SELECT try_cast(trim(substr(line, 1, 6)) AS INTEGER) AS stn,
+         try_cast(trim(substr(line, 15, 8)) AS INTEGER) AS obs_date,
+         nullif(try_cast(trim(substr(line, 25, 6)) AS DOUBLE), 9999.9) AS temp,
+         nullif(try_cast(trim(substr(line, 36, 6)) AS DOUBLE), 9999.9) AS dewp,
+         nullif(try_cast(trim(substr(line, 47, 6)) AS DOUBLE), 9999.9) AS slp,
+         nullif(try_cast(trim(substr(line, 103, 6)) AS DOUBLE), 9999.9) AS max_temp,
+         nullif(try_cast(trim(substr(line, 58, 6)) AS DOUBLE), 9999.9) AS stp,
+         nullif(try_cast(trim(substr(line, 79, 5)) AS DOUBLE), 999.9) AS wdsp,
+         nullif(try_cast(trim(substr(line, 89, 5)) AS DOUBLE), 999.9) AS mxspd,
+         nullif(try_cast(trim(substr(line, 96, 5)) AS DOUBLE), 999.9) AS gust,
+         nullif(try_cast(trim(substr(line, 111, 6)) AS DOUBLE), 9999.9) AS min_temp
+  FROM raw
+  WHERE trim(coalesce(line, '')) <> '' AND NOT starts_with(line, 'STN---')
+),
+pts AS (
+  SELECT * FROM parsed
+  WHERE temp IS NOT NULL AND dewp IS NOT NULL AND slp IS NOT NULL
+    AND max_temp IS NOT NULL AND stp IS NOT NULL AND wdsp IS NOT NULL
+    AND mxspd IS NOT NULL AND gust IS NOT NULL AND min_temp IS NOT NULL
+)
+SELECT * FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.temp >= a.temp AND b.dewp >= a.dewp AND b.slp >= a.slp
+    AND b.max_temp >= a.max_temp AND b.stp <= a.stp AND b.wdsp <= a.wdsp
+    AND b.mxspd <= a.mxspd AND b.gust <= a.gust AND b.min_temp <= a.min_temp
+    AND (b.temp > a.temp OR b.dewp > a.dewp OR b.slp > a.slp
+         OR b.max_temp > a.max_temp OR b.stp < a.stp OR b.wdsp < a.wdsp
+         OR b.mxspd < a.mxspd OR b.gust < a.gust OR b.min_temp < a.min_temp)
+)
+"""
+
+
 def _profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return profile(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
@@ -585,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_grouped": _sky_grouped,
         "skyline_layers": _sky_layers,
         "skyline_events": _sky_events,
+        "skyline_gsod_9dim": _sky_gsod_9dim,
         "profile_lineitem": _profile_lineitem,
         "q1_pricing_summary": _q1_pricing,
         "join_nation_revenue": _join_nation_revenue,
@@ -797,6 +860,7 @@ WHERE p.value IS NOT NULL AND p.ts IS NOT NULL
       AND q.value >= p.value AND q.ts <= p.ts
       AND (q.value > p.value OR q.ts < p.ts))
 """,
+        "skyline_gsod_9dim": _gsod_oracle(),
         "profile_lineitem": """
 SELECT 'l_quantity' AS dim, min(l_quantity) AS min_val, max(l_quantity) AS max_val,
        count(*) AS n_total, count(l_quantity) AS n_present FROM lineitem

@@ -67,6 +67,56 @@ def read_gsod(spark: SparkSession, path: str) -> DataFrame:
     return lines.select(*cols)
 
 
+def make_gsod_fixture(path: str, n_rows: int = 1500, seed: int = 20240813) -> str:
+    """Write a deterministic fixed-width GSOD sample file.
+
+    Layout follows the reference's column offsets exactly (header line,
+    blank lines, all-9s missing-value sentinels included), so the file
+    exercises the full ingest path: P2 blank/header filtering and P3
+    sentinel→NULL. Content depends only on (n_rows, seed) — safe for a
+    cross-engine oracle to re-parse byte-identically.
+    """
+    import os
+    import random
+
+    rng = random.Random(seed)
+    width = max(end for _, _, end, _, _ in GSOD_FIELDS)
+    lines = [
+        "STN--- WBAN   YEARMODA    TEMP       DEWP      SLP        STP       VISIB      WDSP     MXSPD   GUST    MAX     MIN   PRCP   SNDP  FRSHTT"
+    ]
+    ranges = {
+        "temp": (-30.0, 110.0, 9999.9, 0.03),
+        "dewp": (-40.0, 80.0, 9999.9, 0.03),
+        "slp": (950.0, 1050.0, 9999.9, 0.05),
+        "stp": (850.0, 1050.0, 9999.9, 0.05),
+        "wdsp": (0.0, 40.0, 999.9, 0.03),
+        "mxspd": (0.0, 60.0, 999.9, 0.03),
+        "gust": (0.0, 80.0, 999.9, 0.08),
+        "max_temp": (-20.0, 120.0, 9999.9, 0.03),
+        "min_temp": (-40.0, 100.0, 9999.9, 0.03),
+    }
+    for i in range(n_rows):
+        buf = [" "] * width
+        vals: dict[str, str] = {
+            "stn": str(100000 + rng.randint(0, 499)),
+            "obs_date": str(20240100 + rng.randint(1, 28) + 100 * rng.randint(0, 11)),
+        }
+        for name, (lo, hi, sentinel, p_missing) in ranges.items():
+            v = sentinel if rng.random() < p_missing else round(rng.uniform(lo, hi), 1)
+            vals[name] = f"{v:.1f}"
+        for name, start, end, _, _ in GSOD_FIELDS:
+            s = vals[name].rjust(end - start)
+            buf[start:end] = list(s)
+        lines.append("".join(buf))
+        if i % 200 == 199:
+            lines.append("")  # blank lines the parser must drop
+    content = "\n".join(lines) + "\n"
+    if not (os.path.exists(path) and open(path).read() == content):
+        with open(path, "w") as f:
+            f.write(content)
+    return path
+
+
 def nullify_sentinels(df: DataFrame, sentinels: dict[str, float]) -> DataFrame:
     """Generic sentinel→NULL ingest utility (P3) for any table."""
     for col, sentinel in sentinels.items():
