@@ -134,24 +134,26 @@ def sample_frames(
     media_col: str = "media",
     every_n: int = 2,
 ) -> DataFrame:
-    """Frame-sampling plumbing demo: fan each payload out to its
-    'frames' (fake: one frame per 64-byte window, keep every n-th).
-    Output cardinality > input — the mapInPandas contract the real
-    video path needs."""
-    out_schema = T.StructType(
-        [df.schema[c] for c in id_cols]
-        + [T.StructField("frame_idx", T.IntegerType()), T.StructField("frame_bytes", T.BinaryType())]
+    """Frame-sampling plumbing: fan each payload out to its 'frames'
+    (one frame per 64-byte window, keep every n-th).
+
+    Entirely JVM-side — explode a stride sequence of frame indices and
+    slice the window with ``substring`` on the binary column, so the
+    payload bytes never cross into Python and the fan-out stays inside
+    whole-stage codegen. (A real codec path would swap the byte-window
+    slice for an Arrow-batched decode UDF; the fan-out shape is the
+    contract.)"""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    m = F.col(media_col)
+    n_frames = F.ceil(F.octet_length(m) / F.lit(64)).cast("int")
+    idxs = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        *id_cols, m.alias("__m"), F.explode(idxs).alias("frame_idx")
+    ).select(
+        *id_cols,
+        "frame_idx",
+        F.expr("substring(__m, frame_idx * 64 + 1, 64)").alias("frame_bytes"),
     )
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[media_col] or b""
-                frames = [payload[i : i + 64] for i in range(0, len(payload), 64)]
-                for fi in range(0, len(frames), every_n):
-                    rows.append(tuple(r[c] for c in id_cols) + (fi, frames[fi]))
-            if rows:
-                yield pd.DataFrame(rows, columns=list(id_cols) + ["frame_idx", "frame_bytes"])
-
-    return df.select(*id_cols, media_col).mapInPandas(sample, out_schema)
