@@ -519,6 +519,202 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q4-style EXISTS: orders with at least one lineitem shipped after
+    # the order date (the testdata schema has no commit/receipt dates)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bidirectional nation-pair trade volume by ship year
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(n1, supp.s_nationkey == F.col("n1_key"))
+        .join(n2, cust.c_nationkey == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        (F.sum(_ep_dec()) - F.sum(_ep_dec() * _disc_dec()))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def _q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q12-style conditional aggregation (no l_shipmode in the testdata:
+    # l_linestatus stands in for the group key)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # promo revenue share: both sums are exact decimals; the final
+    # division is one IEEE op on identical operands in both engines
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _ep_dec() - _ep_dec() * _disc_dec()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(19,6)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def _q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distinct suppliers per (brand, type) over mid-size parts
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q19's OR-of-conjunctions predicate shape (brand × size × quantity)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 25) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#33") & (F.col("p_size") <= 35) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            (F.sum(_ep_dec()) - F.sum(_ep_dec() * _disc_dec()))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def _q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q22: rich customers (above the positive-balance mean) with no
+    # URGENT order, per nation. (Every test customer has SOME order, so
+    # the classic "never ordered" filter would be vacuously empty.)
+    # Division-free mean compare (acctbal*n > total, exact decimals) so
+    # the threshold is engine-exact.
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    pos = cust.where(F.col("c_acctbal") > 0)
+    stats = pos.agg(
+        F.sum(bal).alias("tot"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+    )
+    rich = (
+        cust.join(F.broadcast(stats))
+        .where(bal * F.col("n") > F.col("tot"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+def _window_analytics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # window-function breadth: lag/lead, running sum, dense_rank, ntile
+    # over a deterministic (date, key) order within each customer
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.sum(price_dec).over(run).cast("double").alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
+def _ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signal: total vs distinct word 3-grams
+    # (integer outputs — engine-exact)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+    n = F.size(toks)
+    grams = F.when(
+        n >= F.lit(3),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_3grams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_3grams"),
+    )
+
+
 def _semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -679,6 +875,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
         "q10_returned_items": _q10_returned_items,
+        "q4_priority_exists": _q4_priority_exists,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q12_priority_by_linestatus": _q12_priority_by_linestatus,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q16_supplier_cnt": _q16_supplier_cnt,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        "window_analytics_orders": _window_analytics_orders,
+        "ngram_dup_stats_documents": _ngram_dup_stats,
         "semi_join_customers": _semi_join_customers,
         "pivot_user_events": _pivot_user_events,
         "above_avg_orders": _above_avg_orders,
@@ -1079,6 +1284,99 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name
+""",
+        "q4_priority_exists": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+        "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+          - sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4)))
+         AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+        "q12_priority_by_linestatus": """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+""",
+        "q14_promo_revenue": """
+WITH t AS (
+  SELECT p_type,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           - CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01')
+SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(19,6)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE) AS promo_revenue_pct
+FROM t
+""",
+        "q16_supplier_cnt": """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 10 AND 30
+GROUP BY p_brand, p_type
+""",
+        "q19_disjunctive_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+          - sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4)))
+         AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#33' AND p_size <= 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+        "q22_sales_opportunity": """
+WITH pos AS (
+  SELECT count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(12,2))) AS tot
+  FROM customer WHERE c_acctbal > 0)
+SELECT n_name, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN pos
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * pos.n > pos.tot
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n_name
+""",
+        "window_analytics_orders": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice, 1) OVER w AS prev_price,
+       lead(o_totalprice, 1) OVER w AS next_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total,
+       CAST(row_number() OVER w AS INTEGER) AS order_seq,
+       CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "ngram_dup_stats_documents": """
+WITH sh AS (
+  SELECT doc_id,
+         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+          FOR i IN range(1, greatest(len(t)-1, 1))] AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents))
+SELECT doc_id, len(grams) AS n_3grams,
+       len(list_distinct(grams)) AS n_distinct_3grams
+FROM sh
 """,
         "semi_join_customers": """
 SELECT c_custkey, c_name FROM customer c
