@@ -274,20 +274,28 @@ def embedding_near_dup(
     """
     dim = len(df.select(vec_col).first()[0])
 
-    tables = []
-    for t in range(n_tables):
-        planes = _hyperplanes(n_planes, dim, seed + t)
-        tables.append(
-            df.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
-            ).withColumn("__bucket", lsh_bucket_udf(planes)(F.col("v"))).withColumn(
-                "__table", F.lit(t)
-            )
-        )
-    bucketed = tables[0]
-    for t in tables[1:]:
-        bucketed = bucketed.unionByName(t)
+    # ONE vectorized pass computes every table's bucket (stacked planes,
+    # one matmul per Arrow batch), then posexplode fans out to
+    # (table, bucket) — vs. n_tables scans + n_tables UDF invocations
+    all_planes = np.concatenate(
+        [_hyperplanes(n_planes, dim, seed + t) for t in range(n_tables)]
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = _as_matrix(vecs, dim)
+        signs = (m @ all_planes.T) > 0  # (n, n_tables*n_planes)
+        per_table = signs.reshape(len(m), n_tables, n_planes) @ weights
+        return pd.Series(per_table.tolist())
+
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        buckets(F.col(vec_col)).alias("__bs"),
+    ).select(
+        "id", "v", F.posexplode("__bs").alias("__table", "__bucket")
+    )
 
     l, r = bucketed.alias("l"), bucketed.alias("r")
     cand = (
