@@ -695,6 +695,58 @@ def _window_analytics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic content-hash train/val/test split (80/10/10) — the
+    # standard leakage-safe way to split a corpus: same doc text always
+    # lands in the same split on any engine (md5-based, no RNG)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(TX.doc_fingerprint("text"), F.lit(100))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), TX.token_count("text").alias("n_tok"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _term_doc_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # document frequency (docs containing the term), the IDF numerator
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.array_distinct(TX.tokens("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(20)
+    )
+
+
+def _funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conversion funnel: users whose first view precedes their first
+    # click precedes their first purchase
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
 def _ngram_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition signal: total vs distinct word 3-grams
     # (integer outputs — engine-exact)
@@ -884,6 +936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_sales_opportunity": _q22_sales_opportunity,
         "window_analytics_orders": _window_analytics_orders,
         "ngram_dup_stats_documents": _ngram_dup_stats,
+        "hash_split_documents": _hash_split_documents,
+        "term_doc_freq_topk": _term_doc_freq_topk,
+        "funnel_users": _funnel_users,
         "semi_join_customers": _semi_join_customers,
         "pivot_user_events": _pivot_user_events,
         "above_avg_orders": _above_avg_orders,
@@ -1367,6 +1422,33 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "hash_split_documents": """
+WITH t AS (
+  SELECT CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents)
+SELECT split, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+FROM t GROUP BY split
+""",
+        "term_doc_freq_topk": """
+SELECT t AS token, count(*) AS doc_freq
+FROM (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
+      FROM documents)
+GROUP BY t ORDER BY doc_freq DESC, t LIMIT 20
+""",
+        "funnel_users": """
+WITH firsts AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS n_converted
+FROM firsts
 """,
         "ngram_dup_stats_documents": """
 WITH sh AS (
