@@ -695,6 +695,24 @@ def _window_analytics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic content-hash Bernoulli sample — reproducible on any
+    # engine/layout (md5 bucket, no RNG), unlike df.sample()
+    from skylinemapreducehadoop_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, ["text"], 0.2).select("doc_id", "n_chars")
+
+
+def _reservoir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-k deterministic "reservoir": k smallest content hashes,
+    # executed as TakeOrdered (no full sort)
+    from skylinemapreducehadoop_spark.operators.sampling import reservoir_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return reservoir_sample(docs, 50, ["text"]).select("doc_id")
+
+
 def _hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic content-hash train/val/test split (80/10/10) — the
     # standard leakage-safe way to split a corpus: same doc text always
@@ -939,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": _hash_split_documents,
         "term_doc_freq_topk": _term_doc_freq_topk,
         "funnel_users": _funnel_users,
+        "sample_documents_hash": _sample_documents_hash,
+        "reservoir_documents": _reservoir_documents,
         "semi_join_customers": _semi_join_customers,
         "pivot_user_events": _pivot_user_events,
         "above_avg_orders": _above_avg_orders,
@@ -1422,6 +1442,15 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+        "sample_documents_hash": """
+SELECT doc_id, n_chars FROM documents
+WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000 < 200000
+""",
+        "reservoir_documents": """
+SELECT doc_id FROM documents
+ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT, text
+LIMIT 50
 """,
         "hash_split_documents": """
 WITH t AS (

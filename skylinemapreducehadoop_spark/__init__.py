@@ -39,6 +39,11 @@ from skylinemapreducehadoop_spark.operators.similarity import (
 )
 from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
 from skylinemapreducehadoop_spark.operators.skew import salted_agg, salted_join
+from skylinemapreducehadoop_spark.operators.sampling import (
+    hash_sample,
+    reservoir_sample,
+    stratified_hash_sample,
+)
 from skylinemapreducehadoop_spark.functions.profile import profile
 from skylinemapreducehadoop_spark.functions.text import (
     language_id,
@@ -68,6 +73,9 @@ __all__ = [
     "embedding_near_dup",
     "asof_join",
     "range_join",
+    "hash_sample",
+    "reservoir_sample",
+    "stratified_hash_sample",
     "salted_agg",
     "salted_join",
     "profile",

@@ -22,10 +22,18 @@ from skylinemapreducehadoop_spark.operators.similarity import (
 )
 from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
 from skylinemapreducehadoop_spark.operators.skew import salted_agg, salted_join
+from skylinemapreducehadoop_spark.operators.sampling import (
+    hash_sample,
+    reservoir_sample,
+    stratified_hash_sample,
+)
 
 __all__ = [
     "asof_join",
     "range_join",
+    "hash_sample",
+    "reservoir_sample",
+    "stratified_hash_sample",
     "salted_agg",
     "salted_join",
     "ivf_build",

@@ -1,0 +1,106 @@
+"""Sampling operators for corpus curation.
+
+Training-data pipelines need REPRODUCIBLE samples: the same corpus must
+yield the same sample on any cluster layout, any engine, any day.
+Spark's ``df.sample``/``rand()`` are seeded per-partition, so results
+shift whenever partitioning shifts — fine for statistics, wrong for
+datasets. The operators here are therefore *content-hash* based
+(md5 → uniform in [0, buckets)), which makes them deterministic,
+partitioning-independent, and cross-engine verifiable in plain SQL
+(DuckDB: ``('0x' || substr(md5(k), 1, 15))::BIGINT % buckets``).
+
+- ``hash_sample``: Bernoulli-style keep-if-bucket-below-threshold. One
+  narrow filter, fully pushdown-friendly; no shuffle at all.
+- ``stratified_hash_sample``: per-stratum rates via a tiny broadcast
+  rate table; same zero-shuffle shape.
+- ``reservoir_sample``: exact-k uniform sample via TakeOrdered on the
+  hash key (per-partition top-k heaps + driver merge of k×partitions
+  rows — no full sort). Deterministic for a given key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(key_cols: Sequence[str | Column], buckets: int) -> Column:
+    """Uniform bucket in [0, buckets) from the md5 of the concatenated
+    key columns (60-bit prefix — same expression DuckDB can evaluate)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    key = F.concat_ws("\x1f", *[c.cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str | Column],
+    fraction: float,
+    *,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on content.
+
+    Same key → same keep/drop decision everywhere, so downstream joins
+    between independently-sampled tables stay consistent when they share
+    the key. Zero shuffle: one filter the optimizer can push around.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    threshold = int(round(fraction * buckets))
+    return df.where(_hash_bucket(key_cols, buckets) < F.lit(threshold))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    *,
+    key_cols: Sequence[str | Column] | None = None,
+    default_fraction: float = 0.0,
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample boilerplate-
+    heavy domains, keep all rare-language docs).
+
+    The per-stratum thresholds compile to one CASE expression — still a
+    single narrow filter, no shuffle, no RNG.
+    """
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {frac}")
+    key_cols = list(key_cols) if key_cols is not None else [strata_col]
+    bucket = _hash_bucket(key_cols, buckets)
+    thresh: Column = F.lit(int(round(default_fraction * buckets)))
+    for s, frac in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(int(round(frac * buckets)))
+        ).otherwise(thresh)
+    return df.where(bucket < thresh)
+
+
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    key_cols: Sequence[str | Column],
+    *,
+    buckets: int = 1 << 62,
+) -> DataFrame:
+    """Exact-``k`` deterministic uniform sample: the k rows with the
+    smallest content-hash. Executes as TakeOrdered (per-partition
+    heaps), never a full sort; ties beyond the hash are broken by the
+    key itself so the result is total-order stable."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return (
+        df.withColumn("__h", _hash_bucket(key_cols, buckets))
+        .orderBy("__h", *cols)
+        .limit(k)
+        .drop("__h")
+    )

@@ -1,0 +1,81 @@
+"""Deterministic content-hash sampling tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from skylinemapreducehadoop_spark.operators import sampling as SA
+
+
+def _docs(spark, n=400):
+    rows = [(i, f"doc number {i} with body {i * 7 % 101}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bucket(text: str, buckets: int = 1_000_000) -> int:
+    return int(hashlib.md5(text.encode()).hexdigest()[:15], 16) % buckets
+
+
+def test_hash_sample_matches_reference_and_rate(spark):
+    df = _docs(spark)
+    got = {r["doc_id"] for r in SA.hash_sample(df, ["text"], 0.3).collect()}
+    want = {
+        i for i in range(400) if _bucket(f"doc number {i} with body {i * 7 % 101}") < 300_000
+    }
+    assert got == want
+    assert 0.2 < len(got) / 400 < 0.4  # ~30%
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    """The whole point: the sample must not depend on physical layout."""
+    df = _docs(spark)
+    a = {r["doc_id"] for r in SA.hash_sample(df.repartition(1), ["text"], 0.25).collect()}
+    b = {r["doc_id"] for r in SA.hash_sample(df.repartition(17), ["text"], 0.25).collect()}
+    assert a == b
+
+
+def test_hash_sample_no_shuffle(spark):
+    df = _docs(spark)
+    plan = (
+        SA.hash_sample(df, ["text"], 0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_hash_sample_rejects_bad_fraction(spark):
+    df = _docs(spark, n=5)
+    for frac in (-0.1, 1.5):
+        with pytest.raises(ValueError):
+            SA.hash_sample(df, ["text"], frac)
+
+
+def test_stratified_rates(spark):
+    rows = [(i, "en" if i % 2 else "de", f"t{i}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = SA.stratified_hash_sample(
+        df, "lang", {"en": 1.0, "de": 0.0}, key_cols=["text"]
+    ).collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {"en"}
+    assert len(out) == 300  # en fraction 1.0 keeps every en row
+
+
+def test_reservoir_exact_k_deterministic(spark):
+    df = _docs(spark)
+    got = [r["doc_id"] for r in SA.reservoir_sample(df, 25, ["text"]).collect()]
+    assert len(got) == 25
+    # matches the brute-force smallest-hash selection
+    keyed = sorted(
+        range(400),
+        key=lambda i: (
+            int(hashlib.md5(f"doc number {i} with body {i * 7 % 101}".encode()).hexdigest()[:15], 16),
+            f"doc number {i} with body {i * 7 % 101}",
+        ),
+    )
+    assert sorted(got) == sorted(keyed[:25])
+    # and is layout-invariant
+    again = [r["doc_id"] for r in SA.reservoir_sample(df.repartition(13), 25, ["text"]).collect()]
+    assert sorted(again) == sorted(got)
