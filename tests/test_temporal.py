@@ -79,6 +79,39 @@ def test_asof_matched_row_null_field_not_backfilled(spark):
     assert out[0]["val_right"] is None  # NOT 7.0 from the older row
 
 
+def test_asof_random_with_null_fields_matches_pandas(spark):
+    """Randomized whole-row check: pd.merge_asof attaches the matched
+    row verbatim (NULL fields included) — our struct carry must agree on
+    every attached column, not just the id."""
+    rng = np.random.RandomState(11)
+    left = [
+        (int(rng.randint(6)), _ts(float(rng.uniform(0, 300))), i) for i in range(120)
+    ]
+    right = [
+        (
+            int(rng.randint(6)),
+            _ts(float(rng.uniform(0, 300))),
+            1000 + i,
+            None if rng.rand() < 0.3 else float(round(rng.rand(), 6)),
+        )
+        for i in range(90)
+    ]
+    ldf = spark.createDataFrame(left, "user_id int, ts timestamp, left_id int")
+    rdf = spark.createDataFrame(right, "user_id int, ts timestamp, right_id int, val double")
+    out = {
+        r["left_id"]: (r["right_id_right"], r["val_right"])
+        for r in asof_join(ldf, rdf, on="ts", by="user_id").collect()
+    }
+
+    lpd = pd.DataFrame(left, columns=["user_id", "ts", "left_id"]).sort_values("ts")
+    rpd = pd.DataFrame(right, columns=["user_id", "ts", "right_id", "val"]).sort_values("ts")
+    expect_df = pd.merge_asof(lpd, rpd, on="ts", by="user_id", direction="backward", suffixes=("", "_r"))
+    for r in expect_df.itertuples():
+        rid = None if pd.isna(r.right_id) else int(r.right_id)
+        val = None if pd.isna(r.val) else float(r.val)
+        assert out[int(r.left_id)] == (rid, val), r.left_id
+
+
 def test_range_join_rejects_degenerate_params(spark):
     import pytest
 
