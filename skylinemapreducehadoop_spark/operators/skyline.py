@@ -256,18 +256,60 @@ def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataF
     """Grouped skyline: the Pareto set within each group of ``keys``.
 
     Composition the reference cannot express (its cell grouping is
-    internal); here it is one ``groupBy(...).applyInPandas`` — the
-    shuffle co-locates each group and the kernel runs per group.
+    internal). Two-level plan: a map-side combine first runs the kernel
+    per (partition, group) — correct by the combiner law within each
+    group — so the ``groupBy`` shuffle carries only local Pareto sets,
+    not the input. Without it, a low-cardinality key (the common case:
+    few groups × billions of rows) would funnel ALL data through a
+    handful of group tasks.
     """
     if isinstance(keys, str):
         keys = [keys]
     dim_signs = normalize_dims(dims)
     clean = _drop_null_dims(df, [c for c, _ in dim_signs])
 
+    key_cols = list(keys)
+    # buffer this many rows before an intermediate per-group reduction —
+    # bounds memory on pathological partitions without paying a kernel
+    # run per Arrow batch
+    flush_rows = 1 << 19
+
+    def _reduce_groups(tbl: pa.Table) -> pa.Table:
+        """Per-group skyline of one in-memory table (vectorized group
+        index via pandas on the key columns only)."""
+        key_pdf = tbl.select(key_cols).to_pandas()
+        grouped = key_pdf.groupby(key_cols, sort=False, dropna=False).indices
+        parts = []
+        for idx in grouped.values():
+            sub = tbl.take(pa.array(idx))
+            parts.append(_arrow_skyline(sub, dim_signs))
+        return pa.concat_tables(parts).combine_chunks() if parts else tbl
+
+    def local_combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        buf: list[pa.Table] = []
+        buffered = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            buf.append(pa.Table.from_batches([batch]))
+            buffered += batch.num_rows
+            if buffered >= flush_rows:
+                buf = [_reduce_groups(pa.concat_tables(buf).combine_chunks())]
+                buffered = buf[0].num_rows
+        if buf:
+            out = _reduce_groups(pa.concat_tables(buf).combine_chunks())
+            if out.num_rows:
+                yield from out.to_batches()
+
     def per_group(tbl: pa.Table) -> pa.Table:
         return _arrow_skyline(tbl, dim_signs)
 
-    return clean.groupBy(*keys).applyInArrow(per_group, df.schema)
+    # No fan-out repartition here on purpose: the combine removes the
+    # full-data shuffle entirely (measured: repartition-for-parallelism
+    # costs more than it buys even on local[32]); at cluster scale the
+    # scan is already many-partitioned.
+    local = clean.mapInArrow(local_combine, df.schema)
+    return local.groupBy(*key_cols).applyInArrow(per_group, df.schema)
 
 
 def skyline_layers(df: DataFrame, dims: DimSpec, n_layers: int) -> DataFrame:

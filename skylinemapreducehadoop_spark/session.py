@@ -46,6 +46,11 @@ def get_session(
         # long nanoseconds instead of erroring; loaders cast to a
         # microsecond timestamp (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: the local testdata parquet files are single-row-group,
+        # so spark.sql.files.maxPartitionBytes cannot add scan
+        # parallelism here (a row group is the minimum split). CPU-bound
+        # kernel stages fan out explicitly where it pays (see
+        # operators/skyline.py, operators/dedup.py).
         .config("spark.ui.enabled", "false")
     )
     # NOTE: driver memory cannot be set here — in local/client mode the
