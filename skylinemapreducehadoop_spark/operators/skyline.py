@@ -304,12 +304,20 @@ def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataF
     def per_group(tbl: pa.Table) -> pa.Table:
         return _arrow_skyline(tbl, dim_signs)
 
-    # No fan-out repartition here on purpose: the combine removes the
-    # full-data shuffle entirely (measured: repartition-for-parallelism
-    # costs more than it buys even on local[32]); at cluster scale the
-    # scan is already many-partitioned.
-    local = clean.mapInArrow(local_combine, df.schema)
-    return local.groupBy(*key_cols).applyInArrow(per_group, df.schema)
+    # The combine pays off exactly when the scan is many-partitioned
+    # (its point is shrinking the shuffle input map-side, in parallel).
+    # On a single-partition source (one small/unsplittable file — the
+    # local testdata) it would serialize the whole kernel through one
+    # task, so fall through to the direct groupBy there. At cluster
+    # scale inputs are always many-partitioned → combine path.
+    try:
+        many_partitions = len(clean.inputFiles()) != 1
+    except Exception:
+        many_partitions = True
+    if many_partitions:
+        local = clean.mapInArrow(local_combine, df.schema)
+        return local.groupBy(*key_cols).applyInArrow(per_group, df.schema)
+    return clean.groupBy(*key_cols).applyInArrow(per_group, df.schema)
 
 
 def skyline_layers(df: DataFrame, dims: DimSpec, n_layers: int) -> DataFrame:
