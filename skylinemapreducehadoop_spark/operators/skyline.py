@@ -169,6 +169,8 @@ def skyline(
     strategy: str = "twophase",
     reduce_levels: int | None = None,
     merge_batch_rows: int = _MERGE_BATCH_ROWS,
+    merge: str = "tree",
+    blocked_rows: int = 65_536,
     quadtree_opts: dict | None = None,
 ) -> DataFrame:
     """Pareto-optimal rows of ``df`` under per-dimension min/max directions.
@@ -185,6 +187,18 @@ def skyline(
         L-SKY-MR / G-SKY-MR design, re-expressed).
       - ``"bruteforce"``: single-partition single-pass kernel; test oracle
         for small inputs only.
+
+    merge (twophase only):
+      - ``"tree"`` (default): tree-reduce to ONE final partition. Right
+        whenever the global Pareto set fits one task (the overwhelmingly
+        common case — the tree guard bounds fan-in automatically).
+      - ``"blocked"``: fully distributed block-nested verification — NO
+        single-partition stage anywhere, so even a Pareto set far larger
+        than one task's memory works. Candidates are hashed into B
+        blocks (B = ceil(|candidates| / blocked_rows)); every (i, j)
+        block pair is checked in its own task via cogroup, and a row
+        survives iff no block dominates it. Costs a B-way replication
+        shuffle — opt in for anti-correlated data at extreme scale.
     """
     dim_signs = normalize_dims(dims)
     dim_cols = [c for c, _ in dim_signs]
@@ -218,6 +232,11 @@ def skyline(
         clean = clean.repartition(sc.defaultParallelism)
     local = clean.mapInArrow(fn, df.schema)
 
+    if merge == "blocked":
+        return _blocked_merge(local, dim_signs, blocked_rows)
+    if merge != "tree":
+        raise ValueError(f"unknown merge {merge!r}")
+
     # Tree-reduce the union of local skylines down to one partition.
     # The final merge MUST be a single partition (global dominance needs
     # every surviving candidate in one place — the reference's single
@@ -250,6 +269,69 @@ def skyline(
     for w in widths:
         current = current.repartition(w).mapInArrow(fn, df.schema)
     return current.repartition(1).mapInArrow(fn, df.schema)
+
+
+def _blocked_merge(local: DataFrame, dim_signs: list[tuple[str, float]], blocked_rows: int) -> DataFrame:
+    """Distributed global verification of local-skyline candidates with
+    no single-partition stage (see ``skyline(merge="blocked")``).
+
+    Plan: pin candidates (localCheckpoint — row ids must not change
+    under lineage recompute), hash rows into B blocks, cogroup every
+    (candidate-block i, opponent-block j) pair in its own task, emit the
+    ids of dominated candidates, anti-join them away. The pair (i, i)
+    also removes intra-block dominance between rows that came from
+    different source partitions. Strict dominance keeps all ties, same
+    as the kernel.
+    """
+    d = len(dim_signs)
+    spark = local.sparkSession
+
+    tagged = local.withColumn("__rid", F.monotonically_increasing_id())
+    # monotonically_increasing_id is only stable for one materialization;
+    # checkpoint pins it (eager, lineage truncated)
+    tagged = tagged.localCheckpoint(eager=True)
+    n_cand = tagged.count()
+    if n_cand == 0:
+        return tagged.drop("__rid")
+    n_blocks = max(1, -(-n_cand // blocked_rows))
+
+    sexprs = [
+        (F.col(c).cast("double") * F.lit(s)).alias(f"__s{k}")
+        for k, (c, s) in enumerate(dim_signs)
+    ]
+    slim = tagged.select("__rid", *sexprs).withColumn(
+        "__blk", F.pmod(F.hash("__rid"), F.lit(n_blocks)).cast("int")
+    )
+    opp = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__opp")
+    # candidates keyed by (own block, opponent block); opponents keyed by
+    # (candidate block, own block) — cogroup co-locates each pair
+    cand_side = slim.select("*", opp)
+    opp_side = slim.select("*", opp).withColumnRenamed("__opp", "__cand_blk")
+
+    scols = [f"__s{k}" for k in range(d)]
+
+    def dominated_ids(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"__rid": pd.Series([], dtype="int64")})
+        lv = left[scols].to_numpy(dtype=np.float64)
+        rv = right[scols].to_numpy(dtype=np.float64)
+        out = np.zeros(len(lv), dtype=bool)
+        # chunk candidates so the pairwise bool block stays ~64 MB
+        step = max(1, (1 << 26) // max(len(rv), 1))
+        for s0 in range(0, len(lv), step):
+            lc = lv[s0 : s0 + step]
+            le = (rv[None, :, :] <= lc[:, None, :]).all(axis=2)
+            lt = (rv[None, :, :] < lc[:, None, :]).any(axis=2)
+            out[s0 : s0 + step] = (le & lt).any(axis=1)
+        return pd.DataFrame({"__rid": left["__rid"].to_numpy()[out]})
+
+    dominated = (
+        cand_side.groupBy("__blk", "__opp")
+        .cogroup(opp_side.groupBy("__cand_blk", "__blk"))
+        .applyInPandas(lambda l, r: dominated_ids(l, r), "__rid long")
+        .distinct()
+    )
+    return tagged.join(dominated, "__rid", "left_anti").drop("__rid")
 
 
 def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataFrame:

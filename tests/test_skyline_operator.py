@@ -71,6 +71,26 @@ def test_auto_tree_merge_anticorrelated(spark):
     assert got == want == list(range(n))
 
 
+def test_blocked_merge_matches_bruteforce(spark):
+    """The fully distributed merge (no single-partition stage) must
+    agree with brute force — including on anti-correlated data where the
+    skyline is everything, with duplicates, and with tiny blocks forcing
+    many (i, j) pair tasks."""
+    n = 300
+    rows = [(i, float(i % 150), float(149 - i % 150)) for i in range(n)]  # dup pairs
+    rows += [(1000 + i, float(i), float(i)) for i in range(50)]  # diagonal mix
+    df = spark.createDataFrame(rows, "id int, x double, y double").repartition(7)
+    dims = [("x", "min"), ("y", "min")]
+
+    blocked = skyline(df, dims, merge="blocked", blocked_rows=40)
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # truly no single-partition stage
+
+    got = _ids(blocked)
+    want = _ids(skyline(df, dims, strategy="bruteforce"))
+    assert got == want
+
+
 def test_strategies_agree(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     dims = [("l_extendedprice", "min"), ("l_discount", "min"), ("l_quantity", "max")]
