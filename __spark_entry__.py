@@ -57,6 +57,13 @@ def _sky(strategy: str):
     return q
 
 
+def _sky_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed blocked merge (no single-partition stage anywhere);
+    # same logical query as skyline_twophase, so it shares that oracle
+    li = load_table(spark, sf_dir, "lineitem")
+    return skyline(li, _DIMS3, merge="blocked").select(*_SKY_COLS)
+
+
 def _sky_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     dims = [("l_extendedprice", "min"), ("l_quantity", "max")]
@@ -909,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_twophase": _sky("twophase"),
         "skyline_bruteforce": _sky("bruteforce"),
         "skyline_quadtree": _sky("quadtree"),
+        "skyline_blocked": _sky_blocked,
         "skyline_5dim": _sky_5dim,
         "skyline_grouped": _sky_grouped,
         "skyline_layers": _sky_layers,
@@ -1124,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "skyline_twophase": sky,
         "skyline_bruteforce": sky,
         "skyline_quadtree": sky,
+        "skyline_blocked": sky,
         "skyline_grouped": _grouped_sky_oracle(),
         "skyline_5dim": _fast_sky_sql(
             "l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity, l_tax, l_shipdate",
