@@ -72,6 +72,21 @@ def _sky_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sky_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY §7 M3: skyline OVER a join, per group — composition the
+    # reference's fixed pipeline cannot express (skyline of
+    # lineitem ⋈ orders within each order priority)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # no broadcast hint: orders is itself fact-sized at scale — let AQE
+    # pick (it auto-broadcasts at test SFs anyway)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    dims = [("l_extendedprice", "min"), ("l_quantity", "max")]
+    return skyline_by(joined, "o_orderpriority", dims)
+
+
 def _sky_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(*_SKY_COLS)
     return skyline_layers(li, _DIMS3, n_layers=3)
@@ -917,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_bruteforce": _sky("bruteforce"),
         "skyline_quadtree": _sky("quadtree"),
         "skyline_blocked": _sky_blocked,
+        "skyline_join_priority": _sky_join_priority,
         "skyline_5dim": _sky_5dim,
         "skyline_grouped": _sky_grouped,
         "skyline_layers": _sky_layers,
@@ -1037,16 +1053,21 @@ def _sky_oracle(cols: str = "l_orderkey, l_linenumber, l_extendedprice, l_discou
     return _fast_sky_sql(cols, _SKY_DIMS_SQL)
 
 
-def _grouped_sky_oracle() -> str:
-    dims = [("l_extendedprice", "min"), ("l_quantity", "max")]
-    cols = "l_returnflag, l_orderkey, l_linenumber, l_extendedprice, l_quantity"
-    over = "PARTITION BY l_returnflag"
-    dom_qp = _dom_sql("q", "p", dims, "q.l_returnflag = p.l_returnflag AND ")
-    dom_sb = _dom_sql("s", "b", dims, "s.l_returnflag = b.l_returnflag AND ")
+def _grouped_sky_oracle(
+    key: str = "l_returnflag",
+    cols: str = "l_returnflag, l_orderkey, l_linenumber, l_extendedprice, l_quantity",
+    from_sql: str = "lineitem",
+    dims: list[tuple[str, str]] | None = None,
+) -> str:
+    dims = dims or [("l_extendedprice", "min"), ("l_quantity", "max")]
+    over = f"PARTITION BY {key}"
+    dom_qp = _dom_sql("q", "p", dims, f"q.{key} = p.{key} AND ")
+    dom_sb = _dom_sql("s", "b", dims, f"s.{key} = b.{key} AND ")
+    nn = " AND ".join(f"{c} IS NOT NULL" for c, _ in dims)
     return f"""
 WITH base AS (
-  SELECT {cols} FROM lineitem
-  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+  SELECT {cols} FROM {from_sql}
+  WHERE {nn}),
 sc AS (SELECT *, {_score_sql(dims, over)} AS __sc FROM base),
 rk AS (SELECT *, row_number() OVER ({over} ORDER BY __sc) AS __rn FROM sc),
 pre AS (SELECT {cols} FROM rk WHERE __rn <= 2000),
@@ -1134,6 +1155,11 @@ def oracle_sql() -> dict[str, str]:
         "skyline_quadtree": sky,
         "skyline_blocked": sky,
         "skyline_grouped": _grouped_sky_oracle(),
+        "skyline_join_priority": _grouped_sky_oracle(
+            key="o_orderpriority",
+            cols="o_orderpriority, l_orderkey, l_linenumber, l_extendedprice, l_quantity",
+            from_sql="lineitem JOIN orders ON l_orderkey = o_orderkey",
+        ),
         "skyline_5dim": _fast_sky_sql(
             "l_orderkey, l_linenumber, l_extendedprice, l_discount, l_quantity, l_tax, l_shipdate",
             _DIMS5,
