@@ -54,6 +54,8 @@ EXTRA_QUERIES = [
     "approx_distinct_users",
     "dedup_exact_documents",
     "embedding_near_dup",
+    "skyline_blocked",
+    "skyline_join_priority",
 ]
 
 
