@@ -1,5 +1,6 @@
 from skylinemapreducehadoop_spark.streaming.incremental import (
     SkylineAccumulator,
+    enrich_stream,
     hourly_rollup,
     incremental_skyline,
     incremental_skyline_foreachbatch,
@@ -12,6 +13,7 @@ from skylinemapreducehadoop_spark.streaming.dedup import (
 
 __all__ = [
     "SkylineAccumulator",
+    "enrich_stream",
     "hourly_rollup",
     "incremental_skyline",
     "incremental_skyline_foreachbatch",

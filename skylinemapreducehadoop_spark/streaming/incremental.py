@@ -87,6 +87,30 @@ def session_rollup(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim_table: DataFrame,
+    on: str | Sequence[str],
+    *,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (the standard fact-stream × dim-table pattern).
+
+    The static side is broadcast by default — every micro-batch then
+    joins map-side with NO stream-side shuffle, which is the plan you
+    want when the dim table fits executors (catalogs, user profiles).
+    Set ``broadcast_dim=False`` for a large static side and Spark plans
+    a shuffled join per micro-batch instead. Stream-static joins are
+    stateless: the static side is re-resolved per batch, so slowly-
+    changing dims pick up updates on file-backed tables.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    dim = F.broadcast(dim_table) if broadcast_dim else dim_table
+    return stream.join(dim, on=on, how=how)
+
+
 def incremental_skyline(
     stream: DataFrame,
     dims: DimSpec,

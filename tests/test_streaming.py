@@ -9,6 +9,7 @@ import pandas as pd
 from skylinemapreducehadoop_spark.operators._kernel import skyline_mask
 from skylinemapreducehadoop_spark.streaming.incremental import (
     SkylineAccumulator,
+    enrich_stream,
     hourly_rollup,
     incremental_skyline,
     incremental_skyline_foreachbatch,
@@ -59,6 +60,29 @@ def test_incremental_skyline_stateful(spark, tmp_path):
         expect = {tuple(np.round(v, 9)) for v in vals[skyline_mask(vals)]}
         got = {tuple(np.round(v, 9)) for v in final[g]["skyline"]}
         assert got == expect, g
+
+
+def test_enrich_stream_static_broadcast_join(spark, tmp_path):
+    src = tmp_path / "src"
+    rows = _write_batches(spark, src)
+    dim = spark.createDataFrame(
+        [("g1", "group one"), ("g2", "group two")], "g string, label string"
+    )
+    stream = spark.readStream.schema("id long, g string, x double, y double").parquet(str(src))
+    out = enrich_stream(stream, dim, on="g")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enriched").collect()
+    assert len(got) == len(rows)
+    labels = {r["g"]: r["label"] for r in got}
+    assert labels == {"g1": "group one", "g2": "group two"}
 
 
 def test_incremental_skyline_foreachbatch(spark, tmp_path):
