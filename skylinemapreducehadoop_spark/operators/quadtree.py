@@ -286,7 +286,9 @@ def quadtree_skyline(
         mask = skyline_mask(_signed_matrix(tbl, dim_signs))
         return tbl.filter(pa.array(mask))
 
-    local_sky = routed.groupBy("__cell").applyInArrow(per_cell, out_schema).cache()
+    from skylinemapreducehadoop_spark.operators.skyline import _persist_tracked
+
+    local_sky = _persist_tracked(routed.groupBy("__cell").applyInArrow(per_cell, out_schema))
 
     # --- A5 VPn + A6 sky-filter points: JVM-side aggregates, collected
     # (|cells| × d doubles — the reference's DistributedCache payloads)

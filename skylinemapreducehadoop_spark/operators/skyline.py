@@ -161,6 +161,25 @@ _MERGE_BATCH_ROWS = 1_000_000
 #: upstream partitions absorbed per task at each extra tree level
 _MERGE_FAN_IN = 16
 
+#: bounded registry of per-query persisted frames (local-skyline unions
+#: are small, but a long-lived session running many queries would
+#: accumulate them forever; evicting beyond the cap only costs a
+#: recompute if an old result is re-executed later)
+_PERSISTED: list[DataFrame] = []
+_PERSISTED_CAP = 8
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSISTED_CAP:
+        old = _PERSISTED.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    return df
+
 
 def skyline(
     df: DataFrame,
@@ -247,7 +266,7 @@ def skyline(
         # auto guard: materialize the (small) local skyline once and
         # measure it; widths then cap rows-per-merge-task. The persist
         # means the local pass is not recomputed by the merge.
-        local = local.persist()
+        local = _persist_tracked(local)
         n_local = local.count()
         widths: list[int] = []
         w = -(-n_local // merge_batch_rows)  # ceil
