@@ -139,7 +139,12 @@ def _sky_gsod_9dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gsod_oracle() -> str:
     # re-parse the same fixed-width bytes in SQL, then NOT EXISTS
     # dominance with the reference's directions (temp/dewp/slp/max_temp
-    # MAX; stp/wdsp/mxspd/gust/min_temp MIN)
+    # MAX; stp/wdsp/mxspd/gust/min_temp MIN). Ensure the fixture exists
+    # even if the oracle is executed before the Spark query (pure-python
+    # deterministic generation, no Spark needed).
+    from skylinemapreducehadoop_spark.sources.gsod import make_gsod_fixture
+
+    make_gsod_fixture(_GSOD_FIXTURE)
     return f"""
 WITH raw AS (
   SELECT line FROM read_csv('{_GSOD_FIXTURE}', header=false, delim='\x01',
