@@ -57,6 +57,17 @@ def _sky(strategy: str):
     return q
 
 
+def _sky_kband_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-skyband over events: rows with fewer than 3 dominators — the
+    # slack-tolerant skyline relaxation
+    from skylinemapreducehadoop_spark.operators.skyline import skyline_kband
+
+    ev = load_table(spark, sf_dir, "events")
+    return skyline_kband(ev, [("value", "max"), ("ts", "min")], k=3).select(
+        "event_id", "ts", "value"
+    )
+
+
 def _sky_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed blocked merge (no single-partition stage anywhere);
     # same logical query as skyline_twophase, so it shares that oracle
@@ -938,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_quadtree": _sky("quadtree"),
         "skyline_blocked": _sky_blocked,
         "skyline_join_priority": _sky_join_priority,
+        "skyline_kband_events": _sky_kband_events,
         "skyline_5dim": _sky_5dim,
         "skyline_grouped": _sky_grouped,
         "skyline_layers": _sky_layers,
@@ -1181,6 +1193,14 @@ WHERE p.value IS NOT NULL AND p.ts IS NOT NULL
       AND (q.value > p.value OR q.ts < p.ts))
 """,
         "skyline_gsod_9dim": _gsod_oracle(),
+        "skyline_kband_events": """
+SELECT event_id, ts, value FROM events p
+WHERE p.value IS NOT NULL AND p.ts IS NOT NULL AND (
+  SELECT count(*) FROM events q
+  WHERE q.value IS NOT NULL AND q.ts IS NOT NULL
+    AND q.value >= p.value AND q.ts <= p.ts
+    AND (q.value > p.value OR q.ts < p.ts)) < 3
+""",
         "profile_lineitem": """
 SELECT 'l_quantity' AS dim, min(l_quantity) AS min_val, max(l_quantity) AS max_val,
        count(*) AS n_total, count(l_quantity) AS n_present FROM lineitem

@@ -18,6 +18,7 @@ express) drops to Arrow-vectorized pandas via ``mapInPandas`` /
 from skylinemapreducehadoop_spark.operators.skyline import (
     skyline,
     skyline_by,
+    skyline_kband,
     skyline_layers,
 )
 from skylinemapreducehadoop_spark.operators.dedup import (
@@ -57,6 +58,7 @@ from skylinemapreducehadoop_spark.session import get_session
 __all__ = [
     "skyline",
     "skyline_by",
+    "skyline_kband",
     "skyline_layers",
     "exact_dedup",
     "minhash_near_dup",

@@ -1,6 +1,7 @@
 from skylinemapreducehadoop_spark.operators.skyline import (
     skyline,
     skyline_by,
+    skyline_kband,
     skyline_layers,
 )
 from skylinemapreducehadoop_spark.operators.dedup import (
@@ -43,6 +44,7 @@ __all__ = [
     "ivf_write",
     "skyline",
     "skyline_by",
+    "skyline_kband",
     "skyline_layers",
     "exact_dedup",
     "minhash_near_dup",

@@ -40,6 +40,7 @@ import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from skylinemapreducehadoop_spark.operators._kernel import skyline_mask
 
@@ -351,6 +352,98 @@ def _blocked_merge(local: DataFrame, dim_signs: list[tuple[str, float]], blocked
         .distinct()
     )
     return tagged.join(dominated, "__rid", "left_anti").drop("__rid")
+
+
+def _dominator_counts(cand: np.ndarray, rows: np.ndarray, chunk: int = 4096) -> np.ndarray:
+    """For each candidate vector, how many of ``rows`` strictly dominate
+    it (min-normalized values; duplicates count, ties don't dominate)."""
+    counts = np.zeros(len(cand), dtype=np.int64)
+    for s0 in range(0, len(rows), chunk):
+        x = rows[s0 : s0 + chunk]
+        le = (x[:, None, :] <= cand[None, :, :]).all(axis=2)
+        lt = (x[:, None, :] < cand[None, :, :]).any(axis=2)
+        counts += (le & lt).sum(axis=0)
+    return counts
+
+
+def skyline_kband(df: DataFrame, dims: DimSpec, k: int) -> DataFrame:
+    """k-skyband: rows dominated by FEWER than ``k`` rows (k=1 is the
+    skyline). The classic relaxation for "top candidates with slack".
+
+    Two-phase, superset-safe: a row in the global k-skyband has < k
+    dominators globally, hence < k within its own partition — so the
+    union of per-partition k-skybands is a superset of the answer.
+    Phase 1 computes that (small) candidate set; phase 2 broadcasts the
+    candidates' dimension vectors and counts each one's dominators in
+    ONE distributed pass over the full data (map-side partial counts,
+    driver-side sum — counts, not rows, cross the wire); the final
+    filter is a broadcast semi-join on the qualifying vectors, so
+    duplicates of qualifying rows all survive (ties never dominate).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    dim_signs = normalize_dims(dims)
+    dim_cols = [c for c, _ in dim_signs]
+    clean = _drop_null_dims(df, dim_cols)
+    spark = df.sparkSession
+
+    def local_kband(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # k-band needs within-partition dominator counts, so the
+        # partition is buffered (a Spark partition is sized to memory)
+        parts = [pa.Table.from_batches([b]) for b in batches if b.num_rows]
+        if not parts:
+            return
+        tbl = pa.concat_tables(parts).combine_chunks()
+        vals = _arrow_matrix(tbl, dim_signs)
+        keep = _dominator_counts(vals, vals) < k
+        out = tbl.filter(pa.array(keep))
+        if out.num_rows:
+            yield from out.to_batches()
+
+    cand_rows = clean.mapInArrow(local_kband, df.schema).select(*dim_cols).distinct()
+    # toArrow keeps timestamp units identical to the executor-side
+    # _arrow_matrix conversion (a pandas round-trip would be in ns)
+    cand_tbl = cand_rows.toArrow()
+    if cand_tbl.num_rows == 0:
+        return clean.limit(0)
+    cand = _arrow_matrix(cand_tbl, dim_signs)
+    cand_pdf = cand_tbl.to_pandas()
+    b_cand = spark.sparkContext.broadcast(cand)
+
+    count_schema = T.StructType(
+        [T.StructField("__idx", T.LongType()), T.StructField("__cnt", T.LongType())]
+    )
+
+    def partial_counts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        c = b_cand.value
+        total = np.zeros(len(c), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            seen = True
+            tbl = pa.Table.from_batches([batch])
+            total += _dominator_counts(c, _arrow_matrix(tbl, dim_signs))
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.arange(len(c))), pa.array(total)],
+                schema=pa.schema([("__idx", pa.int64()), ("__cnt", pa.int64())]),
+            )
+
+    totals = (
+        clean.select(*dim_cols)
+        .mapInArrow(partial_counts, count_schema)
+        .groupBy("__idx")
+        .agg(F.sum("__cnt").alias("n_dom"))
+        .collect()
+    )
+    n_dom = np.zeros(len(cand), dtype=np.int64)
+    for r in totals:
+        n_dom[r["__idx"]] = r["n_dom"]
+    qualifying = cand_pdf.loc[n_dom < k, dim_cols]
+
+    qdf = spark.createDataFrame(qualifying)
+    return clean.join(F.broadcast(qdf), on=dim_cols, how="left_semi")
 
 
 def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataFrame:

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from skylinemapreducehadoop_spark.operators.skyline import (
     skyline,
     skyline_by,
+    skyline_kband,
     skyline_layers,
 )
 from skylinemapreducehadoop_spark.sources.tables import load_table
@@ -69,6 +70,32 @@ def test_auto_tree_merge_anticorrelated(spark):
     got = _ids(auto)
     want = _ids(skyline(df, dims, strategy="bruteforce"))
     assert got == want == list(range(n))
+
+
+def test_kband_matches_bruteforce(spark):
+    """k-skyband vs a numpy dominator-count oracle; k=1 must equal the
+    skyline; duplicates of qualifying rows all survive."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    pts = rng.rand(300, 2).round(3)
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    rows.append((900, float(pts[0][0]), float(pts[0][1])))  # duplicate
+    df = spark.createDataFrame(rows, "id int, x double, y double").repartition(9)
+    dims = [("x", "min"), ("y", "min")]
+
+    vals = np.array([[r[1], r[2]] for r in rows])
+    le = (vals[:, None, :] <= vals[None, :, :]).all(axis=2)
+    lt = (vals[:, None, :] < vals[None, :, :]).any(axis=2)
+    n_dom = (le & lt).sum(axis=0)
+
+    for k in (1, 3, 5):
+        got = sorted(r["id"] for r in skyline_kband(df, dims, k).collect())
+        want = sorted(rows[i][0] for i in range(len(rows)) if n_dom[i] < k)
+        assert got == want, k
+    assert sorted(r["id"] for r in skyline_kband(df, dims, 1).collect()) == _ids(
+        skyline(df, dims)
+    )
 
 
 def test_blocked_merge_matches_bruteforce(spark):
