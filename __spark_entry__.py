@@ -270,7 +270,8 @@ def _quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # heuristic scorer -> no SQL twin; driver records rows-only
+    # heuristic scorer; exactly mirrored in SQL by _lang_id_oracle
+    # (token-equality counting replaces the lookaround regex)
     docs = load_table(spark, sf_dir, "documents")
     return TX.language_id(docs).select("doc_id", "lang_pred")
 
@@ -1164,6 +1165,47 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s,
 _STOPWORDS_SQL = "('the','a','an','of','to','and','in','is','it')"
 
 
+def _lang_id_oracle() -> str:
+    # SQL twin of TX.language_id. The pandas UDF counts non-overlapping
+    # matches of (?<!\S)(marker|...)(?!\S) — i.e. whole whitespace-
+    # delimited tokens equal to a marker — which RE2 (DuckDB) can't
+    # express directly (no lookarounds) but a token-list filter can,
+    # exactly. Tie order = _LANG_MARKERS dict order (first max wins),
+    # reproduced by the cascading CASE.
+    from skylinemapreducehadoop_spark.functions.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    counts = ",\n         ".join(
+        "len(list_filter(toks, t -> t IN ({}))) AS c_{}".format(
+            ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    case_lines = []
+    for i, lang in enumerate(langs[:-1]):
+        ge = " AND ".join(f"c_{lang} >= c_{other}" for other in langs[i + 1 :])
+        case_lines.append(f"WHEN {ge} THEN '{lang}'")
+    case_sql = "\n            ".join(case_lines)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS toks,
+         octet_length(encode(coalesce(text, ''))) - length(coalesce(text, '')) AS extra_bytes,
+         length(coalesce(text, '')) AS n_chars
+  FROM documents),
+c AS (
+  SELECT doc_id, n_chars, extra_bytes,
+         {counts}
+  FROM t)
+SELECT doc_id,
+       CASE WHEN n_chars = 0 THEN 'en'
+            WHEN extra_bytes * 3 > n_chars * 2 THEN 'zh'
+            {case_sql}
+            ELSE '{langs[-1]}' END AS lang_pred
+FROM c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sky = _sky_oracle()
     return {
@@ -1284,6 +1326,7 @@ SELECT ('0x' || substr(h, 1, 15))::BIGINT AS fingerprint, keep_id, n_copies
 FROM g
 """,
         "dedup_minhash_documents": _JACCARD_PAIRS_SQL,
+        "lang_id_documents": _lang_id_oracle(),
         "ngram_jaccard_documents": _JACCARD_PAIRS_SQL,
         "dedup_simhash_documents": _simhash_oracle(),
         "topk_similarity": """
@@ -1445,8 +1488,8 @@ GROUP BY 1, 2, 3
 """,
         "q12_priority_by_linestatus": """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
 """,
