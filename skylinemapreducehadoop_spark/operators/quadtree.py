@@ -207,6 +207,84 @@ def _signed_matrix(tbl: pa.Table, dim_signs) -> np.ndarray:
     return arr
 
 
+#: memo of (bounds, pruned tree) per (analyzed input plan, params):
+#: repeated skylines over the same source skip the two profiling jobs
+#: entirely (build-once / probe-many, like the IVF index). Session-
+#: scoped semantics match Spark's own file-listing/footer caches — a
+#: mutated source needs a new session / refreshTable anyway. ANY tree
+#: yields correct results provided the bounds are exact for the data it
+#: routes, which the plan key guarantees within those semantics.
+_TREE_CACHE: dict[tuple, tuple] = {}
+_TREE_CACHE_CAP = 16
+
+
+def _profile_input(df: DataFrame, dim_signs, maxp, sample_rows, max_depth, seed):
+    """Driver step: exact bounds (Job-0 analogue, wired programmatically
+    — the reference hand-pasted them, Skyline.java:365-366) + sample +
+    pruned tree. Memoized per analyzed plan; both jobs are narrow
+    column-pruned scans of the dimension columns only."""
+    import hashlib
+
+    spark = df.sparkSession
+    d = len(dim_signs)
+    signed = [
+        (F.col(c).cast("double") * F.lit(s)).alias(f"__s{j}")
+        for j, (c, s) in enumerate(dim_signs)
+    ]
+    try:
+        plan_key = hashlib.md5(
+            df._jdf.queryExecution().analyzed().canonicalized().toString().encode()
+        ).hexdigest()
+    except Exception:
+        plan_key = None
+    key = (plan_key, tuple(dim_signs), maxp, sample_rows, max_depth, seed)
+    if plan_key is not None and key in _TREE_CACHE:
+        return _TREE_CACHE[key]
+
+    stats = df.select(*signed).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.min(f"__s{j}").alias(f"lo{j}") for j in range(d)],
+        *[F.max(f"__s{j}").alias(f"hi{j}") for j in range(d)],
+    ).collect()[0]
+    if stats["n"] == 0:
+        return None
+    lo = np.array([stats[f"lo{j}"] for j in range(d)], dtype=float)
+    hi = np.array([stats[f"hi{j}"] for j in range(d)], dtype=float)
+
+    # k-smallest-hash sample (TakeOrdered — distributed top-k, no full
+    # sort): content-based, so the sample — and hence the tree and the
+    # whole analyzed plan — is identical across invocations and
+    # repartitionings, unlike seeded sample() (partitioning-dependent).
+    sample_pdf = (
+        df.select(*signed)
+        .withColumn("__h", F.xxhash64(*[F.col(f"__s{j}") for j in range(d)], F.lit(seed)))
+        .orderBy("__h")
+        .limit(sample_rows)
+        .drop("__h")
+        .toPandas()
+    )
+    sample = sample_pdf.to_numpy(dtype=np.float64)
+    if len(sample) == 0:
+        sample = np.array([(lo + hi) / 2.0])
+
+    if maxp is None:
+        # partition-granularity knob (reference: maxp=20, QTNode.java:50)
+        # scaled so cells ≈ 4× parallelism at this sample size
+        par = spark.sparkContext.defaultParallelism
+        maxp = max(16, len(sample) // max(4 * par, 1))
+
+    tree = build_tree(sample, lo, hi, maxp, max_depth)
+    sample_sky = sample[skyline_mask(sample)]
+    prune_tree(tree, lo, hi, sample_sky)
+
+    out = (lo, hi, tree)
+    if plan_key is not None:
+        _TREE_CACHE[key] = out
+        while len(_TREE_CACHE) > _TREE_CACHE_CAP:
+            _TREE_CACHE.pop(next(iter(_TREE_CACHE)))
+    return out
+
+
 def quadtree_skyline(
     df: DataFrame,
     dim_signs: list[tuple[str, float]],
@@ -223,45 +301,20 @@ def quadtree_skyline(
     and a cell-parallel (not single-partition) merge."""
     spark = df.sparkSession
     dim_cols = [c for c, _ in dim_signs]
-    signed = [
-        (F.col(c).cast("double") * F.lit(s)).alias(f"__s{j}")
-        for j, (c, s) in enumerate(dim_signs)
-    ]
     d = len(dim_signs)
 
-    # --- driver step: bounds (Job-0 analogue, wired programmatically —
-    # the reference hand-pasted them, Skyline.java:365-366) + sample.
-    stats = df.select(*signed).agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.min(f"__s{j}").alias(f"lo{j}") for j in range(d)],
-        *[F.max(f"__s{j}").alias(f"hi{j}") for j in range(d)],
-    ).collect()[0]
-    n_rows = stats["n"]
-    if n_rows == 0:
+    profiled = _profile_input(df, dim_signs, maxp, sample_rows, max_depth, seed)
+    if profiled is None:
         return df.limit(0)
-    lo = np.array([stats[f"lo{j}"] for j in range(d)], dtype=float)
-    hi = np.array([stats[f"hi{j}"] for j in range(d)], dtype=float)
+    lo, hi, tree = profiled
 
-    frac = min(1.0, sample_rows / max(n_rows, 1))
-    sample_pdf = (
-        df.select(*signed).sample(fraction=frac, seed=seed).limit(sample_rows).toPandas()
-    )
-    sample = sample_pdf.to_numpy(dtype=np.float64)
-    if len(sample) == 0:
-        sample = np.array([(lo + hi) / 2.0])
-
-    if maxp is None:
-        # partition-granularity knob (reference: maxp=20, QTNode.java:50)
-        # scaled so cells ≈ 4× parallelism at this sample size
-        par = spark.sparkContext.defaultParallelism
-        maxp = max(16, len(sample) // max(4 * par, 1))
-
-    tree = build_tree(sample, lo, hi, maxp, max_depth)
-    sample_sky = sample[skyline_mask(sample)]
-    prune_tree(tree, lo, hi, sample_sky)
-    b_tree = spark.sparkContext.broadcast(tree)
-
-    # --- Q3/P4: cell assignment + pruned-cell filter
+    # --- Q3/P4: cell assignment + pruned-cell filter. The tree is
+    # captured directly in the closure (plain nested dicts, driver-small
+    # — ≤ sample_rows/maxp leaves) rather than via a Broadcast handle:
+    # identical inputs then pickle to identical UDF bytes, so repeated
+    # invocations produce EQUAL analyzed plans and the cache manager can
+    # substitute the persisted local pass on re-run (the same
+    # build-once/probe-many reuse the twophase path gets for free).
     @F.pandas_udf(T.StringType())
     def assign_udf(*cols: pd.Series) -> pd.Series:
         arrs = []
@@ -272,23 +325,44 @@ def quadtree_skyline(
                 v = c.to_numpy(dtype=np.float64)
             arrs.append(s * v)
         mat = np.column_stack(arrs)
-        return pd.Series(assign_cells(mat, b_tree.value))
+        return pd.Series(assign_cells(mat, tree))
 
-    with_cell = df.withColumn("__cell", assign_udf(*[F.col(c) for c in dim_cols]))
+    # The assignment UDF + combiner below are CPU-bound: if the scan has
+    # fewer input files than cores (one small/unsplittable parquet — the
+    # local testdata), fan out first so they parallelize. At cluster
+    # scale input splits >> cores and this no-ops (same gate as
+    # skyline()'s twophase local pass).
+    fan = df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = spark.sparkContext.defaultParallelism
+    if 0 < n_files < spark.sparkContext.defaultParallelism:
+        fan = df.repartition(spark.sparkContext.defaultParallelism)
+
+    with_cell = fan.withColumn("__cell", assign_udf(*[F.col(c) for c in dim_cols]))
     routed = with_cell.where(F.col("__cell").isNotNull())
 
-    # --- local skylines per cell (the combiner-law-correct local pass,
-    # parallel over cells instead of the reference's 1 reducer,
-    # Skyline.java:414)
+    # --- local skylines per cell. A map-side combine first runs the
+    # kernel per (scan partition, cell) — the Spark analogue of the
+    # reference's combiner-equals-reducer (Skyline.java:408) — so the
+    # groupBy("__cell") shuffle carries only per-partition Pareto sets,
+    # never the full input. The per-cell pass then finishes the
+    # combiner-law reduction, parallel over cells instead of the
+    # reference's 1 reducer (Skyline.java:414).
     out_schema = with_cell.schema
 
     def per_cell(tbl: pa.Table) -> pa.Table:
         mask = skyline_mask(_signed_matrix(tbl, dim_signs))
         return tbl.filter(pa.array(mask))
 
-    from skylinemapreducehadoop_spark.operators.skyline import _persist_tracked
+    from skylinemapreducehadoop_spark.operators.skyline import (
+        _persist_tracked,
+        grouped_combine_fn,
+    )
 
-    local_sky = _persist_tracked(routed.groupBy("__cell").applyInArrow(per_cell, out_schema))
+    combined = routed.mapInArrow(grouped_combine_fn(["__cell"], dim_signs), out_schema)
+    local_sky = _persist_tracked(combined.groupBy("__cell").applyInArrow(per_cell, out_schema))
 
     # --- A5 VPn + A6 sky-filter points: JVM-side aggregates, collected
     # (|cells| × d doubles — the reference's DistributedCache payloads)

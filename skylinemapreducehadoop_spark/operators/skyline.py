@@ -446,6 +446,57 @@ def skyline_kband(df: DataFrame, dims: DimSpec, k: int) -> DataFrame:
     return clean.join(F.broadcast(qdf), on=dim_cols, how="left_semi")
 
 
+def grouped_combine_fn(key_cols: Sequence[str], dim_signs: list[tuple[str, float]], flush_rows: int = 1 << 19):
+    """``mapInArrow`` function: per-(partition, group) skyline — the
+    map-side combine (the Spark analogue of the reference's
+    combiner-equals-reducer, ``/root/reference/Skyline.java:408``).
+    Correct by the combiner law within each group; after it, a
+    ``groupBy(key_cols)`` shuffle carries only local Pareto sets.
+
+    ``flush_rows`` bounds buffered rows before an intermediate per-group
+    reduction, so memory is bounded on pathological partitions without
+    paying a kernel run per Arrow batch.
+    """
+    key_cols = list(key_cols)
+
+    def _reduce_groups(tbl: pa.Table) -> pa.Table:
+        """Per-group skyline of one in-memory table. One boolean mask +
+        ONE table filter: group codes are factorized on the key columns
+        only, rows argsorted into contiguous group slices, and the
+        kernel runs per slice on the numeric matrix — pass-through
+        columns are never copied per group (a per-group ``take`` on the
+        full-width table costs more than the kernel itself)."""
+        if tbl.num_rows == 0:
+            return tbl
+        key_pdf = tbl.select(key_cols).to_pandas()
+        codes = key_pdf.groupby(key_cols, sort=False, dropna=False).ngroup().to_numpy()
+        mat = _arrow_matrix(tbl, dim_signs)
+        keep = np.zeros(tbl.num_rows, dtype=bool)
+        order = np.argsort(codes, kind="stable")
+        bounds = np.flatnonzero(np.diff(codes[order])) + 1
+        for idx in np.split(order, bounds):
+            keep[idx] = skyline_mask(mat[idx])
+        return tbl.filter(pa.array(keep))
+
+    def local_combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        buf: list[pa.Table] = []
+        buffered = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            buf.append(pa.Table.from_batches([batch]))
+            buffered += batch.num_rows
+            if buffered >= flush_rows:
+                buf = [_reduce_groups(pa.concat_tables(buf).combine_chunks())]
+                buffered = buf[0].num_rows
+        if buf:
+            out = _reduce_groups(pa.concat_tables(buf).combine_chunks())
+            if out.num_rows:
+                yield from out.to_batches()
+
+    return local_combine
+
+
 def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataFrame:
     """Grouped skyline: the Pareto set within each group of ``keys``.
 
@@ -463,37 +514,7 @@ def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataF
     clean = _drop_null_dims(df, [c for c, _ in dim_signs])
 
     key_cols = list(keys)
-    # buffer this many rows before an intermediate per-group reduction —
-    # bounds memory on pathological partitions without paying a kernel
-    # run per Arrow batch
-    flush_rows = 1 << 19
-
-    def _reduce_groups(tbl: pa.Table) -> pa.Table:
-        """Per-group skyline of one in-memory table (vectorized group
-        index via pandas on the key columns only)."""
-        key_pdf = tbl.select(key_cols).to_pandas()
-        grouped = key_pdf.groupby(key_cols, sort=False, dropna=False).indices
-        parts = []
-        for idx in grouped.values():
-            sub = tbl.take(pa.array(idx))
-            parts.append(_arrow_skyline(sub, dim_signs))
-        return pa.concat_tables(parts).combine_chunks() if parts else tbl
-
-    def local_combine(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        buf: list[pa.Table] = []
-        buffered = 0
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            buf.append(pa.Table.from_batches([batch]))
-            buffered += batch.num_rows
-            if buffered >= flush_rows:
-                buf = [_reduce_groups(pa.concat_tables(buf).combine_chunks())]
-                buffered = buf[0].num_rows
-        if buf:
-            out = _reduce_groups(pa.concat_tables(buf).combine_chunks())
-            if out.num_rows:
-                yield from out.to_batches()
+    local_combine = grouped_combine_fn(key_cols, dim_signs)
 
     def per_group(tbl: pa.Table) -> pa.Table:
         return _arrow_skyline(tbl, dim_signs)
