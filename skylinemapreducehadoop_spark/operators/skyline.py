@@ -366,19 +366,39 @@ def _dominator_counts(cand: np.ndarray, rows: np.ndarray, chunk: int = 4096) -> 
     return counts
 
 
-def skyline_kband(df: DataFrame, dims: DimSpec, k: int) -> DataFrame:
+def skyline_kband(
+    df: DataFrame,
+    dims: DimSpec,
+    k: int,
+    *,
+    broadcast_rows: int = 1_000_000,
+    cand_block_rows: int = 65_536,
+    data_block_rows: int = 1 << 20,
+) -> DataFrame:
     """k-skyband: rows dominated by FEWER than ``k`` rows (k=1 is the
     skyline). The classic relaxation for "top candidates with slack".
 
     Two-phase, superset-safe: a row in the global k-skyband has < k
     dominators globally, hence < k within its own partition — so the
     union of per-partition k-skybands is a superset of the answer.
-    Phase 1 computes that (small) candidate set; phase 2 broadcasts the
-    candidates' dimension vectors and counts each one's dominators in
-    ONE distributed pass over the full data (map-side partial counts,
-    driver-side sum — counts, not rows, cross the wire); the final
-    filter is a broadcast semi-join on the qualifying vectors, so
-    duplicates of qualifying rows all survive (ties never dominate).
+    Phase 1 computes that candidate set (distributed; persisted, never
+    collected wholesale). Phase 2 counts each candidate's dominators in
+    the full data by size:
+
+    - ``|cand| <= broadcast_rows``: the candidate *vectors* are
+      broadcast and ONE distributed pass computes map-side partial
+      counts (counts, not rows, cross the wire).
+    - larger (anti-correlated data can make the candidate set O(n)):
+      fully distributed two-sided blocked counting — candidates hashed
+      into B blocks, data into D blocks, every (B, D) pair cogrouped in
+      its own task (the ``_blocked_merge`` pattern), partial counts
+      summed per candidate vector. No driver materialization and no
+      task ever holds more than one block pair.
+
+    The final filter is a semi-join of ``df`` on the qualifying
+    vectors, so duplicates of qualifying rows all survive (ties never
+    dominate). The broadcast hint is only applied on the small path;
+    the blocked path lets AQE pick the join strategy.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -400,12 +420,31 @@ def skyline_kband(df: DataFrame, dims: DimSpec, k: int) -> DataFrame:
         if out.num_rows:
             yield from out.to_batches()
 
-    cand_rows = clean.mapInArrow(local_kband, df.schema).select(*dim_cols).distinct()
+    cand_rows = _persist_tracked(
+        clean.mapInArrow(local_kband, df.schema).select(*dim_cols).distinct()
+    )
+    n_cand = cand_rows.count()
+    if n_cand == 0:
+        return clean.limit(0)
+
+    if n_cand <= broadcast_rows:
+        qdf = _kband_count_broadcast(clean, cand_rows, dim_signs, k)
+        return clean.join(F.broadcast(qdf), on=dim_cols, how="left_semi")
+    qdf = _kband_count_blocked(
+        clean, cand_rows, dim_signs, k, n_cand, cand_block_rows, data_block_rows
+    )
+    return clean.join(qdf, on=dim_cols, how="left_semi")
+
+
+def _kband_count_broadcast(
+    clean: DataFrame, cand_rows: DataFrame, dim_signs: list[tuple[str, float]], k: int
+) -> DataFrame:
+    """Phase-2 dominator counting for a driver-small candidate set."""
+    spark = clean.sparkSession
+    dim_cols = [c for c, _ in dim_signs]
     # toArrow keeps timestamp units identical to the executor-side
     # _arrow_matrix conversion (a pandas round-trip would be in ns)
     cand_tbl = cand_rows.toArrow()
-    if cand_tbl.num_rows == 0:
-        return clean.limit(0)
     cand = _arrow_matrix(cand_tbl, dim_signs)
     cand_pdf = cand_tbl.to_pandas()
     b_cand = spark.sparkContext.broadcast(cand)
@@ -440,10 +479,63 @@ def skyline_kband(df: DataFrame, dims: DimSpec, k: int) -> DataFrame:
     n_dom = np.zeros(len(cand), dtype=np.int64)
     for r in totals:
         n_dom[r["__idx"]] = r["n_dom"]
-    qualifying = cand_pdf.loc[n_dom < k, dim_cols]
+    return spark.createDataFrame(cand_pdf.loc[n_dom < k, dim_cols])
 
-    qdf = spark.createDataFrame(qualifying)
-    return clean.join(F.broadcast(qdf), on=dim_cols, how="left_semi")
+
+def _kband_count_blocked(
+    clean: DataFrame,
+    cand_rows: DataFrame,
+    dim_signs: list[tuple[str, float]],
+    k: int,
+    n_cand: int,
+    cand_block_rows: int,
+    data_block_rows: int,
+) -> DataFrame:
+    """Phase-2 dominator counting with no driver-side candidate
+    materialization: every (candidate-block, data-block) pair is
+    counted in its own cogroup task; per-pair partial counts are summed
+    per candidate vector. Shuffle cost is B×|data| + D×|cand| rows of
+    dimension columns only — the price of exact counting at O(n)
+    candidate cardinality, paid distributed instead of on the driver."""
+    dim_cols = [c for c, _ in dim_signs]
+    n_data = clean.count()
+    B = max(1, -(-n_cand // cand_block_rows))
+    D = max(1, -(-n_data // data_block_rows))
+
+    cand_side = (
+        cand_rows.withColumn("__cblk", F.pmod(F.hash(*dim_cols), F.lit(B)).cast("int"))
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(D - 1))).alias("__dblk"))
+    )
+    data_side = (
+        clean.select(*dim_cols)
+        .withColumn("__dblk", F.pmod(F.hash(*dim_cols), F.lit(D)).cast("int"))
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("__cblk"))
+    )
+
+    out_fields = [clean.schema[c] for c in dim_cols] + [
+        T.StructField("__cnt", T.LongType(), False)
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def pair_counts(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cand_pdf = left.drop(columns=["__cblk", "__dblk"])
+        cmat = _values_matrix(cand_pdf, dim_signs)
+        dmat = _values_matrix(right, dim_signs)
+        out = cand_pdf.copy()
+        out["__cnt"] = _dominator_counts(cmat, dmat)
+        return out
+
+    partial = (
+        cand_side.groupBy("__cblk", "__dblk")
+        .cogroup(data_side.groupBy("__cblk", "__dblk"))
+        .applyInPandas(pair_counts, out_schema)
+    )
+    return (
+        partial.groupBy(*dim_cols)
+        .agg(F.sum("__cnt").alias("__n_dom"))
+        .where(F.col("__n_dom") < k)
+        .select(*dim_cols)
+    )
 
 
 def grouped_combine_fn(key_cols: Sequence[str], dim_signs: list[tuple[str, float]], flush_rows: int = 1 << 19):

@@ -98,6 +98,36 @@ def test_kband_matches_bruteforce(spark):
     )
 
 
+def test_kband_blocked_path_anticorrelated(spark):
+    """Anti-correlated data makes the candidate set ≈ the whole input;
+    a tiny broadcast_rows forces the fully distributed blocked counting
+    path (no driver-side candidate materialization). Results must match
+    the numpy dominator-count oracle and the broadcast path exactly."""
+    import numpy as np
+
+    n = 500
+    # anti-correlated diagonal (every point is skyline) + dominated fill
+    rows = [(i, float(i), float(n - i)) for i in range(n)]
+    rows += [(10_000 + i, float(i + 2), float(n - i + 2)) for i in range(0, n, 5)]
+    df = spark.createDataFrame(rows, "id int, x double, y double").repartition(9)
+    dims = [("x", "min"), ("y", "min")]
+
+    vals = np.array([[r[1], r[2]] for r in rows])
+    le = (vals[:, None, :] <= vals[None, :, :]).all(axis=2)
+    lt = (vals[:, None, :] < vals[None, :, :]).any(axis=2)
+    n_dom = (le & lt).sum(axis=0)
+
+    for k in (1, 4):
+        blocked = skyline_kband(
+            df, dims, k, broadcast_rows=50, cand_block_rows=64, data_block_rows=128
+        )
+        got = sorted(r["id"] for r in blocked.collect())
+        want = sorted(rows[i][0] for i in range(len(rows)) if n_dom[i] < k)
+        assert got == want, k
+        via_broadcast = sorted(r["id"] for r in skyline_kband(df, dims, k).collect())
+        assert got == via_broadcast, k
+
+
 def test_blocked_merge_matches_bruteforce(spark):
     """The fully distributed merge (no single-partition stage) must
     agree with brute force — including on anti-correlated data where the
