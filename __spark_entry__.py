@@ -195,6 +195,35 @@ WHERE NOT EXISTS (
 """
 
 
+def _reverse_skyline_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the one operator in the reference paper's title ("skyline and
+    # reverse skyline") that the reference repo itself never implements
+    # (/root/reference/Readme.md:3-4): rows whose dynamic skyline
+    # contains the query point (960.0 price, size 20)
+    from skylinemapreducehadoop_spark.operators.reverse import reverse_skyline
+
+    part = load_table(spark, sf_dir, "part")
+    return reverse_skyline(part, ["p_retailprice", "p_size"], (960.0, 20.0)).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+def _reverse_skyline_oracle() -> str:
+    return """
+WITH pts AS (
+  SELECT p_partkey, p_retailprice, p_size FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+SELECT p_partkey, p_retailprice, p_size FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts t
+  WHERE abs(t.p_retailprice - p.p_retailprice) <= abs(960.0 - p.p_retailprice)
+    AND abs(t.p_size - p.p_size) <= abs(20.0 - p.p_size)
+    AND (abs(t.p_retailprice - p.p_retailprice) < abs(960.0 - p.p_retailprice)
+         OR abs(t.p_size - p.p_size) < abs(20.0 - p.p_size))
+    AND (t.p_retailprice <> p.p_retailprice OR t.p_size <> p.p_size))
+"""
+
+
 def _profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return profile(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
@@ -944,36 +973,50 @@ def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness harness checks the FIRST
+    # 50 entries only. Positions 1-50 hold (a) every query whose code or
+    # oracle changed this round, (b) the 16 queries with no r3
+    # correctness row — incl. the 6 never checked in any round — and
+    # (c) new operators. Positions 51+ hold queries hash-green in r3
+    # with untouched logic (rotation documented in COVERAGE.md).
     return {
+        # changed this round (quadtree combine, kband blocked phase 2,
+        # shared grouped_combine_fn, q12 oracle cast, lang_id oracle)
         "skyline_twophase": _sky("twophase"),
-        "skyline_bruteforce": _sky("bruteforce"),
         "skyline_quadtree": _sky("quadtree"),
         "skyline_blocked": _sky_blocked,
-        "skyline_join_priority": _sky_join_priority,
         "skyline_kband_events": _sky_kband_events,
-        "skyline_5dim": _sky_5dim,
         "skyline_grouped": _sky_grouped,
-        "skyline_layers": _sky_layers,
-        "skyline_events": _sky_events,
+        "skyline_join_priority": _sky_join_priority,
         "skyline_gsod_9dim": _sky_gsod_9dim,
-        "profile_lineitem": _profile_lineitem,
-        "q1_pricing_summary": _q1_pricing,
-        "join_nation_revenue": _join_nation_revenue,
-        "window_top2_orders": _window_top2_orders,
-        "events_hourly": _events_hourly,
-        "text_stats_documents": _text_stats,
-        "fingerprint_rolling_documents": _fingerprint_rolling,
-        "quality_flags_documents": _quality_flags,
+        "q12_priority_by_linestatus": _q12_priority_by_linestatus,
         "lang_id_documents": _lang_id,
-        "dedup_exact_documents": _dedup_exact,
         "dedup_minhash_documents": _dedup_minhash,
-        "dedup_simhash_documents": _dedup_simhash,
-        "ngram_jaccard_documents": _ngram_jaccard,
-        "topk_similarity": _topk_similarity,
+        # new this round
+        "reverse_skyline_part": _reverse_skyline_part,
+        # never driver-checked before round 4
+        "ngram_dup_stats_documents": _ngram_dup_stats,
+        "hash_split_documents": _hash_split_documents,
+        "term_doc_freq_topk": _term_doc_freq_topk,
+        "funnel_users": _funnel_users,
+        "sample_documents_hash": _sample_documents_hash,
+        "reservoir_documents": _reservoir_documents,
+        # green in r2 but outside the r3 window
+        "semi_join_customers": _semi_join_customers,
+        "pivot_user_events": _pivot_user_events,
+        "above_avg_orders": _above_avg_orders,
+        "token_bpe_documents": _token_bpe_documents,
+        "percentile_value_by_type": _percentile_value_by_type,
+        "cube_events": _cube_events,
+        "explode_tokens_topk": _explode_tokens_topk,
+        "string_funcs_documents": _string_funcs_documents,
+        "approx_distinct_users": _approx_distinct_users,
+        "curate_corpus": _curate_corpus,
+        # green in r3, kept in-window (shared infra: persisted-frame
+        # registry, similarity index cache, sampling key handling)
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dup": _embedding_near_dup,
-        "multimodal_stats": _multimodal_stats,
         "set_ops_customers": _set_ops_customers,
         "rollup_orders": _rollup_orders,
         "anti_join_customers": _anti_join_customers,
@@ -989,28 +1032,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q4_priority_exists": _q4_priority_exists,
         "q7_volume_shipping": _q7_volume_shipping,
-        "q12_priority_by_linestatus": _q12_priority_by_linestatus,
         "q14_promo_revenue": _q14_promo_revenue,
         "q16_supplier_cnt": _q16_supplier_cnt,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_sales_opportunity": _q22_sales_opportunity,
         "window_analytics_orders": _window_analytics_orders,
-        "ngram_dup_stats_documents": _ngram_dup_stats,
-        "hash_split_documents": _hash_split_documents,
-        "term_doc_freq_topk": _term_doc_freq_topk,
-        "funnel_users": _funnel_users,
-        "sample_documents_hash": _sample_documents_hash,
-        "reservoir_documents": _reservoir_documents,
-        "semi_join_customers": _semi_join_customers,
-        "pivot_user_events": _pivot_user_events,
-        "above_avg_orders": _above_avg_orders,
-        "token_bpe_documents": _token_bpe_documents,
-        "percentile_value_by_type": _percentile_value_by_type,
-        "cube_events": _cube_events,
-        "explode_tokens_topk": _explode_tokens_topk,
-        "string_funcs_documents": _string_funcs_documents,
-        "approx_distinct_users": _approx_distinct_users,
-        "curate_corpus": _curate_corpus,
+        # --- past the driver's 50-entry window: hash-green in r3,
+        # logic untouched in r4 (see COVERAGE.md rotation table)
+        "skyline_bruteforce": _sky("bruteforce"),
+        "skyline_5dim": _sky_5dim,
+        "skyline_layers": _sky_layers,
+        "skyline_events": _sky_events,
+        "profile_lineitem": _profile_lineitem,
+        "q1_pricing_summary": _q1_pricing,
+        "join_nation_revenue": _join_nation_revenue,
+        "window_top2_orders": _window_top2_orders,
+        "events_hourly": _events_hourly,
+        "text_stats_documents": _text_stats,
+        "fingerprint_rolling_documents": _fingerprint_rolling,
+        "quality_flags_documents": _quality_flags,
+        "dedup_exact_documents": _dedup_exact,
+        "dedup_simhash_documents": _dedup_simhash,
+        "ngram_jaccard_documents": _ngram_jaccard,
+        "topk_similarity": _topk_similarity,
+        "multimodal_stats": _multimodal_stats,
     }
 
 
@@ -1327,6 +1372,7 @@ FROM g
 """,
         "dedup_minhash_documents": _JACCARD_PAIRS_SQL,
         "lang_id_documents": _lang_id_oracle(),
+        "reverse_skyline_part": _reverse_skyline_oracle(),
         "ngram_jaccard_documents": _JACCARD_PAIRS_SQL,
         "dedup_simhash_documents": _simhash_oracle(),
         "topk_similarity": """
