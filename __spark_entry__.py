@@ -347,11 +347,21 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build-once / probe-many: the index (assignment partition column +
     # centroids) is persisted on first use; the probe is then a
-    # partition-pruned parquet scan with no full-data UDF stage
+    # partition-pruned parquet scan with no full-data UDF stage.
+    # The cache key includes the source file's (mtime, size) fingerprint
+    # so regenerated testdata at the same path rebuilds instead of
+    # probing a stale index; ivf_write persists centroids BEFORE
+    # vectors, so the vectors/_SUCCESS gate implies a complete index.
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nofp"
+    tag = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:10]
     idx_path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     if not os.path.exists(os.path.join(idx_path, "vectors", "_SUCCESS")):

@@ -28,11 +28,22 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
+#: stands in for NULL inside the concatenated key — concat_ws would
+#: silently SKIP nulls, making ('a', NULL, 'b') and ('a', 'b', NULL)
+#: hash identically; the sentinel preserves NULL position. (A non-null
+#: value equal to the sentinel would collide — \x00 never occurs in
+#: sane text keys.)
+_NULL_SENTINEL = "\x00NULL"
+
+
 def _hash_bucket(key_cols: Sequence[str | Column], buckets: int) -> Column:
     """Uniform bucket in [0, buckets) from the md5 of the concatenated
-    key columns (60-bit prefix — same expression DuckDB can evaluate)."""
+    key columns (60-bit prefix — same expression DuckDB can evaluate).
+    NULL key components are encoded positionally via a sentinel."""
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
-    key = F.concat_ws("\x1f", *[c.cast("string") for c in cols])
+    key = F.concat_ws(
+        "\x1f", *[F.coalesce(c.cast("string"), F.lit(_NULL_SENTINEL)) for c in cols]
+    )
     h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
     return F.pmod(h, F.lit(buckets))
 
@@ -70,10 +81,27 @@ def stratified_hash_sample(
 
     The per-stratum thresholds compile to one CASE expression — still a
     single narrow filter, no shuffle, no RNG.
+
+    ``key_cols`` decides WHICH rows within a stratum are kept and is
+    required whenever any fraction is strictly between 0 and 1: keying
+    on the stratum column alone would give every row of a stratum the
+    SAME bucket, so a fractional rate would keep 100% or 0% of the
+    stratum instead of ~rate. (With only 0/1 rates the key is
+    irrelevant and may be omitted.)
     """
+    fractional = any(0.0 < f < 1.0 for f in fractions.values()) or (
+        0.0 < default_fraction < 1.0
+    )
     for s, frac in fractions.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for stratum {s!r} must be in [0, 1], got {frac}")
+    if key_cols is None and fractional:
+        raise ValueError(
+            "stratified_hash_sample needs key_cols for fractional rates: "
+            "keying on the stratum column alone keeps 100% or 0% of each "
+            "stratum (every row hashes to the same bucket). Pass the "
+            "columns that identify a row, e.g. key_cols=['text']."
+        )
     key_cols = list(key_cols) if key_cols is not None else [strata_col]
     bucket = _hash_bucket(key_cols, buckets)
     thresh: Column = F.lit(int(round(default_fraction * buckets)))

@@ -188,13 +188,17 @@ def ivf_build(
 
 def ivf_write(assigned: DataFrame, centroids: np.ndarray, path: str) -> None:
     """Persist an IVF index: vectors parquet-partitioned by ``__list``
-    (probe scans prune whole directories) + the tiny centroid table."""
-    assigned.write.mode("overwrite").partitionBy("__list").parquet(f"{path}/vectors")
+    (probe scans prune whole directories) + the tiny centroid table.
+
+    Centroids are written FIRST: readers gate on ``vectors/_SUCCESS``
+    (the last artifact), so a crash mid-write can never leave an index
+    that passes the gate but fails in ``ivf_read``."""
     spark = assigned.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     spark.createDataFrame(cent_rows, "list_id int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("__list").parquet(f"{path}/vectors")
 
 
 def ivf_read(spark, path: str) -> tuple[DataFrame, np.ndarray]:

@@ -33,6 +33,7 @@ Spark-side with ``dropna`` so Catalyst pushes IsNotNull into the scan.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -164,17 +165,23 @@ _MERGE_FAN_IN = 16
 
 #: bounded registry of per-query persisted frames (local-skyline unions
 #: are small, but a long-lived session running many queries would
-#: accumulate them forever; evicting beyond the cap only costs a
-#: recompute if an old result is re-executed later)
+#: accumulate them forever). Eviction semantics: unpersisting beyond the
+#: cap only costs a SILENT RECOMPUTE if an evicted frame (or a returned
+#: plan built on it) is re-executed later — results stay correct. The
+#: lock makes register/evict safe under concurrent query construction.
 _PERSISTED: list[DataFrame] = []
 _PERSISTED_CAP = 8
+_PERSISTED_LOCK = threading.Lock()
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _PERSISTED.append(df)
-    while len(_PERSISTED) > _PERSISTED_CAP:
-        old = _PERSISTED.pop(0)
+    with _PERSISTED_LOCK:
+        _PERSISTED.append(df)
+        evicted = []
+        while len(_PERSISTED) > _PERSISTED_CAP:
+            evicted.append(_PERSISTED.pop(0))
+    for old in evicted:
         try:
             old.unpersist(blocking=False)
         except Exception:

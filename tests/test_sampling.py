@@ -79,3 +79,28 @@ def test_reservoir_exact_k_deterministic(spark):
     # and is layout-invariant
     again = [r["doc_id"] for r in SA.reservoir_sample(df.repartition(13), 25, ["text"]).collect()]
     assert sorted(again) == sorted(got)
+
+
+def test_stratified_requires_key_cols_for_fractional_rates(spark):
+    # keying on the stratum alone keeps 100% or 0% of a stratum — the
+    # degenerate default must be rejected for fractional rates
+    rows = [(i, "en" if i % 2 else "de", f"t{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="key_cols"):
+        SA.stratified_hash_sample(df, "lang", {"en": 0.3})
+    # all-or-nothing rates don't depend on the key: omitting it is fine
+    keep_all = SA.stratified_hash_sample(df, "lang", {"en": 1.0}, default_fraction=0.0)
+    assert keep_all.count() == 50
+
+
+def test_hash_bucket_null_position_distinguished(spark):
+    # concat_ws alone would skip NULLs: ('a', NULL, 'b') and
+    # ('a', 'b', NULL) must hash differently
+    df = spark.createDataFrame(
+        [(1, "a", None, "b"), (2, "a", "b", None)], "id int, x string, y string, z string"
+    )
+    rows = df.select(
+        "id", SA._hash_bucket(["x", "y", "z"], SA._BUCKETS).alias("b")
+    ).collect()
+    buckets = {r["id"]: r["b"] for r in rows}
+    assert buckets[1] != buckets[2]
