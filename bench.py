@@ -22,6 +22,7 @@ from skylinemapreducehadoop_spark.session import get_session
 BENCH_QUERIES = [
     "skyline_twophase",
     "skyline_quadtree",
+    "skyline_gsod_volume",
     "skyline_grouped",
     "profile_lineitem",
     "q1_pricing_summary",
@@ -59,12 +60,35 @@ EXTRA_QUERIES = [
 ]
 
 
+def _skyline_gsod_volume(spark, sf_dir):
+    """The reference's actual flagship (9-dim mixed-direction skyline
+    over fixed-width GSOD text) at VOLUME: 500k rows through the full
+    ingest path. Bench-only — an O(n²) SQL oracle is intractable at this
+    size, so correctness is covered by the oracle-checked 1500-row
+    `skyline_gsod_9dim` driver query instead. The fixture is latent-
+    factor correlated (like real weather data); independent-uniform
+    9-dim data is a skyline pathology where nearly every row is
+    Pareto-optimal."""
+    from skylinemapreducehadoop_spark.operators.skyline import skyline
+    from skylinemapreducehadoop_spark.sources.gsod import (
+        GSOD_SKYLINE_DIMS,
+        make_gsod_fixture,
+        read_gsod,
+    )
+
+    path = make_gsod_fixture(
+        "/tmp/gsod_volume_500k.txt", n_rows=500_000, correlated=0.9
+    )
+    return skyline(read_gsod(spark, path), GSOD_SKYLINE_DIMS)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
 
     spark = get_session("skyline-bench")
     qs = entrymod.queries()
+    qs["skyline_gsod_volume"] = _skyline_gsod_volume
 
     # Warm up the session once (Python UDF worker spawn + imports, JVM
     # JIT, page cache) so timings measure queries, not cold start.

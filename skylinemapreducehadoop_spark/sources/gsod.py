@@ -67,17 +67,35 @@ def read_gsod(spark: SparkSession, path: str) -> DataFrame:
     return lines.select(*cols)
 
 
-def make_gsod_fixture(path: str, n_rows: int = 1500, seed: int = 20240813) -> str:
+def make_gsod_fixture(
+    path: str, n_rows: int = 1500, seed: int = 20240813, correlated: float = 0.0
+) -> str:
     """Write a deterministic fixed-width GSOD sample file.
 
     Layout follows the reference's column offsets exactly (header line,
     blank lines, all-9s missing-value sentinels included), so the file
     exercises the full ingest path: P2 blank/header filtering and P3
-    sentinel→NULL. Content depends only on (n_rows, seed) — safe for a
-    cross-engine oracle to re-parse byte-identically.
+    sentinel→NULL. Content depends only on (n_rows, seed, correlated) —
+    safe for a cross-engine oracle to re-parse byte-identically.
+
+    ``correlated`` in (0, 1]: fields derive from one latent "weather
+    quality" factor plus ``(1 - correlated)`` noise, like real GSOD data
+    (temp/dewp/pressure co-move). Uniform 9-dim data is a skyline
+    pathology — at volume nearly every row is Pareto-optimal — so
+    benchmarks use a correlated fixture; 0.0 keeps the original
+    independent-uniform generation byte-for-byte.
     """
+    import json
     import os
     import random
+
+    meta_path = path + ".meta"
+    meta = {"n_rows": n_rows, "seed": seed, "correlated": correlated, "v": 1}
+    try:
+        if os.path.exists(path) and json.load(open(meta_path)) == meta:
+            return path
+    except Exception:
+        pass
 
     rng = random.Random(seed)
     width = max(end for _, _, end, _, _ in GSOD_FIELDS)
@@ -95,14 +113,28 @@ def make_gsod_fixture(path: str, n_rows: int = 1500, seed: int = 20240813) -> st
         "max_temp": (-20.0, 120.0, 9999.9, 0.03),
         "min_temp": (-40.0, 100.0, 9999.9, 0.03),
     }
+    #: min-normalized direction per field: fields the 9-dim query
+    #: MAXIMIZES are "good" when high, so the latent quality factor q
+    #: (0 = best) pushes them toward hi; minimized fields toward lo.
+    directions = {name: d for name, _, _, _, d in GSOD_FIELDS if d}
     for i in range(n_rows):
         buf = [" "] * width
         vals: dict[str, str] = {
             "stn": str(100000 + rng.randint(0, 499)),
             "obs_date": str(20240100 + rng.randint(1, 28) + 100 * rng.randint(0, 11)),
         }
+        # draw the latent factor only in correlated mode so the default
+        # path's rng sequence — and fixture bytes — stay identical
+        q = rng.random() if correlated > 0.0 else 0.0
         for name, (lo, hi, sentinel, p_missing) in ranges.items():
-            v = sentinel if rng.random() < p_missing else round(rng.uniform(lo, hi), 1)
+            if rng.random() < p_missing:
+                v = sentinel
+            elif correlated > 0.0:
+                base = 1.0 - q if directions[name] == "max" else q
+                u = correlated * base + (1.0 - correlated) * rng.random()
+                v = round(lo + u * (hi - lo), 1)
+            else:
+                v = round(rng.uniform(lo, hi), 1)
             vals[name] = f"{v:.1f}"
         for name, start, end, _, _ in GSOD_FIELDS:
             s = vals[name].rjust(end - start)
@@ -114,6 +146,8 @@ def make_gsod_fixture(path: str, n_rows: int = 1500, seed: int = 20240813) -> st
     if not (os.path.exists(path) and open(path).read() == content):
         with open(path, "w") as f:
             f.write(content)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
     return path
 
 
