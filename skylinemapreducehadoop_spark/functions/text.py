@@ -46,6 +46,30 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def ngrams(col: Column | str, k: int = 2) -> Column:
+    """Word k-grams (NON-distinct, in order) as an array<string> — pure
+    JVM expression, no UDF. Fewer than k tokens yields an empty array.
+
+    The token array is bound to a lambda variable (via a one-element
+    ``transform``) before the per-position loop: higher-order functions
+    are interpreted and re-evaluate their lambda body per element, so
+    referencing the raw ``split`` expression inside the inner lambda
+    would re-tokenize the document once per gram position (O(n^2) regex
+    work per row)."""
+
+    def _grams(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n >= F.lit(k),
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), _grams), 1)
+
+
 def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 
@@ -149,6 +173,84 @@ def quality_flags(
             & (n_punct * 100 <= F.lit(max_punct_pct) * n_chars)
         ).alias("quality_ok"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 2,
+) -> DataFrame:
+    """Per-document token-repetition metrics — the C4/Gopher-style
+    "most common n-gram" quality signal for training-data curation.
+
+    Output (one row per document with at least one k-gram; shorter
+    documents have no gram distribution to measure):
+    ``(doc_id, n_grams, n_distinct_grams, top_gram_count, top_gram)``.
+    A high ``top_gram_count / n_grams`` ratio marks boilerplate or
+    degenerate repetition. Ties on the top gram break deterministically
+    (highest count, then lexicographically LAST gram — the struct-max
+    order), so results are engine-exact.
+
+    Plan shape: explode k-grams → (doc, gram) hash aggregate → per-doc
+    hash aggregate. Both aggregates run partial+final (map-side
+    combine), the shuffle key (doc, gram) bounds skew by document size,
+    and nothing crosses the Python boundary.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams(text_col, k)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("__top"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_distinct_grams").cast("long").alias("n_distinct_grams"),
+            F.col("__top.cnt").cast("long").alias("top_gram_count"),
+            F.col("__top.gram").alias("top_gram"),
+        )
+    )
+
+
+#: (name, Java+RE2-compatible pattern, replacement) — patterns avoid
+#: constructs that differ between Java regex (Spark) and RE2 (DuckDB,
+#: used by the correctness oracle): no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Scrub common PII shapes (emails, phone numbers, IPv4 addresses)
+    from a text column — a standard pre-training curation pass.
+
+    Chained JVM ``regexp_replace`` (whole-stage codegen, no UDF, no
+    shuffle) with per-category match counts. Replacement order is
+    email → phone → ipv4 so an address inside an email never
+    double-matches. Patterns are deliberately RE2-compatible so any
+    SQL engine can reproduce the output bit-for-bit.
+    """
+    t = F.col(text_col)
+    redacted = t
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return df.select(*id_cols, *counts, redacted.alias("redacted"))
 
 
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:

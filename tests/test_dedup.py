@@ -101,3 +101,24 @@ def test_minhash_plan_has_no_cartesian(spark):
     plan = D.minhash_near_dup(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_clusters_transitive(spark):
+    # chain 1-2-3 plus island 10-11: transitivity must merge the chain
+    # into ONE cluster labeled by its min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a path graph is the diameter worst case for hash-min propagation
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
+    assert set(out) == set(range(n + 1))
+    assert set(out.values()) == {0}

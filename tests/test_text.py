@@ -71,3 +71,41 @@ def test_language_id(spark):
     assert out[1]["lang_pred"] == "de"
     assert out[2]["lang_pred"] == "es"
     assert out[3]["lang_pred"] == "zh"
+
+
+def test_ngrams_matches_python(spark):
+    texts = ["a b c d", "x y", "solo", "", "  padded   spaces  here ok "]
+    out = {r["doc_id"]: r["g"] for r in _df(spark, texts).select(
+        "doc_id", TX.ngrams("text", 2).alias("g")).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        want = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)] if len(toks) >= 2 else []
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_repetition_stats(spark):
+    df = _df(spark, ["a b a b a", "x y z", "solo"])
+    out = {r["doc_id"]: r for r in TX.repetition_stats(df).collect()}
+    # "a b a b a": bigrams = [a b, b a, a b, b a] -> top count 2;
+    # tie between 'a b' and 'b a' breaks to the lexicographically LAST
+    assert out[0]["n_grams"] == 4
+    assert out[0]["n_distinct_grams"] == 2
+    assert out[0]["top_gram_count"] == 2
+    assert out[0]["top_gram"] == "b a"
+    assert out[1]["n_grams"] == 2 and out[1]["top_gram_count"] == 1
+    assert 2 not in out  # <2 tokens -> no gram distribution row
+
+
+def test_redact_pii(spark):
+    df = _df(spark, [
+        "mail me at jane.doe+x@mail.example.org thanks",
+        "call 555-123-4567 or ping 10.0.0.7 now",
+        "nothing sensitive here",
+    ])
+    out = {r["doc_id"]: r for r in TX.redact_pii(df).collect()}
+    assert out[0]["n_email"] == 1 and "<EMAIL>" in out[0]["redacted"]
+    assert "jane" not in out[0]["redacted"]
+    assert out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 1
+    assert "<PHONE>" in out[1]["redacted"] and "<IPV4>" in out[1]["redacted"]
+    assert out[2]["n_email"] == out[2]["n_phone"] == out[2]["n_ipv4"] == 0
+    assert out[2]["redacted"] == "nothing sensitive here"
