@@ -891,6 +891,28 @@ def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.redact_pii(planted)
 
 
+def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exercises the JSONL sink+source end-to-end: parquet → jsonl on
+    # disk → schema'd read-back; the oracle reads the original parquet,
+    # so any loss/corruption in the round trip breaks the hash
+    import hashlib
+
+    from skylinemapreducehadoop_spark.sources.sinks import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = f"/tmp/jsonl_docs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    write_jsonl(
+        docs.select("doc_id", "text", "lang", "source", "n_chars"), path, mode="overwrite"
+    )
+    back = read_jsonl(
+        spark, path,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.select(
+        "doc_id", "lang", "n_chars", F.length("text").cast("long").alias("text_len")
+    )
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise near-dups → duplicate CLUSTERS (connected components via
     # distributed hash-min label propagation); cluster_id = min doc_id
@@ -1044,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": _repetition_stats,
         "redact_pii_documents": _redact_pii,
         "dedup_clusters_documents": _dedup_clusters,
+        "jsonl_roundtrip_documents": _jsonl_roundtrip,
         # never driver-checked before round 4
         "ngram_dup_stats_documents": _ngram_dup_stats,
         "hash_split_documents": _hash_split_documents,
@@ -1076,7 +1099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
-        "q10_returned_items": _q10_returned_items,
         "q4_priority_exists": _q4_priority_exists,
         "q7_volume_shipping": _q7_volume_shipping,
         "q14_promo_revenue": _q14_promo_revenue,
@@ -1089,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": _set_ops_customers,
         "rollup_orders": _rollup_orders,
         "anti_join_customers": _anti_join_customers,
+        "q10_returned_items": _q10_returned_items,
         "skyline_bruteforce": _sky("bruteforce"),
         "skyline_5dim": _sky_5dim,
         "skyline_layers": _sky_layers,
@@ -1503,6 +1526,9 @@ FROM g
         "repetition_stats_documents": _REPETITION_SQL,
         "redact_pii_documents": _REDACT_PII_SQL,
         "dedup_clusters_documents": _DEDUP_CLUSTERS_SQL,
+        "jsonl_roundtrip_documents": (
+            "SELECT doc_id, lang, n_chars, length(text)::BIGINT AS text_len FROM documents"
+        ),
         "lang_id_documents": _lang_id_oracle(),
         "reverse_skyline_part": _reverse_skyline_oracle(),
         "ngram_jaccard_documents": _JACCARD_PAIRS_SQL,

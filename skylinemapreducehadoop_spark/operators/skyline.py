@@ -226,6 +226,13 @@ def skyline(
         block pair is checked in its own task via cogroup, and a row
         survives iff no block dominates it. Costs a B-way replication
         shuffle — opt in for anti-correlated data at extreme scale.
+
+    NOTE (declarative-API caveat): with the default
+    ``reduce_levels=None`` + ``merge="tree"``, CALLING this function
+    runs one Spark job eagerly — the local pass is persisted and
+    counted so the auto tree guard can size its merge levels from the
+    measured candidate count. Pass ``reduce_levels`` explicitly (or
+    ``merge="blocked"``) for fully lazy plan construction.
     """
     dim_signs = normalize_dims(dims)
     dim_cols = [c for c, _ in dim_signs]

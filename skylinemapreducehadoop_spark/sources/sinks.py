@@ -88,3 +88,22 @@ def write_skyline_outputs(
         return paths
     finally:
         sky.unpersist()
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "error") -> None:
+    """JSON-lines sink — the interchange format document corpora ship
+    in. Spark's json writer IS jsonl (one object per line, splittable
+    for re-reads when uncompressed)."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. ALWAYS pass an explicit schema in production:
+    without one Spark runs a full inference scan (an extra job over all
+    100 TB) and silently widens conflicting types. Permissive mode keeps
+    corrupt lines as NULL rows instead of failing the job; add
+    ``columnNameOfCorruptRecord`` upstream if quarantining is needed."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.option("mode", "PERMISSIVE").json(path)

@@ -134,3 +134,17 @@ def test_multiway_skyline_sink(spark, tmp_path):
     assert vpn["x"] == 3.0 and vpn["y"] == 5.0  # component-wise worst of skyline
     filt = spark.read.parquet(paths["filter"])
     assert sorted(r["id"] for r in filt.collect()) == [1, 3]  # per-dim argmin rows
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from skylinemapreducehadoop_spark.sources.sinks import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", 10), (2, "gamma", None)],
+        "doc_id long, text string, score int",
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, schema="doc_id long, text string, score int")
+    got = sorted((r["doc_id"], r["text"], r["score"]) for r in back.collect())
+    assert got == [(1, "alpha beta", 10), (2, "gamma", None)]
