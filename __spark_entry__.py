@@ -1783,7 +1783,7 @@ WITH firsts AS (
          min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
   FROM events GROUP BY user_id)
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS n_converted
+       CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM firsts
 """,
         "ngram_dup_stats_documents": """

@@ -97,42 +97,51 @@ def main() -> None:
         lambda it: (pdf for pdf in it), warm.schema
     ).count()
 
+    def _run_once(name: str) -> float:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # noop sink: materializes EVERY output column without
+        # shipping rows to the driver. (count() would let Catalyst
+        # prune unused projection expressions, so projection-heavy
+        # queries — md5/regex/token work — would never execute.)
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # Per-query fault isolation: one failing query must never cost the
+    # round its entire perf record — record the error, keep going, and
+    # ALWAYS print the JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            # noop sink: materializes EVERY output column without
-            # shipping rows to the driver. (count() would let Catalyst
-            # prune unused projection expressions, so projection-heavy
-            # queries — md5/regex/token work — would never execute.)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            timings[name] = round(min(_run_once(name) for _ in range(2)), 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     extra: dict[str, float] = {}
     for name in EXTRA_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        extra[name] = round(time.time() - t0, 3)
+        try:
+            extra[name] = round(_run_once(name), 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
-                "extra_total": round(sum(extra.values()), 3),
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra,
+        "extra_total": round(sum(extra.values()), 3),
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -46,6 +46,10 @@ def get_session(
         # long nanoseconds instead of erroring; loaders cast to a
         # microsecond timestamp (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet timestamp[us] without timezone reads as TimestampType,
+        # not TIMESTAMP_NTZ (the PySpark 4.1 inference default), so
+        # unix_micros/window logic sees one timestamp type everywhere.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # NOTE: the local testdata parquet files are single-row-group,
         # so spark.sql.files.maxPartitionBytes cannot add scan
         # parallelism here (a row group is the minimum split). CPU-bound

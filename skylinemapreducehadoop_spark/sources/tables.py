@@ -73,6 +73,15 @@ def _normalize_nanos(df: DataFrame, nano_cols: set[str] | None = None) -> DataFr
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # PySpark 4.1 infers parquet timestamp[us] (no tz) as
+            # TIMESTAMP_NTZ by default; downstream unix_micros/window
+            # logic expects TimestampType. The session timezone is
+            # pinned UTC (session.py), so this cast is value-stable and
+            # matches the DuckDB oracle's microsecond semantics.
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(T.TimestampType())
+            )
     return df
 
 
@@ -85,6 +94,16 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
     the runtime-settable legacy flag itself. Idempotent and cheap.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # PySpark 4.1 reads parquet timestamp[us]-without-timezone as
+    # TIMESTAMP_NTZ by default; read it as TimestampType instead so the
+    # whole engine sees ONE timestamp type regardless of how the driver
+    # environment encoded the column. (_normalize_nanos still casts any
+    # NTZ column that slips through, e.g. on sessions that read before
+    # this conf was set.)
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # older Spark without the conf
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
