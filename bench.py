@@ -57,6 +57,8 @@ EXTRA_QUERIES = [
     "embedding_near_dup",
     "skyline_blocked",
     "skyline_join_priority",
+    "reverse_skyline_part",
+    "window_analytics_events",
 ]
 
 

@@ -287,3 +287,89 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
         .when(non_ascii_heavy, F.lit("zh"))
         .otherwise(marker_vote(t)),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window packing step
+    of a training/RAG pipeline. Emits one row per chunk: ``id_cols`` +
+    ``chunk_id`` (0-based), ``chunk_text`` (space-joined), and
+    ``n_chunk_tokens``.
+
+    Chunks start every ``size - overlap`` tokens, so consecutive chunks
+    share ``overlap`` tokens; the final chunk may be short. Pure JVM
+    expression (sequence → transform → slice → posexplode) — no UDF, no
+    shuffle, and the token array is lambda-bound once per row so the
+    tokenizer never re-runs per chunk (the interpreted-HOF pitfall, see
+    ``ngrams``).
+    """
+    if overlap < 0 or overlap >= size:
+        raise ValueError(f"need 0 <= overlap < size, got overlap={overlap} size={size}")
+    stride = size - overlap
+
+    def _chunks(t: Column) -> Column:
+        n = F.size(t)
+        starts = F.sequence(
+            F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+        )
+        return F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s + 1, size)))
+
+    arr = F.element_at(F.transform(F.array(tokens(text_col)), _chunks), 1)
+    exploded = df.select(
+        *id_cols, F.posexplode(arr).alias("chunk_id", "chunk_text")
+    )
+    return exploded.select(
+        *id_cols,
+        "chunk_id",
+        "chunk_text",
+        F.size(F.split("chunk_text", r"\s+")).alias("n_chunk_tokens"),
+    )
+
+
+def token_entropy(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) —
+    the repetition/diversity quality signal (low entropy = boilerplate,
+    keyword stuffing).
+
+    Uses ``H = log2(n) − Σ c·log2(c) / n`` with the Σ computed as a
+    sequential fold over the ASCENDING-sorted count list: floating-point
+    addition is order-sensitive, and a ``SUM()`` over a shuffled group
+    would make the result partitioning-dependent. The sorted fold makes
+    the value bit-exact reproducible on any engine/layout (DuckDB:
+    ``list_reduce`` over ``list_sort``).
+
+    Shape: explode → two hash aggregations (both map-side combined);
+    the collect_list is per-document distinct counts — bounded by
+    vocabulary, not corpus.
+    """
+    ids = list(id_cols)
+    tok = df.select(*ids, F.explode(tokens(text_col)).alias("__tok"))
+    cnt = tok.groupBy(*ids, "__tok").agg(F.count("*").alias("__c"))
+    per_doc = cnt.groupBy(*ids).agg(
+        F.sum("__c").alias("__n"),
+        F.count("*").alias("n_token_types"),
+        F.sort_array(F.collect_list("__c")).alias("__cs"),
+    )
+    n_dbl = F.col("__n").cast("double")
+    slogs = F.aggregate(
+        "__cs",
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    return per_doc.select(
+        *ids,
+        F.col("__n").alias("n_tokens"),
+        "n_token_types",
+        (F.log2(n_dbl) - slogs / n_dbl).alias("token_entropy"),
+    )

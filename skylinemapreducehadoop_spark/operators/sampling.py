@@ -112,6 +112,64 @@ def stratified_hash_sample(
     return df.where(bucket < thresh)
 
 
+def mix_corpus(
+    df: DataFrame,
+    weights: Mapping[str, int],
+    *,
+    strata_col: str = "source",
+    key_cols: Sequence[str | Column] = ("text",),
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Downsample strata to target mixing proportions — the corpus-
+    mixing step of a training-data pipeline (e.g. 4:3:2:2:1 across
+    sources).
+
+    Keeps the LARGEST corpus achievable by downsampling only: the
+    scale is set by the stratum with the smallest ``n_s / w_s`` ratio
+    (kept whole); every other stratum is thinned to match. Thresholds
+    use pure integer arithmetic — ``floor(buckets * n_m * w_s /
+    (w_m * n_s))`` — so the decision is bit-exact on any engine, and
+    row selection is content-hash based (partitioning-independent, see
+    module docstring). Strata absent from ``weights`` are dropped.
+
+    Scale shape: one count aggregate over the stratum column (map-side
+    combined), a tiny broadcast threshold table, then a single narrow
+    filter — no data-sized shuffle.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if w <= 0 or int(w) != w:
+            raise ValueError(f"weight for stratum {s!r} must be a positive int, got {w}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in weights.items()], f"{strata_col} string, __wt long"
+    )
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n")).join(wdf, strata_col)
+    # scale-setting stratum = argmin of n/wt; lexicographic struct min
+    # gives a deterministic tiebreak (ratio, n, wt) — and tied ratios
+    # yield identical thresholds regardless of which row wins (equal
+    # rationals floor identically)
+    m = counts.agg(
+        F.min(
+            F.struct(
+                (F.col("__n").cast("double") / F.col("__wt")).alias("__r"),
+                F.col("__n").alias("__nm"),
+                F.col("__wt").alias("__wm"),
+            )
+        ).alias("__m")
+    ).select(F.col("__m.__nm").alias("__nm"), F.col("__m.__wm").alias("__wm"))
+    thr = counts.crossJoin(F.broadcast(m)).select(
+        strata_col,
+        F.expr(f"({buckets}L * __nm * __wt) div (__wm * __n)").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .where(_hash_bucket(key_cols, buckets) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
 def reservoir_sample(
     df: DataFrame,
     k: int,

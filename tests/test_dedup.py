@@ -122,3 +122,28 @@ def test_dedup_clusters_long_chain_converges(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
     assert set(out) == set(range(n + 1))
     assert set(out.values()) == {0}
+
+
+def test_contamination_check_counts(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (2, "quick brown fox jumps over a sleepy cat today"),  # partial
+            (3, "completely unrelated text with many different words"),
+            (4, "tiny doc"),  # < k tokens -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_check(corpus, bench, k=5).collect()}
+    assert out[1]["n_grams"] == 5 and out[1]["n_shared"] == 5
+    assert out[1]["contamination"] == 1.0
+    # doc 2 shares exactly 'quick brown fox jumps over'
+    assert out[2]["n_shared"] == 1
+    assert out[3]["n_shared"] == 0 and out[3]["contamination"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["contamination"] == 0.0

@@ -104,3 +104,35 @@ def test_hash_bucket_null_position_distinguished(spark):
     ).collect()
     buckets = {r["id"]: r["b"] for r in rows}
     assert buckets[1] != buckets[2]
+
+
+def test_mix_corpus_proportions_and_determinism(spark):
+    from skylinemapreducehadoop_spark.operators.sampling import mix_corpus
+
+    rows = [(f"s{i % 3}", f"text-{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    weights = {"s0": 2, "s1": 1}  # s2 unlisted -> dropped
+    out = mix_corpus(df, weights)
+    from pyspark.sql import functions as F
+
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"s0", "s1"}
+    # scale stratum: n/w smallest is s1 (1000/1) vs s0 (1000/2) -> s0
+    # kept whole, s1 thinned to ~half its size
+    assert counts["s0"] == 1000
+    assert abs(counts["s1"] - 500) < 80
+    # partitioning-independent: same rows on a different layout
+    a = sorted(r["text"] for r in out.collect())
+    b = sorted(r["text"] for r in mix_corpus(df.repartition(13), weights).collect())
+    assert a == b
+
+
+def test_mix_corpus_rejects_bad_weights(spark):
+    import pytest
+    from skylinemapreducehadoop_spark.operators.sampling import mix_corpus
+
+    df = spark.createDataFrame([("s0", "x")], "source string, text string")
+    with pytest.raises(ValueError):
+        mix_corpus(df, {})
+    with pytest.raises(ValueError):
+        mix_corpus(df, {"s0": 0})

@@ -109,3 +109,58 @@ def test_redact_pii(spark):
     assert "<PHONE>" in out[1]["redacted"] and "<IPV4>" in out[1]["redacted"]
     assert out[2]["n_email"] == out[2]["n_phone"] == out[2]["n_ipv4"] == 0
     assert out[2]["redacted"] == "nothing sensitive here"
+
+
+def test_chunk_documents_windows(spark):
+    # 10 tokens, size 4, overlap 1 -> stride 3 -> starts 0,3,6,9
+    toks = [f"t{i}" for i in range(10)]
+    df = _df(spark, [" ".join(toks)])
+    out = TX.chunk_documents(df, size=4, overlap=1).orderBy("chunk_id").collect()
+    texts = [r["chunk_text"] for r in out]
+    assert texts == [
+        "t0 t1 t2 t3",
+        "t3 t4 t5 t6",
+        "t6 t7 t8 t9",
+        "t9",
+    ]
+    assert [r["chunk_id"] for r in out] == [0, 1, 2, 3]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 1]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = _df(spark, ["only two", ""])
+    out = TX.chunk_documents(df, size=64, overlap=16).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert len(out) == 2  # one chunk each
+    assert by_doc[0]["chunk_text"] == "only two"
+    assert by_doc[1]["chunk_text"] == ""
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    df = _df(spark, ["a"])
+    with pytest.raises(ValueError):
+        TX.chunk_documents(df, size=8, overlap=8)
+
+
+def test_token_entropy_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    texts = ["a a a a", "a b c d", "a a b b c", "solo"]
+    out = {
+        r["doc_id"]: r
+        for r in TX.token_entropy(_df(spark, texts)).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        counts = Counter(toks)
+        n = len(toks)
+        want = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        got = out[i]["token_entropy"]
+        assert abs(got - want) < 1e-12, (i, got, want)
+        assert out[i]["n_tokens"] == n
+        assert out[i]["n_token_types"] == len(counts)
+    assert out[0]["token_entropy"] == 0.0  # all-same-token doc
+    assert abs(out[1]["token_entropy"] - 2.0) < 1e-15  # 4 uniform tokens
