@@ -23,7 +23,16 @@ Physical plan (the forward two-phase pattern transplanted):
 
 1. **Local pass** — a per-partition violation check. Superset-safe: a
    violator of p in p's own partition is a violator globally, so the
-   union of per-partition survivors contains the answer.
+   union of per-partition survivors contains the answer — under ANY
+   partitioning. The input is therefore repartitioned into blocks of
+   ``local_block_rows`` first: the pairwise check is O(m² d) per
+   partition, so splitting one m-row partition into k blocks cuts the
+   work by k× AND runs it on k cores (a single-file local scan would
+   otherwise serialize a quadratic pass through one task). Survivors
+   then take a second, coarser local pass (few blocks, still pairwise)
+   that removes most of the extra candidates the finer split let
+   through — both passes keep the superset property because a true
+   reverse-skyline point has no violators anywhere.
 2. **Verify pass** — survivors are counted against the FULL data:
    broadcast-and-count when the survivor set is driver-small (one
    distributed pass; counts, not rows, cross the wire), else a
@@ -80,6 +89,7 @@ def reverse_skyline(
     broadcast_rows: int = 1_000_000,
     cand_block_rows: int = 65_536,
     data_block_rows: int = 1 << 20,
+    local_block_rows: int = 4_096,
 ) -> DataFrame:
     """Rows of ``df`` in the reverse skyline of ``query_point`` over
     ``dims`` (all numeric/temporal; NULL-dim rows are excluded, like the
@@ -111,8 +121,26 @@ def reverse_skyline(
         if out.num_rows:
             yield from out.to_batches()
 
+    # bound the quadratic local pass: O(m²) per partition means one
+    # fat partition (a single-file scan) serializes the whole pass —
+    # splitting into b blocks divides the work by b and parallelizes it
+    n_rows = clean.count()
+    if n_rows == 0:
+        return clean.limit(0)
+    n_blocks = max(1, -(-n_rows // local_block_rows))
+    local_src = clean.repartition(n_blocks) if n_rows > local_block_rows else clean
+    surv1 = local_src.mapInArrow(local_pass, df.schema).select(*dim_cols).distinct()
+
+    # second, coarser local pass over the (small) survivor set: the
+    # fine split above lets extra candidates through; re-checking the
+    # survivors against each other in a handful of blocks removes most
+    # of them before the full-data verify. Survivors of the TRUE
+    # reverse skyline have no violators anywhere, so both passes keep
+    # the superset property.
     surv = _persist_tracked(
-        clean.mapInArrow(local_pass, df.schema).select(*dim_cols).distinct()
+        surv1.coalesce(max(1, df.sparkSession.sparkContext.defaultParallelism // 4))
+        .mapInArrow(local_pass, surv1.schema)
+        .distinct()
     )
     n_surv = surv.count()
     if n_surv == 0:
