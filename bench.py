@@ -59,6 +59,11 @@ EXTRA_QUERIES = [
     "skyline_join_priority",
     "reverse_skyline_part",
     "window_analytics_events",
+    "chunk_documents",
+    "decontaminate_documents",
+    "unigram_logprob_documents",
+    "pack_sequences_documents",
+    "mix_corpus_sources",
 ]
 
 
