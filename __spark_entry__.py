@@ -1302,11 +1302,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q7_volume_shipping,
         "q12_priority_by_linestatus": _q12_priority_by_linestatus,
         "q14_promo_revenue": _q14_promo_revenue,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
         # --- past the driver's 50-entry window: hash-green in r4
         # (or rows-only by declared design), logic untouched in r5;
-        # q17/q18/q5 share the date-predicate shape already re-checked
-        # in-window by q3/q6/q14
-        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        # q18/q5 share the date-predicate shape already re-checked
+        # in-window by q3/q6/q14/q17
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
         "skyline_twophase": _sky("twophase"),
@@ -2024,10 +2024,10 @@ agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_token_types,
                list_sort(list(c)) AS cs
         FROM cnt GROUP BY doc_id)
 SELECT doc_id, n AS n_tokens, n_token_types,
-       log2(CAST(n AS DOUBLE))
+       round(log2(CAST(n AS DOUBLE))
          - list_reduce(list_prepend(CAST(0 AS DOUBLE),
                                     [CAST(x AS DOUBLE) * log2(CAST(x AS DOUBLE)) FOR x IN cs]),
-                       (a, b) -> a + b) / CAST(n AS DOUBLE) AS token_entropy
+                       (a, b) -> a + b) / CAST(n AS DOUBLE), 6) AS token_entropy
 FROM agg
 """,
         "mix_corpus_sources": """
@@ -2077,9 +2077,9 @@ terms AS (SELECT doc_id, c, CAST(c AS DOUBLE) * log2(CAST(g AS DOUBLE)) AS term
 agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, list_sort(list(term)) AS ts
         FROM terms GROUP BY doc_id)
 SELECT doc_id, n_tokens,
-       list_reduce(list_prepend(CAST(0 AS DOUBLE), ts), (a, b) -> a + b)
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), ts), (a, b) -> a + b)
          / CAST(n_tokens AS DOUBLE)
-         - log2((SELECT CAST(n AS DOUBLE) FROM tot)) AS avg_token_logprob
+         - log2((SELECT CAST(n AS DOUBLE) FROM tot)), 6) AS avg_token_logprob
 FROM agg
 """,
         "window_analytics_events": """

@@ -371,7 +371,11 @@ def token_entropy(
         *ids,
         F.col("__n").alias("n_tokens"),
         "n_token_types",
-        (F.log2(n_dbl) - slogs / n_dbl).alias("token_entropy"),
+        # rounded to 6 decimals: JVM and C libm log2 disagree by 1 ulp
+        # on some inputs, so the raw double is not cross-engine
+        # hashable; 1e-6 precision is far beyond what a quality signal
+        # needs and a 1e-15 ulp gap cannot straddle a 1e-6 boundary
+        F.round(F.log2(n_dbl) - slogs / n_dbl, 6).alias("token_entropy"),
     )
 
 
@@ -467,8 +471,10 @@ def unigram_logprob(
     return per_doc.crossJoin(F.broadcast(total)).select(
         *ids,
         "n_tokens",
-        (
+        # rounded for cross-engine hashability (see token_entropy)
+        F.round(
             fold / F.col("n_tokens").cast("double")
-            - F.log2(F.col("__N").cast("double"))
+            - F.log2(F.col("__N").cast("double")),
+            6,
         ).alias("avg_token_logprob"),
     )

@@ -93,7 +93,10 @@ def _ensure_nanos_readable(spark: SparkSession) -> None:
     spark-submit jobs all hand us vanilla sessions), so the loader sets
     the runtime-settable legacy flag itself. Idempotent and cheap.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in a future Spark → nanos read natively
     # PySpark 4.1 reads parquet timestamp[us]-without-timezone as
     # TIMESTAMP_NTZ by default; read it as TimestampType instead so the
     # whole engine sees ONE timestamp type regardless of how the driver

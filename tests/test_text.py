@@ -159,11 +159,12 @@ def test_token_entropy_matches_reference(spark):
         n = len(toks)
         want = -sum((c / n) * math.log2(c / n) for c in counts.values())
         got = out[i]["token_entropy"]
-        assert abs(got - want) < 1e-12, (i, got, want)
+        # operator output is rounded to 6 decimals (cross-engine hash)
+        assert abs(got - want) < 1e-6, (i, got, want)
         assert out[i]["n_tokens"] == n
         assert out[i]["n_token_types"] == len(counts)
     assert out[0]["token_entropy"] == 0.0  # all-same-token doc
-    assert abs(out[1]["token_entropy"] - 2.0) < 1e-15  # 4 uniform tokens
+    assert abs(out[1]["token_entropy"] - 2.0) < 1e-6  # 4 uniform tokens
 
 
 def test_pack_sequences_budget_and_determinism(spark):
@@ -209,5 +210,6 @@ def test_unigram_logprob_matches_reference(spark):
         toks = t.split()
         want = sum(math.log2(corpus[w] / N) for w in toks) / len(toks)
         got = out[i]["avg_token_logprob"]
-        assert abs(got - want) < 1e-12, (i, got, want)
+        # operator output is rounded to 6 decimals (cross-engine hash)
+        assert abs(got - want) < 1e-6, (i, got, want)
         assert out[i]["n_tokens"] == len(toks)
