@@ -1215,6 +1215,17 @@ def _decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(evald, bench, k=5)
 
 
+def _dynamic_skyline_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dellis & Seeger's dynamic skyline at the same query point the
+    # reverse skyline uses: rows Pareto-minimal in |x - q| space
+    from skylinemapreducehadoop_spark.operators.reverse import dynamic_skyline
+
+    part = load_table(spark, sf_dir, "part")
+    return dynamic_skyline(part, ["p_retailprice", "p_size"], (960.0, 20.0)).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
 def _pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence packing: docs → fixed-token-budget training packs,
     # sharded so the packing window parallelizes
@@ -1288,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": _q15_top_supplier,
         "pack_sequences_documents": _pack_sequences_documents,
         "unigram_logprob_documents": _unigram_logprob_documents,
+        "dynamic_skyline_part": _dynamic_skyline_part,
         # (d) timestamp consumers re-checked under the r5 loader change
         "asof_join_events": _asof_join_events,
         "skyline_kband_events": _sky_kband_events,
@@ -1302,11 +1314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": _q7_volume_shipping,
         "q12_priority_by_linestatus": _q12_priority_by_linestatus,
         "q14_promo_revenue": _q14_promo_revenue,
-        "q17_small_qty_revenue": _q17_small_qty_revenue,
         # --- past the driver's 50-entry window: hash-green in r4
         # (or rows-only by declared design), logic untouched in r5;
-        # q18/q5 share the date-predicate shape already re-checked
-        # in-window by q3/q6/q14/q17
+        # q17/q18/q5 share the date-predicate shape already re-checked
+        # in-window by q3/q6/q14
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
         "skyline_twophase": _sky("twophase"),
@@ -2055,6 +2067,15 @@ SELECT ev.doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
        coalesce(n_shared, 0) AS n_shared,
        CAST(coalesce(n_shared, 0) AS DOUBLE) / greatest(CAST(len(gs) AS INTEGER), 1) AS contamination
 FROM ev LEFT JOIN sh USING (doc_id)
+""",
+        "dynamic_skyline_part": """
+SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part t
+  WHERE abs(t.p_retailprice - 960.0) <= abs(p.p_retailprice - 960.0)
+    AND abs(t.p_size - 20) <= abs(p.p_size - 20)
+    AND (abs(t.p_retailprice - 960.0) < abs(p.p_retailprice - 960.0)
+      OR abs(t.p_size - 20) < abs(p.p_size - 20)))
 """,
         "pack_sequences_documents": """
 WITH base AS (

@@ -239,3 +239,41 @@ def _verify_blocked(clean, surv, dim_signs, q, n_surv, cand_block_rows, data_blo
         .where(F.col("__n_viol") == 0)
         .select(*dim_cols)
     )
+
+
+def dynamic_skyline(
+    df: DataFrame,
+    dims: Sequence[str],
+    query_point: Sequence[float],
+    *,
+    strategy: str = "twophase",
+    **skyline_opts,
+) -> DataFrame:
+    """Skyline in the distance space centered at ``query_point``: the
+    rows minimizing ``|x_i - q_i|`` per dimension under strict Pareto
+    dominance (Dellis & Seeger's dynamic skyline — the per-point query
+    the reverse skyline inverts).
+
+    Pure composition: project the absolute distances as temp columns
+    and run the ordinary ``skyline`` operator over them, so every
+    strategy/merge path (twophase, quadtree, blocked merge) and its
+    scale properties apply unchanged. Tie semantics inherit from the
+    forward skyline: rows at identical distances both survive.
+    """
+    from skylinemapreducehadoop_spark.operators.skyline import skyline
+
+    dim_cols = list(dims)
+    missing = [c for c in dim_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"dynamic_skyline dims not in DataFrame: {missing}")
+    q = np.asarray(list(query_point), dtype=np.float64)
+    if q.shape != (len(dim_cols),):
+        raise ValueError(
+            f"query_point must have {len(dim_cols)} values, got {q.shape}"
+        )
+    tmp = {c: f"__dyn_{c}" for c in dim_cols}
+    proj = df
+    for c, qi in zip(dim_cols, q):
+        proj = proj.withColumn(tmp[c], F.abs(F.col(c) - F.lit(float(qi))))
+    out = skyline(proj, [(tmp[c], "min") for c in dim_cols], strategy=strategy, **skyline_opts)
+    return out.drop(*tmp.values())

@@ -61,3 +61,38 @@ def test_reverse_skyline_blocked_path(spark, points):
     )
     got = sorted(r["id"] for r in blocked.collect())
     assert got == _oracle_ids(rows, q)
+
+
+def test_dynamic_skyline_matches_bruteforce_reference(spark):
+    import itertools
+
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.reverse import dynamic_skyline
+
+    rng = np.random.default_rng(11)
+    pts = rng.integers(0, 20, size=(120, 2)).astype(float)
+    q = (7.0, 11.0)
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x double, y double",
+    )
+    got = sorted(
+        (r["x"], r["y"]) for r in dynamic_skyline(df, ["x", "y"], q).collect()
+    )
+    # reference: strict Pareto dominance in |p - q| space
+    d = np.abs(pts - np.asarray(q))
+    keep = []
+    for i in range(len(pts)):
+        dominated = any(
+            (d[j] <= d[i]).all() and (d[j] < d[i]).any() for j in range(len(pts))
+        )
+        if not dominated:
+            keep.append(tuple(pts[i]))
+    assert got == sorted(keep)
+    # strategies agree
+    got_qt = sorted(
+        (r["x"], r["y"])
+        for r in dynamic_skyline(df, ["x", "y"], q, strategy="bruteforce").collect()
+    )
+    assert got_qt == got
