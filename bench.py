@@ -128,7 +128,9 @@ def main() -> None:
     extra: dict[str, float] = {}
     for name in EXTRA_QUERIES:
         try:
-            extra[name] = round(_run_once(name), 3)
+            # best-of-2 like the headline: a single cold run charges
+            # one-time stage/codegen setup to the query being measured
+            extra[name] = round(min(_run_once(name) for _ in range(2)), 3)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
 

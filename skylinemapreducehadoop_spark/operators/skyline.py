@@ -603,7 +603,13 @@ def grouped_combine_fn(key_cols: Sequence[str], dim_signs: list[tuple[str, float
     return local_combine
 
 
-def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataFrame:
+def skyline_by(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    dims: DimSpec,
+    *,
+    combine: bool | None = None,
+) -> DataFrame:
     """Grouped skyline: the Pareto set within each group of ``keys``.
 
     Composition the reference cannot express (its cell grouping is
@@ -613,6 +619,16 @@ def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataF
     not the input. Without it, a low-cardinality key (the common case:
     few groups × billions of rows) would funnel ALL data through a
     handful of group tasks.
+
+    ``combine=None`` decides from the deployment: the combine's win is
+    replacing a NETWORK shuffle of all rows with one of tiny Pareto
+    sets, paid for with one extra Arrow pass over the data. On a real
+    cluster that trade always wins at volume → combine. On ``local[*]``
+    there is no network — the "shuffle" is in-process memory/disk, so
+    the extra pass costs more than it saves (measured 2-3.5× slower on
+    600k-row scans AND joins) → direct groupBy, whose per-group kernel
+    tasks are the same work the combine's final stage would do anyway.
+    Pass ``combine=True/False`` to override either way.
     """
     if isinstance(keys, str):
         keys = [keys]
@@ -625,17 +641,10 @@ def skyline_by(df: DataFrame, keys: Sequence[str] | str, dims: DimSpec) -> DataF
     def per_group(tbl: pa.Table) -> pa.Table:
         return _arrow_skyline(tbl, dim_signs)
 
-    # The combine pays off exactly when the scan is many-partitioned
-    # (its point is shrinking the shuffle input map-side, in parallel).
-    # On a single-partition source (one small/unsplittable file — the
-    # local testdata) it would serialize the whole kernel through one
-    # task, so fall through to the direct groupBy there. At cluster
-    # scale inputs are always many-partitioned → combine path.
-    try:
-        many_partitions = len(clean.inputFiles()) != 1
-    except Exception:
-        many_partitions = True
-    if many_partitions:
+    if combine is None:
+        master = (df.sparkSession.sparkContext.master or "").lower()
+        combine = not master.startswith("local")
+    if combine:
         local = clean.mapInArrow(local_combine, df.schema)
         return local.groupBy(*key_cols).applyInArrow(per_group, df.schema)
     return clean.groupBy(*key_cols).applyInArrow(per_group, df.schema)
