@@ -165,3 +165,74 @@ def test_hourly_rollup_stream(spark, tmp_path):
     assert {(str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"]) for r in got}
     total = sum(r["n_events"] for r in got)
     assert total == 12
+
+
+def test_interval_join_streams_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join == the batch range_join on the same
+    data (the operator's declared batch twin)."""
+    import datetime as dt
+
+    from skylinemapreducehadoop_spark.operators.temporal import range_join
+    from skylinemapreducehadoop_spark.streaming.joins import interval_join_streams
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), uid)
+        for i, (m, uid) in enumerate(
+            [(0, 1), (3, 1), (7, 1), (40, 1), (2, 2), (4, 2), (90, 2)]
+        )
+    ]
+    schema = "event_id long, ts timestamp, user_id long"
+    ldir, rdir = tmp_path / "left", tmp_path / "right"
+    df = spark.createDataFrame(rows, schema)
+    df.write.parquet(str(ldir))
+    df.write.parquet(str(rdir))
+
+    lstream = spark.readStream.schema(schema).parquet(str(ldir))
+    rstream = spark.readStream.schema(schema).parquet(str(rdir))
+    out = interval_join_streams(
+        lstream,
+        rstream,
+        on="user_id",
+        lower_seconds=0,
+        upper_seconds=600,
+        watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql("select event_id, event_id_r from ivj").collect()
+    }
+    want = {
+        (r["event_id"], r["event_id_r"])
+        for r in range_join(
+            df,
+            df,
+            left_on="ts",
+            right_on="ts",
+            by="user_id",
+            lower_seconds=0,
+            upper_seconds=600,
+        ).collect()
+    }
+    assert got == want and got  # non-empty and identical pair sets
+
+
+def test_interval_join_streams_rejects_bad_bounds(spark):
+    import pytest
+
+    from skylinemapreducehadoop_spark.streaming.joins import interval_join_streams
+
+    df = spark.createDataFrame([], "ts timestamp, user_id long")
+    with pytest.raises(ValueError):
+        interval_join_streams(df, df, on="user_id", lower_seconds=10, upper_seconds=5)
+    with pytest.raises(ValueError):
+        interval_join_streams(df, df, on="user_id", lower_seconds=-1)
