@@ -301,7 +301,10 @@ def embedding_near_dup(
         "id", "v", F.posexplode("__bs").alias("__table", "__bucket")
     )
 
-    l, r = bucketed.alias("l"), bucketed.alias("r")
+    # shuffle_hash: both sides carry the full embedding column — a
+    # compile-time auto-broadcast (size estimates under-count arrays)
+    # would OOM at volume; AQE still broadcasts a measured-small side
+    l, r = bucketed.alias("l"), bucketed.hint("shuffle_hash").alias("r")
     cand = (
         l.join(
             r,

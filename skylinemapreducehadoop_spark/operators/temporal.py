@@ -134,6 +134,9 @@ def range_join(
         r = r.withColumnRenamed(old, new)
     right_on_out = rename.get(right_on, right_on)
 
-    joined = l.join(r, on=[*by, "__b"], how="inner")
+    # shuffle_hash: both sides are stream-sized fact tables — never
+    # let a compile-time size misestimate broadcast one (AQE still
+    # upgrades to broadcast when a side is measured small at runtime)
+    joined = l.join(r.hint("shuffle_hash"), on=[*by, "__b"], how="inner")
     delta = F.unix_micros(F.col(right_on_out)) - F.unix_micros(F.col(left_on))
     return joined.where((delta > F.lit(lo_us)) & (delta <= F.lit(up_us))).drop("__b")
