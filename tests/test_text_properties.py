@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the curation operators.
+
+Each property is a law that must hold for ANY input, not just the
+fixtures: chunk reconstruction, packing order/budget invariants,
+entropy bounds + permutation invariance, mixing subset/scale laws.
+Example counts are small because every example round-trips Spark.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from skylinemapreducehadoop_spark.functions import text as TX
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_token = st.text(alphabet="abcdef", min_size=1, max_size=3)
+_doc = st.lists(_token, min_size=0, max_size=40).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_doc, min_size=1, max_size=6), data=st.data())
+def test_chunk_reconstruction(spark, docs, data):
+    """Chunk 0 plus every later chunk's tokens[overlap:] re-concatenate
+    to the original token stream — no token lost or duplicated."""
+    size = data.draw(st.integers(2, 8))
+    overlap = data.draw(st.integers(0, size - 1))
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    out = TX.chunk_documents(df, size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for i, doc in enumerate(docs):
+        toks = doc.split() if doc.strip() else [""]
+        chunks = [t for _, t in sorted(by_doc[i])]
+        rebuilt = chunks[0].split() if chunks[0] else [""]
+        for c in chunks[1:]:
+            ctoks = c.split() if c else []
+            rebuilt += ctoks[overlap:]
+        # trailing chunks shorter than overlap contribute nothing; the
+        # rebuilt stream must equal the source token stream
+        assert rebuilt == toks, (i, size, overlap, chunks)
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_doc.filter(lambda d: d.strip()), min_size=1, max_size=8))
+def test_pack_sequences_invariants(spark, docs):
+    """Pack ids are shard-scoped, non-decreasing in doc_id order, and
+    each pack's preceding-token count matches the greedy reference."""
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    rows = sorted(
+        TX.pack_sequences(df, budget=7, n_shards=3).collect(),
+        key=lambda r: (r["shard"], r["doc_id"]),
+    )
+    assert len(rows) == len(docs)
+    cum: dict[int, int] = {}
+    last_pack: dict[int, int] = {}
+    for r in rows:
+        before = cum.get(r["shard"], 0)
+        assert r["pack_id"] == r["shard"] * (1 << 40) + before // 7
+        assert r["pack_id"] >= last_pack.get(r["shard"], r["pack_id"])
+        last_pack[r["shard"]] = r["pack_id"]
+        cum[r["shard"]] = before + r["n_tokens"]
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_doc.filter(lambda d: d.strip()), min_size=1, max_size=6), seed=st.integers(0, 10_000))
+def test_token_entropy_bounds_and_permutation_invariance(spark, docs, seed):
+    """0 <= H <= log2(n_types); shuffling a doc's tokens leaves H as-is
+    (entropy sees the bag, not the order)."""
+    import random
+
+    rng = random.Random(seed)
+    shuffled = []
+    for d in docs:
+        toks = d.split()
+        rng.shuffle(toks)
+        shuffled.append(" ".join(toks))
+    df1 = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    df2 = spark.createDataFrame(list(enumerate(shuffled)), "doc_id int, text string")
+    h1 = {r["doc_id"]: r for r in TX.token_entropy(df1).collect()}
+    h2 = {r["doc_id"]: r["token_entropy"] for r in TX.token_entropy(df2).collect()}
+    for i in h1:
+        h = h1[i]["token_entropy"]
+        assert -1e-9 <= h <= math.log2(max(h1[i]["n_token_types"], 1)) + 1e-9
+        assert h == h2[i], (i, h, h2[i])
+
+
+@settings(**_SETTINGS)
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]), st.integers(1, 5), min_size=1, max_size=3
+    )
+)
+def test_mix_corpus_subset_and_scale_stratum_kept_whole(spark, weights):
+    """Output is a subset of the input restricted to weighted strata,
+    and the scale-setting stratum (min n/w) is kept in full."""
+    from skylinemapreducehadoop_spark.operators.sampling import mix_corpus
+
+    rows = [(f"s{i % 3}", f"text-{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = mix_corpus(df, weights).collect()
+    in_set = set(map(tuple, rows))
+    counts: dict[str, int] = {}
+    for r in out:
+        assert (r["source"], r["text"]) in in_set
+        assert r["source"] in weights
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    n_per = {s: sum(1 for src, _ in rows if src == s) for s in weights}
+    scale = min(weights, key=lambda s: (n_per[s] / weights[s], n_per[s], weights[s]))
+    assert counts.get(scale, 0) == n_per[scale]
