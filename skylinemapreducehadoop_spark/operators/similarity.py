@@ -75,6 +75,87 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine for a BATCH of query vectors — the realistic
+    retrieval shape (evaluate a query set, build a kNN graph slice)
+    instead of one vector at a time.
+
+    Plan: the query batch (bounded — a few thousand vectors) is
+    collected and closed over as ONE matrix; a single ``mapInPandas``
+    pass computes the full (batch_rows × n_queries) score block per
+    Arrow batch with one matmul and emits only each partition's top-k
+    per query, so the shuffle carries ``k × partitions × queries``
+    rows, never the corpus; a window takes the global top-k. Scores
+    are rounded to 6 decimals AFTER ranking (cross-engine hash rule).
+
+    ``exclude_self`` drops corpus rows whose id equals the query id
+    (the common corpus-as-query-source setup).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    dim = Q.shape[1]
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType()),
+            corpus.schema[id_col],
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def part_topk(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            m = _as_matrix(pdf[vec_col], dim)
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(m, axis=1)
+            denom = norms[:, None] * qn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(denom > 0, (m @ Q.T) / denom, 0.0)  # (n, q)
+            if exclude_self:
+                s[ids[:, None] == qids[None, :]] = -np.inf
+            top = min(k, len(ids))
+            # per-query partial top-k: argpartition per column
+            idx = np.argpartition(-s, top - 1, axis=0)[:top]  # (top, q)
+            qcol = np.broadcast_to(qids[None, :], idx.shape)
+            flat_scores = np.take_along_axis(s, idx, axis=0).ravel()
+            keep = np.isfinite(flat_scores)
+            yield pd.DataFrame(
+                {
+                    query_id_col: qcol.ravel()[keep],
+                    id_col: ids[idx.ravel()][keep],
+                    "score": flat_scores[keep],
+                }
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(part_topk, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"))
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim))

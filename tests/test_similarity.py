@@ -91,3 +91,49 @@ def test_near_dup_plan_has_no_cartesian(spark):
     _, df = _vectors(spark, n=100)
     plan = S.embedding_near_dup(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_batch_matches_single_query(spark):
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.where("vec_id < 3").selectExpr(
+        "vec_id as qid", "embedding as qvec"
+    )
+    batch = cosine_topk_batch(df, queries, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], round(r["score"], 6)))
+    for qid in range(3):
+        single = [
+            (r["vec_id"], round(r["score"], 6))
+            for r in cosine_topk(
+                df.where(f"vec_id <> {qid}"), vecs[qid].tolist(), k=5
+            ).collect()
+        ]
+        assert sorted(got[qid]) == sorted(single), qid
+
+
+def test_cosine_topk_batch_rejects_bad_input(spark):
+    import pytest
+
+    from skylinemapreducehadoop_spark.operators.similarity import cosine_topk_batch
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    q = df.selectExpr("vec_id as qid", "embedding as qvec")
+    with pytest.raises(ValueError):
+        cosine_topk_batch(df, q, k=0)
+    with pytest.raises(ValueError):
+        cosine_topk_batch(df, q.where("qid < 0"), k=5)
