@@ -64,6 +64,8 @@ EXTRA_QUERIES = [
     "unigram_logprob_documents",
     "pack_sequences_documents",
     "mix_corpus_sources",
+    "topk_batch_similarity",
+    "dynamic_skyline_part",
 ]
 
 

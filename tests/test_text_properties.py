@@ -89,7 +89,9 @@ def test_token_entropy_bounds_and_permutation_invariance(spark, docs, seed):
     h2 = {r["doc_id"]: r["token_entropy"] for r in TX.token_entropy(df2).collect()}
     for i in h1:
         h = h1[i]["token_entropy"]
-        assert -1e-9 <= h <= math.log2(max(h1[i]["n_token_types"], 1)) + 1e-9
+        # the operator rounds to 6 decimals, which can carry the value
+        # up to 5e-7 past the exact bound
+        assert -1e-6 <= h <= math.log2(max(h1[i]["n_token_types"], 1)) + 1e-6
         assert h == h2[i], (i, h, h2[i])
 
 
