@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
 from skylinemapreducehadoop_spark.sources.tables import _normalize_nanos, load_table
 
-ENCODINGS = ("nanos", "micros_ntz", "micros_utc")
+ENCODINGS = ("nanos", "micros_ntz", "micros_utc", "int96")
 
 BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
 # (event_id, minutes-offset, user_id) — two users, gaps straddling the
@@ -42,12 +42,18 @@ ROWS = [
 
 def _write_events(tmpdir: str, encoding: str) -> str:
     ts = [BASE + dt.timedelta(minutes=m) for _, m, _ in ROWS]
+    write_kwargs = {}
     if encoding == "nanos":
         ts_type = pa.timestamp("ns")
     elif encoding == "micros_ntz":
         ts_type = pa.timestamp("us")
     elif encoding == "micros_utc":
         ts_type = pa.timestamp("us", tz="UTC")
+    elif encoding == "int96":
+        # the legacy Hive/Spark physical encoding still found in old
+        # warehouse files
+        ts_type = pa.timestamp("ns")
+        write_kwargs["use_deprecated_int96_timestamps"] = True
     else:  # pragma: no cover
         raise AssertionError(encoding)
     tbl = pa.table(
@@ -58,7 +64,7 @@ def _write_events(tmpdir: str, encoding: str) -> str:
         }
     )
     path = os.path.join(tmpdir, f"events.parquet")
-    pq.write_table(tbl, path)
+    pq.write_table(tbl, path, **write_kwargs)
     return tmpdir
 
 
