@@ -123,7 +123,11 @@ def reverse_skyline(
 
     # bound the quadratic local pass: O(m²) per partition means one
     # fat partition (a single-file scan) serializes the whole pass —
-    # splitting into b blocks divides the work by b and parallelizes it
+    # splitting into b blocks divides the work by b and parallelizes it.
+    # clean is scanned by the count, the local pass, the verify pass and
+    # the final semi-join — persist it (tracked, disk-spilling) so the
+    # source is read once, not four times.
+    clean = _persist_tracked(clean)
     n_rows = clean.count()
     if n_rows == 0:
         return clean.limit(0)

@@ -108,14 +108,17 @@ def cosine_topk_batch(
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
         raise ValueError("queries is empty")
-    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    # keep query ids in their native dtype (string/long/... all work —
+    # the exclude_self == comparison and the output column both follow
+    # the queries frame's schema, not a hardcoded int64)
+    qids = np.asarray([r[0] for r in qrows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(Q, axis=1)
     dim = Q.shape[1]
 
     out_schema = T.StructType(
         [
-            T.StructField(query_id_col, T.LongType()),
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
             corpus.schema[id_col],
             T.StructField("score", T.DoubleType()),
         ]

@@ -642,8 +642,16 @@ def skyline_by(
         return _arrow_skyline(tbl, dim_signs)
 
     if combine is None:
-        master = (df.sparkSession.sparkContext.master or "").lower()
-        combine = not master.startswith("local")
+        # sparkContext is unavailable under Spark Connect — default to
+        # combine=True there (the cluster-shaped choice). Match only
+        # REAL local masters: 'local' / 'local[...]' — NOT
+        # 'local-cluster[...]', which simulates real executors with a
+        # network shuffle and wants the combine.
+        try:
+            master = (df.sparkSession.sparkContext.master or "").lower()
+        except Exception:
+            master = ""
+        combine = not (master == "local" or master.startswith("local["))
     if combine:
         local = clean.mapInArrow(local_combine, df.schema)
         return local.groupBy(*key_cols).applyInArrow(per_group, df.schema)

@@ -55,8 +55,22 @@ def interval_join_streams(
 
     lo_us = int(lower_seconds * 1_000_000)
     up_us = int(upper_seconds * 1_000_000)
-    delta = F.unix_micros(F.col(right_ts_out)) - F.unix_micros(F.col(left_ts))
+    # The bound MUST be expressed directly on the watermarked timestamp
+    # columns (ts_r > ts + INTERVAL, ts_r <= ts + INTERVAL): Spark's
+    # StreamingJoinHelper derives per-side state watermarks only from
+    # interval arithmetic it can analyze. The equivalent
+    # unix_micros(r) - unix_micros(l) form is opaque to it — the join
+    # still returns the right rows, but state cleanup predicates come
+    # out null and the state store grows without bound.
     cond = (
-        (l_wm[on] == r_wm[on]) & (delta > F.lit(lo_us)) & (delta <= F.lit(up_us))
+        (l_wm[on] == r_wm[on])
+        & (
+            F.col(right_ts_out)
+            > F.col(left_ts) + F.expr(f"INTERVAL {lo_us} MICROSECOND")
+        )
+        & (
+            F.col(right_ts_out)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {up_us} MICROSECOND")
+        )
     )
     return l_wm.join(r_wm, cond, "inner").drop(r_wm[on])

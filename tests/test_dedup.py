@@ -137,6 +137,7 @@ def test_contamination_check_counts(spark):
             (2, "quick brown fox jumps over a sleepy cat today"),  # partial
             (3, "completely unrelated text with many different words"),
             (4, "tiny doc"),  # < k tokens -> 0 grams
+            (5, None),  # NULL text -> 0 grams (not size(NULL) = -1)
         ],
         "doc_id long, text string",
     )
@@ -147,3 +148,5 @@ def test_contamination_check_counts(spark):
     assert out[2]["n_shared"] == 1
     assert out[3]["n_shared"] == 0 and out[3]["contamination"] == 0.0
     assert out[4]["n_grams"] == 0 and out[4]["contamination"] == 0.0
+    assert out[5]["n_grams"] == 0 and out[5]["n_shared"] == 0
+    assert out[5]["contamination"] == 0.0

@@ -124,6 +124,31 @@ def test_cosine_topk_batch_matches_single_query(spark):
         assert sorted(got[qid]) == sorted(single), qid
 
 
+def test_cosine_topk_batch_string_ids(spark):
+    """Query ids follow the queries frame's schema — string ids work
+    end-to-end (r5 hardcoded int64 and crashed on non-integer ids),
+    and exclude_self still drops the matching corpus row."""
+    from skylinemapreducehadoop_spark.operators.similarity import cosine_topk_batch
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.9, 0.1]),
+            ("c", [0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    queries = df.where("vec_id = 'a'").selectExpr(
+        "vec_id as qid", "embedding as qvec"
+    )
+    got = cosine_topk_batch(df, queries, k=2).collect()
+    assert {r["qid"] for r in got} == {"a"}
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: -r["score"])]
+    assert ids == ["b", "c"]  # 'a' itself excluded
+    assert dict(got[0].asDict())["qid"] == "a"
+    assert cosine_topk_batch(df, queries, k=2).schema["qid"].dataType.typeName() == "string"
+
+
 def test_cosine_topk_batch_rejects_bad_input(spark):
     import pytest
 

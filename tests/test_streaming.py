@@ -226,6 +226,71 @@ def test_interval_join_streams_matches_batch_range_join(spark, tmp_path):
     assert got == want and got  # non-empty and identical pair sets
 
 
+def test_interval_join_streams_state_cleanup(spark, tmp_path):
+    """The time bound is written as interval arithmetic on the
+    watermarked timestamp columns so StreamingJoinHelper can derive
+    state watermarks — this test proves rows are actually REMOVED from
+    the join state store (the r5 unix_micros form joined correctly but
+    leaked state forever: cleanup predicates were null, removed=0)."""
+    import datetime as dt
+    import time
+
+    from skylinemapreducehadoop_spark.streaming.joins import interval_join_streams
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long"
+    ldir, rdir = tmp_path / "left", tmp_path / "right"
+    # three time-ordered file batches an hour apart: with a 1-minute
+    # watermark and a 60s join upper bound, batch-1 state is far past
+    # its eviction horizon once batch 2 lands
+    for b in range(3):
+        rows = [
+            (b * 10 + i, base + dt.timedelta(hours=b, seconds=i), 1)
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        df.write.mode("append").parquet(str(ldir))
+        df.write.mode("append").parquet(str(rdir))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    lstream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ldir))
+    )
+    rstream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(rdir))
+    )
+    out = interval_join_streams(
+        lstream,
+        rstream,
+        on="user_id",
+        lower_seconds=0,
+        upper_seconds=60,
+        watermark="1 minute",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivj_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    removed = sum(
+        so.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert removed > 0, (
+        "join state store never evicted rows — the time-range condition "
+        "is not analyzable by StreamingJoinHelper"
+    )
+
+
 def test_interval_join_streams_rejects_bad_bounds(spark):
     import pytest
 
