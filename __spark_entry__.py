@@ -1225,6 +1225,14 @@ def _topk_batch_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_batch(emb, queries, k=10)
 
 
+def _knn_graph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-as-queries exact kNN graph: top-5 neighbors for EVERY
+    # vector, fully distributed (no driver collect of either side);
+    # small blocks so the cogrouped block-pair merge path is exercised
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=5, q_block_rows=256, c_block_rows=256)
+
+
 def _dynamic_skyline_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dellis & Seeger's dynamic skyline at the same query point the
     # reverse skyline uses: rows Pareto-minimal in |x - q| space
@@ -1311,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": _unigram_logprob_documents,
         "dynamic_skyline_part": _dynamic_skyline_part,
         "topk_batch_similarity": _topk_batch_similarity,
+        "knn_graph_sample": _knn_graph_sample,
         # (d) timestamp consumers re-checked under the r5 loader change
         "asof_join_events": _asof_join_events,
         "skyline_kband_events": _sky_kband_events,
@@ -2089,6 +2098,17 @@ ranked AS (SELECT qid, vec_id, s,
                   row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
            FROM scored)
 SELECT qid, vec_id, round(s, 6) AS score FROM ranked WHERE rn <= 10
+""",
+        "knn_graph_sample": """
+WITH scored AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s
+  FROM embeddings e CROSS JOIN embeddings q
+  WHERE e.vec_id <> q.vec_id),
+ranked AS (SELECT qid, vec_id, s,
+                  row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+           FROM scored)
+SELECT qid, vec_id, round(s, 6) AS score FROM ranked WHERE rn <= 5
 """,
         "dynamic_skyline_part": """
 SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p

@@ -85,6 +85,7 @@ def cosine_topk_batch(
     query_id_col: str = "qid",
     query_vec_col: str = "qvec",
     exclude_self: bool = True,
+    max_query_rows: int = 65_536,
 ) -> DataFrame:
     """Exact top-k cosine for a BATCH of query vectors — the realistic
     retrieval shape (evaluate a query set, build a kNN graph slice)
@@ -100,12 +101,29 @@ def cosine_topk_batch(
 
     ``exclude_self`` drops corpus rows whose id equals the query id
     (the common corpus-as-query-source setup).
+
+    The query side is DRIVER-COLLECTED by design — right for an eval
+    set, wrong for a corpus. ``max_query_rows`` bounds the collect
+    (via ``limit``, so the driver never fetches more) and fails fast
+    with a pointer to :func:`knn_graph`, the fully distributed
+    corpus-as-queries path.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"queries exceeds max_query_rows={max_query_rows}: "
+            "cosine_topk_batch collects the query side to the driver "
+            "(eval-set contract). For corpus-sized query sets use "
+            "knn_graph(), which never collects either side."
+        )
     if not qrows:
         raise ValueError("queries is empty")
     # keep query ids in their native dtype (string/long/... all work —
@@ -156,6 +174,158 @@ def cosine_topk_batch(
         local.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
         .select(query_id_col, id_col, F.round("score", 6).alias("score"))
+    )
+
+
+def _series_dim(s: pd.Series) -> int:
+    m = 0
+    for v in s:
+        if v is not None:
+            m = max(m, len(v))
+    return m
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_block_rows: int = 4_096,
+    c_block_rows: int = 16_384,
+    exclude_self: bool = True,
+    out_query_col: str = "qid",
+) -> DataFrame:
+    """Exact k-nearest-neighbor GRAPH: for EVERY corpus row, its top-k
+    cosine neighbors — the corpus-as-queries retrieval shape (SemDeDup
+    style clustering, near-dup graph construction). Unlike
+    :func:`cosine_topk_batch` this NEVER collects either side to the
+    driver, so the "query" set can be the full corpus.
+
+    Plan: both sides are hash-split into blocks (queries into B blocks
+    of ``q_block_rows``, corpus into C of ``c_block_rows``) and every
+    (query-block, corpus-block) pair meets in ONE cogrouped Arrow task:
+    queries replicate C ways, corpus replicates B ways (shuffle volume
+    n·(B+C) rows, never n² pairs), each task runs a chunked matmul and
+    emits only its block-local top-k per query, and a final window
+    takes the global top-k. Per-task memory is bounded by the block
+    sizes regardless of corpus size.
+
+    Exactness is O(n²/·) work by nature — this is the brute-force twin
+    with distributed, bounded mechanics; at real corpus scale use
+    ``ann_lsh_topk`` / ``ivf_topk`` buckets to shrink the candidate
+    pairs first. Ties are broken by ascending neighbor id everywhere
+    (chunk-local, block-local, and global), so results are
+    deterministic under any partitioning; scores are rounded to 6
+    decimals AFTER ranking (cross-engine hash rule).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if out_query_col == id_col:
+        raise ValueError(
+            f"out_query_col must differ from id_col, both are {id_col!r}"
+        )
+    n = corpus.count()
+    if n == 0:
+        empty_schema = T.StructType(
+            [
+                T.StructField(out_query_col, corpus.schema[id_col].dataType),
+                corpus.schema[id_col],
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], empty_schema)
+    from pyspark.sql import Window
+
+    n_qb = max(1, -(-n // q_block_rows))
+    n_cb = max(1, -(-n // c_block_rows))
+
+    base = corpus.select(id_col, vec_col)
+    qside = (
+        base.select(
+            F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+        .withColumn(
+            "__qb", F.pmod(F.xxhash64(F.col("__qid")), F.lit(n_qb)).cast("int")
+        )
+        .withColumn("__cb", F.explode(F.sequence(F.lit(0), F.lit(n_cb - 1))))
+    )
+    cside = (
+        base.withColumn(
+            "__cb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_cb)).cast("int")
+        )
+        .withColumn("__qb", F.explode(F.sequence(F.lit(0), F.lit(n_qb - 1))))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(out_query_col, corpus.schema[id_col].dataType),
+            corpus.schema[id_col],
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({out_query_col: [], id_col: [], "score": []})
+
+    def block_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return empty
+        # corpus rows id-ascending: stable sorts below then break score
+        # ties by id automatically (chunk slices preserve the order)
+        cpdf = cpdf.sort_values(id_col, kind="stable")
+        dim = max(_series_dim(qpdf["__qvec"]), _series_dim(cpdf[vec_col]))
+        if dim == 0:
+            return empty
+        Qm = _as_matrix(qpdf["__qvec"], dim)
+        qn = np.linalg.norm(Qm, axis=1)
+        qids = qpdf["__qid"].to_numpy()
+        Cm = _as_matrix(cpdf[vec_col], dim)
+        cn = np.linalg.norm(Cm, axis=1)
+        cids = cpdf[id_col].to_numpy()
+        # chunk the (n_q x chunk) score block to ~64 MB of doubles
+        step = max(1, (1 << 23) // max(len(qpdf), 1))
+        cand_s: list[np.ndarray] = []
+        cand_i: list[np.ndarray] = []
+        for s0 in range(0, len(cids), step):
+            sub = Cm[s0 : s0 + step]
+            subn = cn[s0 : s0 + step]
+            subids = cids[s0 : s0 + step]
+            denom = qn[:, None] * subn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(denom > 0, (Qm @ sub.T) / denom, 0.0)
+            if exclude_self:
+                s[qids[:, None] == subids[None, :]] = -np.inf
+            top = min(k, s.shape[1])
+            idx = np.argsort(-s, axis=1, kind="stable")[:, :top]
+            cand_s.append(np.take_along_axis(s, idx, axis=1))
+            cand_i.append(subids[idx])
+        S_ = np.concatenate(cand_s, axis=1)
+        I_ = np.concatenate(cand_i, axis=1)
+        top = min(k, S_.shape[1])
+        idx = np.argsort(-S_, axis=1, kind="stable")[:, :top]
+        sel_s = np.take_along_axis(S_, idx, axis=1).ravel()
+        sel_i = np.take_along_axis(I_, idx, axis=1).ravel()
+        qcol = np.repeat(qids, top)
+        keep = np.isfinite(sel_s)
+        return pd.DataFrame(
+            {
+                out_query_col: qcol[keep],
+                id_col: sel_i[keep],
+                "score": sel_s[keep],
+            }
+        )
+
+    local = (
+        qside.groupby("__qb", "__cb")
+        .cogroup(cside.groupby("__qb", "__cb"))
+        .applyInPandas(block_topk, out_schema)
+    )
+    w = Window.partitionBy(out_query_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(out_query_col, id_col, F.round("score", 6).alias("score"))
     )
 
 

@@ -162,3 +162,115 @@ def test_cosine_topk_batch_rejects_bad_input(spark):
         cosine_topk_batch(df, q, k=0)
     with pytest.raises(ValueError):
         cosine_topk_batch(df, q.where("qid < 0"), k=5)
+
+
+def test_cosine_topk_batch_guards_corpus_sized_queries(spark):
+    """A corpus-sized query set must fail fast (bounded limit-collect),
+    not OOM the driver — the error points at knn_graph."""
+    import numpy as np
+    import pytest
+
+    from skylinemapreducehadoop_spark.operators.similarity import cosine_topk_batch
+
+    rng = np.random.default_rng(0)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(4).tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.selectExpr("vec_id as qid", "embedding as qvec")
+    with pytest.raises(ValueError, match="knn_graph"):
+        cosine_topk_batch(df, q, k=3, max_query_rows=5)
+
+
+def _brute_knn(vecs, k, exclude_self=True):
+    import numpy as np
+
+    n = len(vecs)
+    norms = np.linalg.norm(vecs, axis=1)
+    denom = norms[:, None] * norms[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.where(denom > 0, (vecs @ vecs.T) / denom, 0.0)
+    if exclude_self:
+        np.fill_diagonal(s, -np.inf)
+    out = {}
+    for q in range(n):
+        order = sorted(range(n), key=lambda j: (-s[q, j], j))
+        out[q] = [
+            (j, round(float(s[q, j]), 6))
+            for j in order[:k]
+            if np.isfinite(s[q, j])
+        ]
+    return out
+
+
+def test_knn_graph_matches_bruteforce_multiblock(spark):
+    """Exact kNN graph == the numpy brute force, with block sizes small
+    enough that every query meets the corpus across MANY cogrouped
+    block pairs (the distributed merge path, not one big group)."""
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.similarity import knn_graph
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((120, 8))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {}
+    rows = knn_graph(df, k=4, q_block_rows=16, c_block_rows=32).collect()
+    for r in rows:
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["score"]))
+    want = _brute_knn(vecs, k=4)
+    assert set(got) == set(want)
+    for q in want:
+        assert sorted(got[q]) == sorted(want[q]), q
+
+
+def test_knn_graph_tie_break_deterministic(spark):
+    """Planted exact duplicates (cosine ties at 1.0) resolve by
+    ascending neighbor id, regardless of block splits."""
+    from skylinemapreducehadoop_spark.operators.similarity import knn_graph
+
+    # ids 0,1,2,3 all identical; 4,5 identical; one stray
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),
+        (3, [3.0, 0.0]),
+        (4, [0.0, 1.0]),
+        (5, [0.0, 2.0]),
+        (6, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {}
+    for r in knn_graph(df, k=2, q_block_rows=2, c_block_rows=3).collect():
+        out.setdefault(r["qid"], []).append(r["vec_id"])
+    # for query 3: ids 0,1,2 all score 1.0 -> keep the two smallest ids
+    assert out[3] == [0, 1]
+    assert out[0] == [1, 2]
+
+
+def test_knn_graph_never_collects(spark, monkeypatch):
+    """The corpus-as-queries path must be driver-safe: fail the test if
+    ANY DataFrame.collect / toPandas fires while building and running
+    knn_graph (count()/foreach-free aggregation is allowed)."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from skylinemapreducehadoop_spark.operators import similarity as S2
+
+    rng = np.random.default_rng(1)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(4).tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def boom(self, *a, **kw):  # pragma: no cover - should never run
+        raise AssertionError("knn_graph collected rows to the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "toArrow", boom, raising=False)
+    out = S2.knn_graph(df, k=3, q_block_rows=16, c_block_rows=16)
+    assert out.count() == 150  # 50 queries x 3 neighbors, no collect
