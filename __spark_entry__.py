@@ -610,6 +610,99 @@ def _q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+def _q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q21-style multi-way correlated EXISTS + NOT-EXISTS on the fact
+    # table: suppliers who were the ONLY supplier with a returned line
+    # in a finished multi-supplier order (the testdata schema has no
+    # commit/receipt dates, so "problem line" = l_returnflag = 'R').
+    # Planner shape: fact self-join as left_semi AND left_anti with a
+    # non-equi guard, dims broadcast.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = l1.select("l_orderkey", "l_suppkey").alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            cand.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(supp), cand.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_9")),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def _q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q20-style nested IN + correlated scalar aggregate: suppliers in
+    # one nation who shipped >30% of their all-time volume of some
+    # red part during 1995 (no partsupp in this schema — the supply
+    # relation is the (supplier, part) pairs derived from lineitem,
+    # and "availqty vs half the shipped qty" becomes "1995 qty vs 30%
+    # of all-time qty"). Catalyst decorrelates the scalar subquery
+    # into an aggregate + equi-join; part and the pair set broadcast.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+    red_parts = part.where(F.col("p_name").like("red%")).select("p_partkey")
+    qty95 = (
+        li.where(F.year("l_shipdate") == 1995)
+        .join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty95"))
+    )
+    total = li.groupBy(
+        F.col("l_suppkey").alias("t_suppkey"), F.col("l_partkey").alias("t_partkey")
+    ).agg(F.sum("l_quantity").alias("qty_all"))
+    excess = (
+        qty95.join(
+            total,
+            (qty95.l_suppkey == total.t_suppkey)
+            & (qty95.l_partkey == total.t_partkey),
+        )
+        .where(F.col("qty95") > 0.3 * F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_9")),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
 def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bidirectional nation-pair trade volume by ship year
     li = load_table(spark, sf_dir, "lineitem")
@@ -1320,6 +1413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_skyline_part": _dynamic_skyline_part,
         "topk_batch_similarity": _topk_batch_similarity,
         "knn_graph_sample": _knn_graph_sample,
+        "q21_waiting_orders": _q21_waiting_orders,
+        "q20_excess_suppliers": _q20_excess_suppliers,
         # (d) timestamp consumers re-checked under the r5 loader change
         "asof_join_events": _asof_join_events,
         "skyline_kband_events": _sky_kband_events,
@@ -2098,6 +2193,33 @@ ranked AS (SELECT qid, vec_id, s,
                   row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
            FROM scored)
 SELECT qid, vec_id, round(s, 6) AS score FROM ranked WHERE rn <= 10
+""",
+        "q21_waiting_orders": """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+        "q20_excess_suppliers": """
+SELECT s_suppkey, s_name FROM supplier, nation
+WHERE s_nationkey = n_nationkey AND n_name = 'NATION_9'
+  AND s_suppkey IN (
+    SELECT sp.l_suppkey FROM (
+      SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty95
+      FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1, 2) sp
+    WHERE sp.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND sp.qty95 > 0.3 * (SELECT sum(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = sp.l_partkey
+                              AND l2.l_suppkey = sp.l_suppkey))
 """,
         "knn_graph_sample": """
 WITH scored AS (
