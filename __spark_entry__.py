@@ -1326,6 +1326,45 @@ def _knn_graph_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_graph(emb, k=5, q_block_rows=256, c_block_rows=256)
 
 
+def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the streaming family's first driver-checked entry: replay the
+    # documents table through streaming_exact_dedup with availableNow
+    # and return the final (batch-queryable) result. Determinism: the
+    # source is rewritten as ONE doc_id-sorted parquet file, so
+    # "first occurrence" = min doc_id per distinct content and the
+    # survivor set is exactly what the batch oracle computes.
+    import os
+    import tempfile
+    import uuid
+
+    from skylinemapreducehadoop_spark.streaming.dedup import streaming_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_replay_")
+    src = os.path.join(tmp, "src")
+    docs.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    ded = streaming_exact_dedup(
+        stream.withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))),
+        text_col="text",
+        ts_col="ts",
+        watermark="1 hour",
+    )
+    qname = f"stream_dedup_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        ded.select("doc_id", "fingerprint")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(qname)
+
+
 def _dynamic_skyline_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dellis & Seeger's dynamic skyline at the same query point the
     # reverse skyline uses: rows Pareto-minimal in |x - q| space
@@ -1415,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
+        "streaming_dedup_replay": _streaming_dedup_replay,
         # (d) timestamp consumers re-checked under the r5 loader change
         "asof_join_events": _asof_join_events,
         "skyline_kband_events": _sky_kband_events,
@@ -2193,6 +2233,13 @@ ranked AS (SELECT qid, vec_id, s,
                   row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
            FROM scored)
 SELECT qid, vec_id, round(s, 6) AS score FROM ranked WHERE rn <= 10
+""",
+        "streaming_dedup_replay": """
+SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
+FROM (SELECT doc_id, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn = 1
 """,
         "q21_waiting_orders": """
 SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
