@@ -82,31 +82,71 @@ _DECODE_SCHEMA_SUFFIX = [
 ]
 
 
+def pillow_available() -> bool:
+    """Capability probe for the optional real image codec."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def _real_decode(payload: bytes | None) -> tuple[int, int, list[float]]:
+    """Actual image decode via Pillow: dimensions plus the same 4
+    grayscale-intensity features the fake decoder fabricates
+    (mean/std/min/max), so downstream schema and semantics line up.
+    Undecodable payloads degrade to the (0, 0, zeros) sentinel row
+    rather than failing the task — corrupt bytes are data, not bugs."""
+    import io
+
+    import PIL.Image
+
+    if payload is None or len(payload) == 0:
+        return 0, 0, [0.0] * 4
+    try:
+        img = PIL.Image.open(io.BytesIO(bytes(payload)))
+        gray = img.convert("L")
+    except Exception:
+        return 0, 0, [0.0] * 4
+    a = np.asarray(gray, dtype=np.float64)
+    return (
+        int(gray.width),
+        int(gray.height),
+        [float(a.mean()), float(a.std()), float(a.min()), float(a.max())],
+    )
+
+
 def decode_media(
     df: DataFrame,
     *,
     id_cols: Sequence[str] = ("doc_id",),
     media_col: str = "media",
-    decoder: str = "fake",
+    decoder: str = "auto",
     batch_features: int = 4,
 ) -> DataFrame:
     """Decode payloads → (id_cols..., width, height, features).
 
     ``mapInPandas`` so each Arrow batch is decoded vectorized and the
     output cardinality may differ from the input (frame sampling).
-    ``decoder='real'`` requires an image library that is not bundled —
-    it raises ``NotImplementedError`` unless Pillow imports.
+
+    Decoder selection: ``'auto'`` (default) uses the REAL Pillow codec
+    when the library is importable and falls back to the deterministic
+    fake otherwise; ``'real'`` requires Pillow and raises
+    ``NotImplementedError`` without it; ``'fake'`` forces the synthetic
+    decode. The probe runs on the driver — workers are assumed to share
+    the driver's environment (standard Spark deployment).
     """
+    if decoder == "auto":
+        decoder = "real" if pillow_available() else "fake"
     if decoder == "real":
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:
+        if not pillow_available():
             raise NotImplementedError(
                 "real media decoding requires Pillow/ffmpeg, which are not "
-                "installed in this environment; use decoder='fake' for "
-                "pipeline plumbing"
-            ) from e
-    elif decoder != "fake":
+                "installed in this environment; use decoder='fake' (or "
+                "'auto') for pipeline plumbing"
+            )
+        decode_one = _real_decode
+    elif decoder == "fake":
+        decode_one = _fake_decode
+    else:
         raise ValueError(f"unknown decoder {decoder!r}")
 
     out_schema = T.StructType(
@@ -117,7 +157,7 @@ def decode_media(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            decoded = [_fake_decode(p) for p in pdf[media_col]]
+            decoded = [decode_one(p) for p in pdf[media_col]]
             out = pdf[list(id_cols)].copy()
             out["width"] = [d[0] for d in decoded]
             out["height"] = [d[1] for d in decoded]

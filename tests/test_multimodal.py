@@ -22,8 +22,8 @@ def test_attach_payload_schema(spark):
 
 def test_fake_decode_deterministic(spark):
     df = _media_df(spark)
-    a = sorted(map(tuple, M.decode_media(df).collect()))
-    b = sorted(map(tuple, M.decode_media(df).collect()))
+    a = sorted(map(tuple, M.decode_media(df, decoder="fake").collect()))
+    b = sorted(map(tuple, M.decode_media(df, decoder="fake").collect()))
     assert a == b
     for row in a:
         doc_id, width, height, features = row
@@ -31,12 +31,47 @@ def test_fake_decode_deterministic(spark):
         assert len(features) == 4
 
 
-def test_real_decoder_gated(spark):
+@pytest.mark.skipif(
+    M.pillow_available(), reason="Pillow installed — the gate is open"
+)
+def test_real_decoder_gated_without_pillow(spark):
     df = _media_df(spark)
-    with pytest.raises((NotImplementedError, Exception)):
-        # Pillow absent in this environment -> NotImplementedError;
-        # if present, the call is still a stub and must not silently pass
+    with pytest.raises(NotImplementedError):
         M.decode_media(df, decoder="real").collect()
+
+
+@pytest.mark.skipif(
+    M.pillow_available(), reason="Pillow installed — auto resolves to real"
+)
+def test_auto_falls_back_to_fake_without_pillow(spark):
+    df = _media_df(spark)
+    auto = sorted(map(tuple, M.decode_media(df).collect()))
+    fake = sorted(map(tuple, M.decode_media(df, decoder="fake").collect()))
+    assert auto == fake
+
+
+@pytest.mark.skipif(
+    not M.pillow_available(), reason="Pillow not bundled in this environment"
+)
+def test_real_decode_roundtrip_with_pillow(spark):
+    """Decode a genuine PNG through the real codec: exact dimensions
+    and grayscale stats come back; corrupt payloads degrade to the
+    sentinel row instead of failing the task."""
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("L", (12, 7), color=200).save(buf, format="PNG")
+    rows = [(1, buf.getvalue()), (2, b"not an image")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: r for r in M.decode_media(df, decoder="real").collect()}
+    assert (got[1]["width"], got[1]["height"]) == (12, 7)
+    assert got[1]["features"][0] == 200.0  # mean of a constant image
+    assert (got[2]["width"], got[2]["height"]) == (0, 0)
+    # auto resolves to the real codec when Pillow is present
+    auto = {r["doc_id"]: r for r in M.decode_media(df).collect()}
+    assert (auto[1]["width"], auto[1]["height"]) == (12, 7)
 
 
 def test_unknown_decoder(spark):
