@@ -1164,6 +1164,15 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs)
 
 
+def _dedup_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the same pair graph resolved by large-star/small-star (O(log n)
+    # alternations — the long-chain-safe variant); labels must equal
+    # hash-min's, so the oracle is the identical recursive-CTE closure
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup(docs, threshold=0.5)
+    return D.dedup_clusters(pairs, algorithm="star")
+
+
 def _semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -1455,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
         "streaming_dedup_replay": _streaming_dedup_replay,
+        "dedup_star_clusters": _dedup_star_clusters,
         # (d) timestamp consumers re-checked under the r5 loader change
         "asof_join_events": _asof_join_events,
         "skyline_kband_events": _sky_kband_events,
@@ -1904,6 +1914,7 @@ FROM g
         "repetition_stats_documents": _REPETITION_SQL,
         "redact_pii_documents": _REDACT_PII_SQL,
         "dedup_clusters_documents": _DEDUP_CLUSTERS_SQL,
+        "dedup_star_clusters": _DEDUP_CLUSTERS_SQL,
         "jsonl_roundtrip_documents": (
             "SELECT doc_id, lang, n_chars, length(text)::BIGINT AS text_len FROM documents"
         ),

@@ -124,6 +124,51 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert set(out.values()) == {0}
 
 
+def test_star_clusters_match_hashmin(spark):
+    # star and hash-min must produce IDENTICAL labels on mixed shapes:
+    # a chain, a clique, an island pair, and a singleton self-loop edge
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (20, 21), (20, 22), (21, 22), (30, 31), (40, 40)],
+        "id_a long, id_b long",
+    )
+    hm = {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs).collect()}
+    st = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(pairs, algorithm="star").collect()
+    }
+    assert st == hm
+    assert st[4] == 1 and st[22] == 20 and st[31] == 30 and st[40] == 40
+
+
+def test_star_clusters_chain_1000_logarithmic_rounds(spark):
+    """A 1000-deep path graph: hash-min would need ~1000 rounds (its
+    default cap is 20 — it CANNOT finish); large-star/small-star must
+    converge to one cluster in O(log n) alternations."""
+    import math
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(pairs, algorithm="star", max_iters=30).collect()
+    }
+    assert set(out) == set(range(n + 1))
+    assert set(out.values()) == {0}
+    # each alternation at least squares away path length -> O(log n)
+    bound = 2 * math.ceil(math.log2(n)) + 4
+    assert D._LAST_STAR_ROUNDS <= bound, D._LAST_STAR_ROUNDS
+
+
+def test_star_clusters_rejects_unknown_algorithm(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        D.dedup_clusters(pairs, algorithm="nope")
+
+
 def test_contamination_check_counts(spark):
     from skylinemapreducehadoop_spark.operators.dedup import contamination_check
 
