@@ -1399,6 +1399,18 @@ def _unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.unigram_logprob(docs)
 
 
+def _approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quantile sketch (Greenwald-Khanna summaries, the mergeable
+    # map-side-combinable path): approximate by design, so rows-only
+    # check; tests/test_sketches.py bounds the rank error vs the exact
+    # interpolated percentile next to it (percentile_value_by_type)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("ap90"),
+    )
+
+
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog sketch — approximate by design, so rows-only check;
     # tests/test_sketches.py bounds the error vs the exact count
@@ -1465,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_suppliers": _q20_excess_suppliers,
         "streaming_dedup_replay": _streaming_dedup_replay,
         "dedup_star_clusters": _dedup_star_clusters,
+        "approx_percentile_value": _approx_percentile_value,
         # (d) timestamp consumers re-checked under the r5 loader change
         "asof_join_events": _asof_join_events,
         "skyline_kband_events": _sky_kband_events,
