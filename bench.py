@@ -43,6 +43,52 @@ BENCH_QUERIES = [
     "curate_corpus",
 ]
 
+# Scale probe: the same operators at 10x replicated data, so scaling
+# regressions (like the r5 minhash compile-time-broadcast OOM the probe
+# caught) land in the driver's BENCH artifact instead of prose. Single
+# run per query (not best-of-2) to bound bench wall-clock; disable with
+# SPARK_GRAFT_SCALE_PROBE=0, run alone with --scale-probe.
+PROBE_QUERIES = [
+    "skyline_twophase",
+    "skyline_quadtree",
+    "dedup_minhash_documents",
+    "token_entropy_documents",
+]
+PROBE_REPLICAS = 10
+
+
+def _build_scale_replicas(spark, sf_dir: str, base: str, n_rep: int) -> None:
+    """Materialize n_rep-times replicated lineitem + documents tables
+    (all the probe queries need) under ``base``, once — the content is
+    deterministic, so an existing build is reused. Document ids are
+    re-keyed unique; texts repeat, planting ~n_rep² more dup pairs
+    (the adversarial shape for the near-dup path)."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(base, "_BUILT")
+    if os.path.exists(marker):
+        return
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    (
+        li.withColumn("__r", F.explode(F.sequence(F.lit(1), F.lit(n_rep))))
+        .drop("__r")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "lineitem.parquet"))
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    (
+        docs.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1)))
+        )
+        .withColumn("doc_id", F.col("doc_id") * n_rep + F.col("__r"))
+        .drop("__r")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "documents.parquet"))
+    )
+    with open(marker, "w"):
+        pass
+
+
 # Non-gating second group (tracked, not part of the headline total):
 # the events queries un-ERR'd in round 3 plus remaining heavy hitters.
 EXTRA_QUERIES = [
@@ -119,22 +165,56 @@ def main() -> None:
     # Per-query fault isolation: one failing query must never cost the
     # round its entire perf record — record the error, keep going, and
     # ALWAYS print the JSON line.
+    probe_only = "--scale-probe" in sys.argv
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
-        try:
-            timings[name] = round(min(_run_once(name) for _ in range(2)), 3)
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-
     extra: dict[str, float] = {}
-    for name in EXTRA_QUERIES:
+    if not probe_only:
+        for name in BENCH_QUERIES:
+            try:
+                timings[name] = round(min(_run_once(name) for _ in range(2)), 3)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+
+        for name in EXTRA_QUERIES:
+            try:
+                # best-of-2 like the headline: a single cold run charges
+                # one-time stage/codegen setup to the query being measured
+                extra[name] = round(min(_run_once(name) for _ in range(2)), 3)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+
+    scale_probe: dict = {}
+    if probe_only or os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        base = "/tmp/scale_probe_%s_x%d" % (
+            os.path.basename(sf_dir.rstrip("/")),
+            PROBE_REPLICAS,
+        )
+        probe_times: dict[str, float] = {}
+        probe_errors: dict[str, str] = {}
         try:
-            # best-of-2 like the headline: a single cold run charges
-            # one-time stage/codegen setup to the query being measured
-            extra[name] = round(min(_run_once(name) for _ in range(2)), 3)
+            t0 = time.time()
+            _build_scale_replicas(spark, sf_dir, base, PROBE_REPLICAS)
+            build_sec = round(time.time() - t0, 3)
+            for name in PROBE_QUERIES:
+                try:
+                    t0 = time.time()
+                    qs[name](spark, base).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    probe_times[name] = round(time.time() - t0, 3)
+                except Exception as e:  # noqa: BLE001
+                    probe_errors[name] = f"{type(e).__name__}: {e}"[:300]
+            scale_probe = {
+                "replicas": PROBE_REPLICAS,
+                "build_sec": build_sec,
+                "queries": probe_times,
+            }
+            if probe_errors:
+                scale_probe["errors"] = probe_errors
         except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            scale_probe = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -146,6 +226,8 @@ def main() -> None:
         "extra_total": round(sum(extra.values()), 3),
         "sf": sf,
     }
+    if scale_probe:
+        out["scale_probe"] = scale_probe
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
