@@ -1374,6 +1374,96 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def _replay_dir(spark: SparkSession, df: DataFrame, prefix: str) -> str:
+    # one sorted single-file parquet source for availableNow replays
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(tmp, "src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    return tmp
+
+
+def _run_replay(
+    stream_df: DataFrame, ckpt_root: str, mode: str = "append"
+) -> "DataFrame":
+    import os
+    import uuid
+
+    spark = stream_df.sparkSession
+    qname = f"replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .option("checkpointLocation", os.path.join(ckpt_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(qname)
+
+
+def _streaming_skyline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the engine's headline operator through the STREAMING surface:
+    # incremental per-key skyline (applyInPandasWithState) replayed over
+    # the events table; the final state explodes to exactly the batch
+    # per-group skyline (order-independent, so the replay is
+    # deterministic), oracled by the per-group dominance SQL. ts rides
+    # as epoch micros (double-exact below 2^53).
+    from skylinemapreducehadoop_spark.streaming.incremental import (
+        incremental_skyline,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tmp = _replay_dir(spark, ev, "stream_sky_replay_")
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .parquet(tmp + "/src")
+        .withColumn("ts_us", F.unix_micros("ts").cast("double"))
+    )
+    sky = incremental_skyline(
+        stream, [("value", "max"), ("ts_us", "min")], key_col="event_type"
+    )
+    out = _run_replay(sky, tmp, mode="update")
+    vec = F.explode("skyline").alias("vec")
+    return out.select("key", vec).select(
+        F.col("key").alias("event_type"),
+        F.col("vec")[0].alias("value"),
+        F.col("vec")[1].alias("ts_us"),
+    )
+
+
+def _streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-stream interval join replay — the operator whose state
+    # eviction was fixed in r6 (interval arithmetic on watermarked
+    # columns); inner-join pair sets are order-independent, so the
+    # replay hash-matches the batch range-join oracle
+    from skylinemapreducehadoop_spark.streaming.joins import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    tmp = _replay_dir(spark, ev, "stream_ivj_replay_")
+    schema = "user_id bigint, ts timestamp, event_id bigint"
+    left = spark.readStream.schema(schema).parquet(tmp + "/src")
+    right = spark.readStream.schema(schema).parquet(tmp + "/src")
+    joined = interval_join_streams(
+        left,
+        right,
+        on="user_id",
+        lower_seconds=0,
+        upper_seconds=300,
+        watermark="24 hours",
+    )
+    out = _run_replay(
+        joined.select(
+            "user_id", "event_id", F.col("event_id_r").alias("event_id_after")
+        ),
+        tmp,
+    )
+    return out
+
+
 def _dynamic_skyline_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dellis & Seeger's dynamic skyline at the same query point the
     # reverse skyline uses: rows Pareto-minimal in |x - q| space
@@ -1422,79 +1512,24 @@ def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
-    # 50 entries only. Round-5 window (rotation in COVERAGE.md):
-    # (a) the 3 queries red in r4, all fixed this round; (b) the 21
-    # r3-green queries rotated out of the r4 window (their newest green
-    # row would otherwise go two rounds stale); (c) the 10 queries new
-    # in r5; (d) 16 timestamp-consuming queries re-checked because the
-    # r5 loader change (TIMESTAMP_NTZ normalization) touches every
-    # timestamp column they read. Positions 51+ are hash-green in r4
-    # with untouched logic.
+    # 50 entries only. Round-6 window (rotation in COVERAGE.md):
+    # (a) the queries NEW in r6; (b) the 35 queries rotated past the
+    # window in r5 (green r4 — their newest green row would otherwise
+    # go two rounds stale); (c) r5-green queries whose operators were
+    # CHANGED by r6 code (contamination coalesce, batch-retrieval
+    # guard/dtype); (d) fillers from the r5 window to reach 50.
+    # Positions 51+ are hash-green in r5 with untouched logic.
     return {
-        # (a) red in r4 — NTZ loader fix + funnel oracle dtype fix
-        "funnel_users": _funnel_users,
-        "sessionize_events": _sessionize_events,
-        "range_join_events": _range_join_events,
-        # (b) rotated out of the r4 window, green r3
-        "set_ops_customers": _set_ops_customers,
-        "rollup_orders": _rollup_orders,
-        "anti_join_customers": _anti_join_customers,
-        "q10_returned_items": _q10_returned_items,
-        "skyline_bruteforce": _sky("bruteforce"),
-        "skyline_5dim": _sky_5dim,
-        "skyline_layers": _sky_layers,
-        "skyline_events": _sky_events,
-        "profile_lineitem": _profile_lineitem,
-        "q1_pricing_summary": _q1_pricing,
-        "join_nation_revenue": _join_nation_revenue,
-        "window_top2_orders": _window_top2_orders,
-        "events_hourly": _events_hourly,
-        "text_stats_documents": _text_stats,
-        "fingerprint_rolling_documents": _fingerprint_rolling,
-        "quality_flags_documents": _quality_flags,
-        "dedup_exact_documents": _dedup_exact,
-        "dedup_simhash_documents": _dedup_simhash,
-        "ngram_jaccard_documents": _ngram_jaccard,
-        "topk_similarity": _topk_similarity,
-        "multimodal_stats": _multimodal_stats,
-        # (c) new in round 5
-        "window_analytics_events": _window_analytics_events,
-        "chunk_documents": _chunk_documents,
-        "token_entropy_documents": _token_entropy_documents,
-        "mix_corpus_sources": _mix_corpus_sources,
-        "decontaminate_documents": _decontaminate_documents,
-        "q8_market_share": _q8_market_share,
-        "q9_profit_by_nation": _q9_profit_by_nation,
-        "q11_important_brands": _q11_important_brands,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q15_top_supplier": _q15_top_supplier,
-        "pack_sequences_documents": _pack_sequences_documents,
-        "unigram_logprob_documents": _unigram_logprob_documents,
-        "dynamic_skyline_part": _dynamic_skyline_part,
-        "topk_batch_similarity": _topk_batch_similarity,
+        # (a) new in round 6
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
         "streaming_dedup_replay": _streaming_dedup_replay,
         "dedup_star_clusters": _dedup_star_clusters,
         "approx_percentile_value": _approx_percentile_value,
-        # (d) timestamp consumers re-checked under the r5 loader change
-        "asof_join_events": _asof_join_events,
-        "skyline_kband_events": _sky_kband_events,
-        "distinct_users_by_type": _distinct_users_by_type,
-        "pivot_user_events": _pivot_user_events,
-        "percentile_value_by_type": _percentile_value_by_type,
-        "cube_events": _cube_events,
-        "window_analytics_orders": _window_analytics_orders,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "q4_priority_exists": _q4_priority_exists,
-        "q7_volume_shipping": _q7_volume_shipping,
-        "q12_priority_by_linestatus": _q12_priority_by_linestatus,
-        # --- past the driver's 50-entry window: hash-green in r4
-        # (or rows-only by declared design), logic untouched in r5;
-        # q14/q17/q18/q5 share the date-predicate shape already
-        # re-checked in-window by q3/q6/q12
+        "streaming_skyline_replay": _streaming_skyline_replay,
+        "streaming_interval_join_replay": _streaming_interval_join_replay,
+        # (b) rotated past the window in r5, green r4
         "q14_promo_revenue": _q14_promo_revenue,
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q18_large_orders": _q18_large_orders,
@@ -1530,6 +1565,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt": _q16_supplier_cnt,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_sales_opportunity": _q22_sales_opportunity,
+        # (c) r5-green, operator code touched in r6
+        "decontaminate_documents": _decontaminate_documents,
+        "topk_batch_similarity": _topk_batch_similarity,
+        # (d) fillers from the r5 window (freshest signal first)
+        "funnel_users": _funnel_users,
+        "sessionize_events": _sessionize_events,
+        "range_join_events": _range_join_events,
+        "dynamic_skyline_part": _dynamic_skyline_part,
+        "pack_sequences_documents": _pack_sequences_documents,
+        # --- past the driver's 50-entry window: hash-green in r5
+        # (or rows-only by declared design), logic untouched in r6
+        "unigram_logprob_documents": _unigram_logprob_documents,
+        "mix_corpus_sources": _mix_corpus_sources,
+        "set_ops_customers": _set_ops_customers,
+        "rollup_orders": _rollup_orders,
+        "anti_join_customers": _anti_join_customers,
+        "q10_returned_items": _q10_returned_items,
+        "skyline_bruteforce": _sky("bruteforce"),
+        "skyline_5dim": _sky_5dim,
+        "skyline_layers": _sky_layers,
+        "skyline_events": _sky_events,
+        "profile_lineitem": _profile_lineitem,
+        "q1_pricing_summary": _q1_pricing,
+        "join_nation_revenue": _join_nation_revenue,
+        "window_top2_orders": _window_top2_orders,
+        "events_hourly": _events_hourly,
+        "text_stats_documents": _text_stats,
+        "fingerprint_rolling_documents": _fingerprint_rolling,
+        "quality_flags_documents": _quality_flags,
+        "dedup_exact_documents": _dedup_exact,
+        "dedup_simhash_documents": _dedup_simhash,
+        "ngram_jaccard_documents": _ngram_jaccard,
+        "topk_similarity": _topk_similarity,
+        "multimodal_stats": _multimodal_stats,
+        "window_analytics_events": _window_analytics_events,
+        "chunk_documents": _chunk_documents,
+        "token_entropy_documents": _token_entropy_documents,
+        "q8_market_share": _q8_market_share,
+        "q9_profit_by_nation": _q9_profit_by_nation,
+        "q11_important_brands": _q11_important_brands,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "asof_join_events": _asof_join_events,
+        "skyline_kband_events": _sky_kband_events,
+        "distinct_users_by_type": _distinct_users_by_type,
+        "pivot_user_events": _pivot_user_events,
+        "percentile_value_by_type": _percentile_value_by_type,
+        "cube_events": _cube_events,
+        "window_analytics_orders": _window_analytics_orders,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q4_priority_exists": _q4_priority_exists,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q12_priority_by_linestatus": _q12_priority_by_linestatus,
     }
 
 
@@ -2257,6 +2346,22 @@ ranked AS (SELECT qid, vec_id, s,
                   row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
            FROM scored)
 SELECT qid, vec_id, round(s, 6) AS score FROM ranked WHERE rn <= 10
+""",
+        "streaming_skyline_replay": """
+WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS value,
+                  CAST(epoch_us(ts) AS DOUBLE) AS ts_us
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
+SELECT p.event_type, p.value, p.ts_us FROM e p
+WHERE NOT EXISTS (
+  SELECT 1 FROM e t WHERE t.event_type = p.event_type
+    AND t.value >= p.value AND t.ts_us <= p.ts_us
+    AND (t.value > p.value OR t.ts_us < p.ts_us))
+""",
+        "streaming_interval_join_replay": """
+SELECT l.user_id, l.event_id, r.event_id AS event_id_after
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE epoch_us(r.ts) - epoch_us(l.ts) > 0
+  AND epoch_us(r.ts) - epoch_us(l.ts) <= 300 * 1000000
 """,
         "streaming_dedup_replay": """
 SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
