@@ -610,6 +610,67 @@ def _q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q2-style correlated scalar-MIN over the supply relation: for each
+    # ECONOMY part of one size, the supplier(s) in one region offering
+    # the minimum unit price (no partsupp — the supply relation is the
+    # (part, supplier) pairs derived from lineitem with min
+    # extendedprice as the offer). Catalyst turns the correlated min
+    # into an aggregate + equi-join; the region-nation-supplier dim
+    # chain broadcasts. Ties on the min keep every tied supplier, like
+    # the original q2.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_type"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+
+    sn = supp.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                nation.n_regionkey == region.r_regionkey,
+            )
+        ),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("offer"))
+        .join(sn, F.col("l_suppkey") == sn.s_suppkey)
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("offer").alias("best_offer")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best.b_partkey)
+            & (offers.offer == best.best_offer),
+        )
+        .join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_size") == 5) & (F.col("p_type") == "ECONOMY")
+                )
+            ),
+            offers.l_partkey == part.p_partkey,
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+    )
+
+
 def _q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q21-style multi-way correlated EXISTS + NOT-EXISTS on the fact
     # table: suppliers who were the ONLY supplier with a returned line
@@ -1529,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile_value": _approx_percentile_value,
         "streaming_skyline_replay": _streaming_skyline_replay,
         "streaming_interval_join_replay": _streaming_interval_join_replay,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
         # (b) rotated past the window in r5, green r4
         "q14_promo_revenue": _q14_promo_revenue,
         "q17_small_qty_revenue": _q17_small_qty_revenue,
@@ -1573,9 +1635,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "range_join_events": _range_join_events,
         "dynamic_skyline_part": _dynamic_skyline_part,
-        "pack_sequences_documents": _pack_sequences_documents,
         # --- past the driver's 50-entry window: hash-green in r5
         # (or rows-only by declared design), logic untouched in r6
+        "pack_sequences_documents": _pack_sequences_documents,
         "unigram_logprob_documents": _unigram_logprob_documents,
         "mix_corpus_sources": _mix_corpus_sources,
         "set_ops_customers": _set_ops_customers,
@@ -2369,6 +2431,22 @@ FROM (SELECT doc_id, text,
              row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
       FROM documents)
 WHERE rn = 1
+""",
+        "q2_min_cost_supplier": """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer
+  FROM lineitem GROUP BY 1, 2),
+sn AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier, nation, region
+       WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'),
+ro AS (SELECT o.l_partkey, o.offer, sn.s_name, sn.s_acctbal, sn.n_name
+       FROM offers o JOIN sn ON o.l_suppkey = sn.s_suppkey)
+SELECT ro.s_acctbal, ro.s_name, ro.n_name, p.p_partkey, p.p_brand
+FROM ro JOIN part p ON ro.l_partkey = p.p_partkey
+WHERE p.p_size = 5 AND p.p_type = 'ECONOMY'
+  AND ro.offer = (SELECT min(ro2.offer) FROM ro ro2
+                  WHERE ro2.l_partkey = ro.l_partkey)
 """,
         "q21_waiting_orders": """
 SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
