@@ -112,6 +112,12 @@ EXTRA_QUERIES = [
     "mix_corpus_sources",
     "topk_batch_similarity",
     "dynamic_skyline_part",
+    # new in round 6
+    "knn_graph_sample",
+    "q2_min_cost_supplier",
+    "q21_waiting_orders",
+    "q20_excess_suppliers",
+    "approx_percentile_value",
 ]
 
 
