@@ -387,6 +387,19 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
+def _semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup end-to-end over the same planted-duplicate setup as
+    # embedding_near_dup: pairs -> star components -> keep min-id
+    # representative; survivors = everything except the 25 planted
+    # shifted-id copies (each pair's higher id drops)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = S.embedding_cluster_dedup(emb.unionByName(planted), threshold=0.9)
+    return out.select("vec_id")
+
+
 def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary-column plumbing demo: text bytes stand in for an opaque
     # media payload; real decode stubs live in operators/multimodal.py
@@ -1591,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_skyline_replay": _streaming_skyline_replay,
         "streaming_interval_join_replay": _streaming_interval_join_replay,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "semantic_dedup_embeddings": _semantic_dedup_embeddings,
         # (b) rotated past the window in r5, green r4
         "q14_promo_revenue": _q14_promo_revenue,
         "q17_small_qty_revenue": _q17_small_qty_revenue,
@@ -1634,9 +1648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_users": _funnel_users,
         "sessionize_events": _sessionize_events,
         "range_join_events": _range_join_events,
-        "dynamic_skyline_part": _dynamic_skyline_part,
         # --- past the driver's 50-entry window: hash-green in r5
         # (or rows-only by declared design), logic untouched in r6
+        "dynamic_skyline_part": _dynamic_skyline_part,
         "pack_sequences_documents": _pack_sequences_documents,
         "unigram_logprob_documents": _unigram_logprob_documents,
         "mix_corpus_sources": _mix_corpus_sources,
@@ -2105,6 +2119,31 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS score
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+""",
+        "semantic_dedup_embeddings": """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 25
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT ed.s, reach.r FROM edges ed JOIN reach ON reach.id = ed.d
+),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT e.vec_id FROM e
+WHERE e.vec_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
 """,
         "multimodal_stats": """
 SELECT doc_id,

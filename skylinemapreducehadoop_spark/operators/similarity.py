@@ -514,6 +514,48 @@ def ivf_topk(
     )
 
 
+def embedding_cluster_dedup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023),
+    end-to-end: LSH-bucketed near-dup PAIRS (cosine >= threshold) →
+    connected components (large-star/small-star, long-chain safe) →
+    keep ONE representative per cluster (the minimum id, matching the
+    exact-dedup convention) and drop the rest.
+
+    Returns ``df`` minus non-representative near-duplicates — every
+    stage is the scale path of its family: banded equi-join pairs
+    (never all-pairs), O(log n) star rounds, and a final left_anti
+    against the (small) drop list. Composition of
+    :func:`embedding_near_dup` + ``dedup_clusters(algorithm='star')``.
+    """
+    from .dedup import dedup_clusters
+
+    pairs = embedding_near_dup(
+        df,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+    )
+    clusters = dedup_clusters(pairs, algorithm="star")
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("__drop_id")
+    )
+    return df.join(
+        drop, df[id_col] == F.col("__drop_id"), "left_anti"
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     *,

@@ -251,6 +251,27 @@ def test_knn_graph_tie_break_deterministic(spark):
     assert out[0] == [1, 2]
 
 
+def test_embedding_cluster_dedup_keeps_representatives(spark):
+    """SemDeDup composition: planted duplicate groups collapse to their
+    min-id representative; distant vectors all survive."""
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        embedding_cluster_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # group A: ids 100,101,102 duplicate id 0; group B: 200 duplicates 1
+    rows += [(100, base[0].tolist()), (101, base[0].tolist()),
+             (102, base[0].tolist()), (200, base[1].tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r["vec_id"] for r in embedding_cluster_dedup(df, threshold=0.95).collect()}
+    assert {100, 101, 102, 200}.isdisjoint(kept)
+    assert set(range(30)) <= kept
+
+
 def test_knn_graph_never_collects(spark, monkeypatch):
     """The corpus-as-queries path must be driver-safe: fail the test if
     ANY DataFrame.collect / toPandas fires while building and running
