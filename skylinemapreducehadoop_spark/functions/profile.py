@@ -55,3 +55,38 @@ def profile(df: DataFrame, dims: Sequence[str]) -> DataFrame:
         wide.select("n_total", F.explode(F.array(*rows)).alias("r"))
         .select("r.dim", "r.min_val", "r.max_val", "n_total", "r.n_present")
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram: (bucket, cnt, min_v, max_v) per occupied
+    bucket. bucket = clamp(floor((x - lo) / width), 0, nbins - 1) —
+    out-of-range values land in the edge buckets, NULLs are dropped.
+
+    One map-side-combined hash aggregate over ``nbins`` groups — the
+    profiling shape that replaces a driver-side ``rdd.histogram`` at
+    any scale. Pick lo/hi/nbins so ``width`` is exactly representable
+    (e.g. 0..60000 in 12 bins) and bucket assignment is bit-identical
+    across engines (pure IEEE arithmetic on the same doubles).
+    """
+    if not (hi > lo and nbins > 0):
+        raise ValueError("need hi > lo and nbins > 0")
+    x = F.col(col).cast("double")
+    width = (hi - lo) / nbins
+    b = F.floor((x - F.lit(float(lo))) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    return (
+        df.where(x.isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(x).alias("min_v"),
+            F.max(x).alias("max_v"),
+        )
+    )

@@ -478,3 +478,57 @@ def unigram_logprob(
             6,
         ).alias("avg_token_logprob"),
     )
+
+
+#: large odd multiplier (Knuth's 2654435761) and a prime modulus — a
+#: fixed pseudo-random projection standing in for trained weights with
+#: the same compute shape (broadcast-free: the "model" is arithmetic)
+_CLS_MULT = 2654435761
+_CLS_MOD = 10007
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear-model document scoring via the hashing trick — the
+    fastText-style quality-classifier pass of an LLM data pipeline
+    (score every document against a linear model over hashed token
+    features; cf. the CCNet/GPT-3 quality filters — public technique),
+    with a deterministic weight table so it is oracle-checkable.
+
+    Feature bucket: 60-bit md5 token hash (reproducible in ANSI SQL)
+    mod 10007. Weight per bucket: ((bucket * 2654435761) mod 10007) -
+    5003 — INTEGER, so the per-document sum is exact and order-free
+    (no float-summation nondeterminism across partitionings/engines).
+    score = sum / (n_tokens * 5003) in [-1, 1]; prob = sigmoid(score)
+    rounded to 6 decimals (libm rule — see token_entropy).
+
+    Entirely JVM-side: one explode + one map-side-combined sum per
+    doc. A real trained model drops in by replacing the arithmetic
+    weight with a broadcast join on a (bucket, weight) table — the
+    plan shape (and its 100 TB behavior) is identical.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    )
+    # 60-bit md5 hash, same construction as dedup.simhash's token hash
+    h60 = F.conv(
+        F.substring(F.md5(F.col("__tok").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    bucket = h60 % F.lit(_CLS_MOD)
+    weight = (bucket * F.lit(_CLS_MULT)) % F.lit(_CLS_MOD) - F.lit(_CLS_MOD // 2)
+    agg = tok.groupBy("__id").agg(
+        F.sum(weight).alias("__sw"), F.count("*").alias("n_tokens")
+    )
+    score = F.col("__sw").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(float(_CLS_MOD // 2))
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        score.alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
+    )

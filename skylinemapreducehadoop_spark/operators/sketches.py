@@ -1,0 +1,104 @@
+"""Distributed frequency sketches.
+
+``heavy_hitters``: Misra-Gries summaries per partition + exact
+recount of the candidate superset. The MG guarantee makes the final
+output EXACT (not approximate): a per-partition summary with k
+counters under-counts any item by at most n_p/(k+1), and summaries
+are mergeable with the same total bound (Agarwal et al., "Mergeable
+Summaries", PODS'12 — public), so every item with true frequency
+>= n/(k+1) survives into the candidate set; the second pass recounts
+candidates exactly. The result is therefore deterministic and
+oracle-checkable against a plain GROUP BY ... HAVING — while the
+shuffle never carries the vocabulary:
+
+- pass 1 shuffles NOTHING (mapInPandas is a narrow map; candidate
+  union is <= partitions * k rows);
+- pass 2 shuffles only tokens that semi-join the broadcast candidate
+  set (bounded by candidates * occurrences, with map-side combine).
+
+A naive groupBy-count over a 100 TB corpus shuffles the full
+vocabulary (billions of rare tokens); this shuffles the heavy tail
+only. Per-batch work inside MG is vectorized pandas value_counts /
+nlargest — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def mg_candidates(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate values (narrow, no shuffle).
+
+    Returns a frame with one ``value`` column: the union of every
+    partition's k-counter summary — a superset of all values with
+    global frequency > n/(k+1) regardless of how rows are partitioned.
+    """
+    vals = df.select(F.col(value_col).cast("string").alias("value"))
+    schema = T.StructType(
+        [
+            T.StructField("value", T.StringType()),
+            T.StructField("est", T.LongType()),
+        ]
+    )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = pd.Series(dtype="int64")
+        for pdf in batches:
+            # vectorized: exact batch counts, then the standard MG
+            # merge — add, subtract the (k+1)-th largest, drop <= 0
+            run = run.add(pdf["value"].value_counts(), fill_value=0)
+            if len(run) > k:
+                cut = run.nlargest(k + 1).iloc[-1]
+                run = run[run > cut] - cut
+        if len(run):
+            yield pd.DataFrame(
+                {"value": run.index, "est": run.astype("int64").values}
+            )
+
+    return vals.mapInPandas(mg, schema).select("value").distinct()
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    threshold_ratio: float = 0.01,
+    counters: int | None = None,
+) -> DataFrame:
+    """All values whose frequency is >= ceil(threshold_ratio * n),
+    with their EXACT counts — output (value, cnt).
+
+    ``counters`` defaults to ceil(2 / threshold_ratio), which makes
+    the MG error bound n/(k+1) < threshold_ratio*n: no qualifying
+    value can be missed. Larger ``counters`` shrinks the candidate
+    superset (fewer recount keys) at the cost of executor memory
+    (k counters per partition).
+    """
+    k = counters if counters is not None else int(2.0 / threshold_ratio) + 1
+    if k + 1 <= 1.0 / threshold_ratio:
+        raise ValueError(
+            f"counters={k} cannot guarantee ratio {threshold_ratio}: "
+            f"need counters + 1 > 1/ratio"
+        )
+    vals = df.select(F.col(value_col).cast("string").alias("value"))
+    cand = mg_candidates(df, value_col, k)
+
+    # single lazy plan: total-row count rides along as a broadcast
+    # 1-row frame instead of an eager driver-side count()
+    totals = vals.agg(F.count("*").alias("n_total"))
+    counts = (
+        vals.join(F.broadcast(cand), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .where(F.col("cnt") >= F.ceil(F.lit(threshold_ratio) * F.col("n_total")))
+        .select("value", "cnt")
+    )

@@ -195,3 +195,70 @@ def test_contamination_check_counts(spark):
     assert out[4]["n_grams"] == 0 and out[4]["contamination"] == 0.0
     assert out[5]["n_grams"] == 0 and out[5]["n_shared"] == 0
     assert out[5]["contamination"] == 0.0
+
+
+def test_setsim_matches_bruteforce_jaccard(spark):
+    """Prefix filtering is EXACT: setsim_join must equal the all-pairs
+    twin on pairs AND scores, at multiple thresholds."""
+    docs = _make_docs(spark)
+    for t in (0.3, 0.5, 0.8):
+        pf = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.setsim_join(docs, threshold=t).collect()
+        }
+        brute = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in D.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert pf == brute, f"threshold {t}"
+
+
+def test_setsim_short_and_null_docs(spark):
+    rows = [(0, ""), (1, "one"), (2, None), (3, "a b c d"), (4, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in D.setsim_join(df, threshold=0.5).collect()}
+    assert pairs == {(3, 4)}
+
+
+def test_setsim_plan_has_no_cartesian(spark):
+    docs = _make_docs(spark)
+    plan = D.setsim_join(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    # doc 0 and doc 1 share an identical 10-token segment; doc 1 must
+    # lose it, doc 0 (smaller id) keeps it; unique segments survive
+    seg = " ".join(f"w{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    rows = [
+        (0, seg + " " + uniq),
+        (1, seg),                       # fully duplicated -> empty
+        (2, uniq.replace("u", "v")),    # unique -> unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.segment_dedup(df, width=10).collect()}
+    assert out[0]["clean_text"] == seg + " " + uniq and out[0]["n_kept"] == 2
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    assert out[1]["n_segments"] == 1
+    assert out[2]["clean_text"] == rows[2][1] and out[2]["n_kept"] == 1
+
+
+def test_segment_dedup_within_doc_repeat(spark):
+    # the SAME segment repeated inside one doc is also deduped (only
+    # the first position survives)
+    seg = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame([(7, seg + " " + seg)], "doc_id long, text string")
+    row = D.segment_dedup(df, width=10).collect()[0]
+    assert row["clean_text"] == seg
+    assert row["n_segments"] == 2 and row["n_kept"] == 1
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    # 13 tokens -> segments of 10 + 3; counts and rebuild preserve order
+    text = " ".join(f"t{i}" for i in range(13))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = D.segment_dedup(df, width=10).collect()[0]
+    assert row["clean_text"] == text
+    assert row["n_segments"] == 2 and row["n_kept"] == 2

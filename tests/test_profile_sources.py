@@ -56,3 +56,21 @@ def test_events_timestamps_match_duckdb(spark, sf_dir):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_histogram_counts_and_clamping(spark):
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.functions.profile import histogram
+
+    rows = [(-5.0,), (0.0,), (4.9,), (5.0,), (12.0,), (99.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["bucket"]: r for r in histogram(df, "x", lo=0.0, hi=10.0, nbins=2).collect()}
+    # -5 clamps into bucket 0; 12 and 99 clamp into bucket 1; NULL dropped
+    assert out[0]["cnt"] == 3 and out[0]["min_v"] == -5.0 and out[0]["max_v"] == 4.9
+    assert out[1]["cnt"] == 3 and out[1]["max_v"] == 99.0
+    assert sum(r["cnt"] for r in out.values()) == 6
+    import pytest
+
+    with pytest.raises(ValueError):
+        histogram(df, "x", lo=1.0, hi=1.0, nbins=2)

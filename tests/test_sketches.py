@@ -58,3 +58,65 @@ def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
         a = approx[k]
         assert b["p50_lo"] <= a["ap50"] <= b["p50_hi"], (k, a["ap50"])
         assert b["p90_lo"] <= a["ap90"] <= b["p90_hi"], (k, a["ap90"])
+
+
+class TestHeavyHitters:
+    def _skewed(self, spark, n_hot=5000, n_tail=2000):
+        # 3 hot values dominate; long tail of singletons spread over
+        # many partitions so per-partition MG summaries must merge
+        from pyspark.sql import functions as F
+
+        hot = spark.range(n_hot).select(
+            F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")).alias("v")
+        )
+        tail = spark.range(n_tail).select(
+            F.concat(F.lit("tail"), F.col("id").cast("string")).alias("v")
+        )
+        return hot.union(tail).repartition(16)
+
+    def test_exact_counts_and_no_misses(self, spark):
+        from pyspark.sql import functions as F
+
+        from skylinemapreducehadoop_spark.operators.sketches import heavy_hitters
+
+        df = self._skewed(spark)
+        n = 5000 + 2000
+        got = {r["value"]: r["cnt"] for r in heavy_hitters(df, "v", threshold_ratio=0.1).collect()}
+        # hot0 appears ceil(5000/3)=1667 or 1666 times; threshold = 700
+        exact = {
+            r["v"]: r["cnt"]
+            for r in df.groupBy("v").agg(F.count("*").alias("cnt")).collect()
+            if r["cnt"] >= 0.1 * n
+        }
+        assert got == exact
+        assert set(got) == {"hot0", "hot1", "hot2"}
+
+    def test_small_counters_force_decrements(self, spark):
+        # counters barely above the guarantee bound: candidates shrink,
+        # but no qualifying value may be lost and counts stay exact
+        from skylinemapreducehadoop_spark.operators.sketches import heavy_hitters
+
+        df = self._skewed(spark, n_hot=3000, n_tail=4000)
+        got = {r["value"]: r["cnt"] for r in heavy_hitters(
+            df, "v", threshold_ratio=0.1, counters=11).collect()}
+        assert set(got) == {"hot0", "hot1", "hot2"}
+        assert sum(got.values()) == 3000
+
+    def test_counter_guard(self, spark):
+        from skylinemapreducehadoop_spark.operators.sketches import heavy_hitters
+        import pytest
+
+        with pytest.raises(ValueError):
+            heavy_hitters(self._skewed(spark), "v", threshold_ratio=0.01, counters=50)
+
+    def test_no_shuffle_before_candidates(self, spark):
+        # the MG pass itself is narrow: no Exchange above the scan in
+        # the candidate plan until the final distinct
+        from skylinemapreducehadoop_spark.operators.sketches import mg_candidates
+
+        df = self._skewed(spark)
+        plan = mg_candidates(df, "v", 100)._jdf.queryExecution().executedPlan().toString()
+        # exactly the distinct's two exchanges (partial/final around
+        # shuffle) and the test fixture's own repartition — no
+        # vocabulary-sized groupBy exchange
+        assert plan.count("Exchange") <= 2 + 1

@@ -213,3 +213,21 @@ def test_unigram_logprob_matches_reference(spark):
         # operator output is rounded to 6 decimals (cross-engine hash)
         assert abs(got - want) < 1e-6, (i, got, want)
         assert out[i]["n_tokens"] == len(toks)
+
+
+def test_classifier_score_deterministic_and_bounded(spark):
+    from skylinemapreducehadoop_spark.functions.text import classifier_score
+
+    rows = [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "zzz qqq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in classifier_score(df).collect()}
+    # same text -> identical score (content-hashed features, no seed state)
+    assert out[0]["score"] == out[1]["score"]
+    assert out[0]["prob"] == out[1]["prob"]
+    for r in out.values():
+        assert -1.0 <= r["score"] <= 1.0
+        assert 0.0 < r["prob"] < 1.0
+    assert out[0]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    # partitioning independence: integer weight sum is order-free
+    rep = {r["doc_id"]: r["score"] for r in classifier_score(df.repartition(7)).collect()}
+    assert rep == {k: v["score"] for k, v in out.items()}
