@@ -29,7 +29,11 @@ from skylinemapreducehadoop_spark.operators.skyline import (
 )
 from skylinemapreducehadoop_spark.operators import dedup as D
 from skylinemapreducehadoop_spark.operators import similarity as S
-from skylinemapreducehadoop_spark.functions.profile import histogram, profile
+from skylinemapreducehadoop_spark.functions.profile import (
+    equidepth_histogram,
+    histogram,
+    profile,
+)
 from skylinemapreducehadoop_spark.operators import sketches as SKC
 from skylinemapreducehadoop_spark.functions import text as TX
 
@@ -1139,6 +1143,46 @@ def _sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(docs, ["text"], 0.2).select("doc_id", "n_chars")
 
 
+def _stratified_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-k-per-stratum deterministic sample (balanced eval sets);
+    # per-stratum rank window, no global sort
+    from skylinemapreducehadoop_spark.operators.sampling import stratified_topk_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_topk_sample(docs, "source", 5, ["text"]).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _equidepth_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quantile histogram WITHOUT the single-partition ntile sort:
+    # exact percentile boundaries (one agg) + broadcast assignment
+    ev = load_table(spark, sf_dir, "events")
+    return equidepth_histogram(ev, "value", nbins=8)
+
+
+def _events_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-resolution rollup REUSING hourly partials (combiner law:
+    # day sums fold the hour sums — decimal all the way, cast once);
+    # oracle aggregates straight to day, proving the fold is lossless
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("value").cast("decimal(20,4)")).alias("__sv"),
+    )
+    # day as a STRING: DuckDB DATE becomes datetime64 through pandas
+    # (midnight timestamp) while Spark DateType stays a date — the
+    # comparator would see different cell types for equal days
+    return hourly.groupBy(
+        F.date_format("hour_start", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.sum("__n").alias("n_events"),
+        F.sum("__sv").cast("double").alias("sum_value"),
+    )
+
+
 def _reservoir_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-k deterministic "reservoir": k smallest content hashes,
     # executed as TakeOrdered (no full sort)
@@ -1697,6 +1741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate into the checked window in r7
         "classifier_score_documents": _classifier_score_documents,
         "histogram_orders": _histogram_orders,
+        "stratified_topk_documents": _stratified_topk_documents,
+        "equidepth_histogram_events": _equidepth_histogram_events,
+        "events_daily_rollup": _events_daily_rollup,
         "funnel_users": _funnel_users,
         "sessionize_events": _sessionize_events,
         "range_join_events": _range_join_events,
@@ -2227,6 +2274,37 @@ FROM g
         "heavy_hitters_tokens": _HEAVY_HITTERS_SQL,
         "classifier_score_documents": _CLASSIFIER_SQL,
         "histogram_orders": _HISTOGRAM_SQL,
+        "stratified_topk_documents": """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT, text
+         ) AS rn
+  FROM documents)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+""",
+        "equidepth_histogram_events": """
+WITH d AS (SELECT value::DOUBLE AS x FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT quantile_cont(x, 0.125) AS b1, quantile_cont(x, 0.25) AS b2,
+         quantile_cont(x, 0.375) AS b3, quantile_cont(x, 0.5) AS b4,
+         quantile_cont(x, 0.625) AS b5, quantile_cont(x, 0.75) AS b6,
+         quantile_cont(x, 0.875) AS b7
+  FROM d)
+SELECT (CASE WHEN x > b1 THEN 1 ELSE 0 END + CASE WHEN x > b2 THEN 1 ELSE 0 END
+      + CASE WHEN x > b3 THEN 1 ELSE 0 END + CASE WHEN x > b4 THEN 1 ELSE 0 END
+      + CASE WHEN x > b5 THEN 1 ELSE 0 END + CASE WHEN x > b6 THEN 1 ELSE 0 END
+      + CASE WHEN x > b7 THEN 1 ELSE 0 END)::INT AS bucket,
+       count(*)::BIGINT AS cnt, min(x) AS min_v, max(x) AS max_v
+FROM d, b GROUP BY 1
+""",
+        "events_daily_rollup": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(value::DECIMAL(20,4))::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2
+""",
         "dedup_simhash_documents": _simhash_oracle(),
         "topk_similarity": """
 WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)

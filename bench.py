@@ -118,6 +118,17 @@ EXTRA_QUERIES = [
     "q21_waiting_orders",
     "q20_excess_suppliers",
     "approx_percentile_value",
+    "semantic_dedup_embeddings",
+    "dedup_star_clusters",
+    # new mid-round 6
+    "setsim_join_documents",
+    "segment_dedup_documents",
+    "heavy_hitters_tokens",
+    "classifier_score_documents",
+    "histogram_orders",
+    "stratified_topk_documents",
+    "equidepth_histogram_events",
+    "events_daily_rollup",
 ]
 
 

@@ -90,3 +90,53 @@ def histogram(
             F.max(x).alias("max_v"),
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    nbins: int = 10,
+) -> DataFrame:
+    """Equi-depth (quantile) histogram: (bucket, cnt, min_v, max_v) for
+    ``nbins`` buckets holding ~equal row counts. NULLs are dropped.
+
+    The naive plan — ``ntile(n)`` over a global ORDER BY — is a
+    single-partition sort of the whole table; this one never sorts:
+    bucket BOUNDARIES come from one exact interpolated-percentile
+    aggregate (map-side combinable), broadcast as a 1-row frame, and
+    assignment is ``sum(x > boundary_i)`` — a narrow expression feeding
+    one hash aggregate. Boundary values use the same linear
+    interpolation as DuckDB's quantile_cont (bit-identical doubles, cf.
+    percentile_value_by_type), so the result is oracle-checkable.
+
+    Rows equal to a boundary go to the LOWER bucket; duplicate-heavy
+    distributions may leave some buckets empty (counts then concentrate
+    in the bucket owning the repeated value) — the standard equi-depth
+    tie semantics.
+    """
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    x = F.col(col).cast("double")
+    d = df.where(x.isNotNull()).select(x.alias("__x"))
+    bounds = d.agg(
+        *[
+            F.percentile("__x", i / nbins).alias(f"__b{i}")
+            for i in range(1, nbins)
+        ]
+    )
+    bucket = None
+    for i in range(1, nbins):
+        term = F.when(F.col("__x") > F.col(f"__b{i}"), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    if bucket is None:
+        bucket = F.lit(0)
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("__x").alias("min_v"),
+            F.max("__x").alias("max_v"),
+        )
+    )

@@ -190,3 +190,37 @@ def reservoir_sample(
         .limit(k)
         .drop("__h")
     )
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_cols: Sequence[str | Column],
+    *,
+    buckets: int = 1 << 62,
+) -> DataFrame:
+    """Exact-``k``-PER-STRATUM deterministic sample: within each
+    stratum, the k rows with the smallest content hash (ties broken by
+    the key itself — total order, stable under any partitioning).
+
+    The per-stratum analogue of :func:`reservoir_sample`: build
+    balanced eval sets (k docs per language/source) without a global
+    sort. One shuffle on the stratum key; the rank window runs
+    per-stratum, so no single task ever sees more than a stratum.
+    A skewed giant stratum still sorts only within its partition
+    group — for pathological single-stratum skew, pre-filter with
+    :func:`hash_sample` to cap the window input.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    w = Window.partitionBy(strata_col).orderBy(F.col("__h"), *cols)
+    return (
+        df.withColumn("__h", _hash_bucket(key_cols, buckets))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__h", "__rn")
+    )

@@ -74,3 +74,22 @@ def test_histogram_counts_and_clamping(spark):
 
     with pytest.raises(ValueError):
         histogram(df, "x", lo=1.0, hi=1.0, nbins=2)
+
+
+def test_equidepth_histogram_balanced_and_no_global_sort(spark):
+    from skylinemapreducehadoop_spark.functions.profile import equidepth_histogram
+
+    df = spark.range(1000).selectExpr("cast(id as double) as x", "id")
+    out = {r["bucket"]: r["cnt"] for r in equidepth_histogram(df, "x", nbins=4).collect()}
+    # 0..999 uniform: 4 buckets of ~250 (boundary rows go low)
+    assert sum(out.values()) == 1000
+    assert set(out) == {0, 1, 2, 3}
+    assert all(240 <= c <= 260 for c in out.values()), out
+    # the plan must not contain a global Sort (the ntile shape)
+    plan = equidepth_histogram(df, "x", nbins=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan
+
+    # duplicate-heavy input: all ties land in one bucket, counts exact
+    dup = spark.range(100).selectExpr("cast(5.0 as double) as x")
+    d = {r["bucket"]: r["cnt"] for r in equidepth_histogram(dup, "x", nbins=4).collect()}
+    assert d == {0: 100}

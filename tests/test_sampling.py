@@ -136,3 +136,23 @@ def test_mix_corpus_rejects_bad_weights(spark):
         mix_corpus(df, {})
     with pytest.raises(ValueError):
         mix_corpus(df, {"s0": 0})
+
+
+def test_stratified_topk_exact_k_per_stratum(spark):
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.sampling import stratified_topk_sample
+
+    rows = [(i, f"s{i % 3}", f"text {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    out = stratified_topk_sample(df, "src", 4, ["text"])
+    per = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+    # deterministic under repartitioning (content-hash order, no RNG)
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in stratified_topk_sample(df.repartition(13), "src", 4, ["text"]).collect())
+    assert a == b
+    # stratum smaller than k: keep all of it, no padding
+    small = df.where((F.col("src") != "s2") | (F.col("id") < 6))
+    kept = stratified_topk_sample(small, "src", 4, ["text"])
+    assert kept.where(F.col("src") == "s2").count() == 2
