@@ -500,6 +500,27 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed Lloyd's k-means — iterative algorithm, not
+    # SQL-expressible → rows-only check (omitted from oracle_sql);
+    # tests/test_similarity.py proves exact recovery of separated
+    # clusters and partitioning-independence
+    from skylinemapreducehadoop_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=8, n_iter=5)
+    return assigned.select("vec_id", "cluster")
+
+
+def _gapfill_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time_bucket_gapfill + locf: missing hours materialize with
+    # n_events=0 and the last non-empty hour's sum carried forward
+    from skylinemapreducehadoop_spark.operators.temporal import gapfill_time_series
+
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_time_series(ev, ts_col="ts", by="event_type", value_col="value")
+
+
 def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skylinemapreducehadoop_spark.operators.temporal import asof_join
 
@@ -1744,6 +1765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_topk_documents": _stratified_topk_documents,
         "equidepth_histogram_events": _equidepth_histogram_events,
         "events_daily_rollup": _events_daily_rollup,
+        "gapfill_events_hourly": _gapfill_events_hourly,
+        "kmeans_embeddings": _kmeans_embeddings,
         "funnel_users": _funnel_users,
         "sessionize_events": _sessionize_events,
         "range_join_events": _range_join_events,
@@ -2298,6 +2321,22 @@ SELECT (CASE WHEN x > b1 THEN 1 ELSE 0 END + CASE WHEN x > b2 THEN 1 ELSE 0 END
       + CASE WHEN x > b7 THEN 1 ELSE 0 END)::INT AS bucket,
        count(*)::BIGINT AS cnt, min(x) AS min_v, max(x) AS max_v
 FROM d, b GROUP BY 1
+""",
+        "gapfill_events_hourly": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         count(*)::BIGINT AS n, sum(value::DECIMAL(20,4)) AS sv
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT event_type, min(bucket_start) AS mn, max(bucket_start) AS mx
+          FROM hourly GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket_start
+         FROM spans)
+SELECT g.event_type, g.bucket_start,
+       coalesce(h.n, 0)::BIGINT AS n_events,
+       (last_value(h.sv IGNORE NULLS) OVER (
+          PARTITION BY g.event_type ORDER BY g.bucket_start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS sum_value_filled
+FROM grid g LEFT JOIN hourly h USING (event_type, bucket_start)
 """,
         "events_daily_rollup": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

@@ -129,6 +129,8 @@ EXTRA_QUERIES = [
     "stratified_topk_documents",
     "equidepth_histogram_events",
     "events_daily_rollup",
+    "gapfill_events_hourly",
+    "kmeans_embeddings",
 ]
 
 

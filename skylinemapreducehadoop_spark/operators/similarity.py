@@ -631,3 +631,65 @@ def embedding_near_dup(
         .where(F.col("score") >= F.lit(threshold))
         .select("id_a", "id_b", "score")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    n_iter: int = 5,
+):
+    """Fully DISTRIBUTED Lloyd's k-means over an embedding column —
+    the iterative-algorithm shape (centroid state on the driver, data
+    never collected): each iteration is one narrow assignment pass
+    (a single distance matmul per Arrow batch against the broadcast
+    k x d centroid matrix) plus one map-side-combined aggregate for
+    the centroid update (explode to (cluster, dim) — k*d result rows,
+    independent of corpus size).
+
+    Unlike :func:`_kmeans_centroids` (which fits on a driver-local
+    SAMPLE for IVF seeding), every row participates here. Init is
+    deterministic: the k vectors with the smallest ids. Empty clusters
+    keep their previous centroid. Returns ``(assigned, centroids)``
+    where ``assigned`` = df + ``cluster`` column and ``centroids`` is
+    the final k x d numpy array.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError("need k >= 1 and n_iter >= 1")
+    # k tiny rows — bounded driver collect (init only)
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(init) < k:
+        raise ValueError(f"k={k} exceeds row count {len(init)}")
+    C = np.array([r[0] for r in init], dtype=np.float64)
+
+    df = df.cache()  # n_iter full passes over the input
+
+    def _assigner(cent: np.ndarray):
+        cnorm = (cent**2).sum(axis=1)
+
+        @F.pandas_udf(T.IntegerType())
+        def assign(vs: pd.Series) -> pd.Series:
+            M = np.array(vs.tolist(), dtype=np.float64)
+            # ||m-c||^2 = ||m||^2 - 2 m.c + ||c||^2; row term constant
+            # under argmin, so one matmul per batch decides it
+            d2 = cnorm[None, :] - 2.0 * (M @ cent.T)
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        return assign
+
+    assigned = None
+    for _ in range(n_iter):
+        assigned = df.withColumn("cluster", _assigner(C)(F.col(vec_col)))
+        upd = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # k*d rows — independent of data size
+        )
+        newC = C.copy()
+        for r in upd:
+            newC[r["cluster"], r["pos"]] = r["m"]
+        C = newC
+    return assigned, C

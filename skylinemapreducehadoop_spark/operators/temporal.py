@@ -140,3 +140,55 @@ def range_join(
     joined = l.join(r.hint("shuffle_hash"), on=[*by, "__b"], how="inner")
     delta = F.unix_micros(F.col(right_on_out)) - F.unix_micros(F.col(left_on))
     return joined.where((delta > F.lit(lo_us)) & (delta <= F.lit(up_us))).drop("__b")
+
+
+def gapfill_time_series(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    by: str | Sequence[str] = "event_type",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Time-bucketed aggregation with GAP FILLING and forward fill —
+    the timescale-style `time_bucket_gapfill` + `locf` shape: missing
+    buckets inside each group's [min, max] span materialize with
+    n_events = 0, and `sum_value_filled` carries the last non-empty
+    bucket's sum forward.
+
+    Scale shape: the grid is generated per group with
+    ``sequence(min, max, interval)`` (one agg + one explode — grid
+    size is span/bucket per group, never data-sized), joined back as
+    a hash equi-join on (group, bucket), then a single per-group
+    window pass for the forward fill. Aggregates fold in decimal and
+    cast to double once at the edge (cross-engine exactness).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+
+    bucketed = df.groupBy(
+        *by, F.window(ts_col, bucket).start.alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("decimal(20,4)")).alias("__sv"),
+    )
+    spans = bucketed.groupBy(*by).agg(
+        F.min("bucket_start").alias("__mn"), F.max("bucket_start").alias("__mx")
+    )
+    grid = spans.select(
+        *by,
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr(f"INTERVAL {bucket}"))
+        ).alias("bucket_start"),
+    )
+    full = grid.join(bucketed, [*by, "bucket_start"], "left")
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return full.select(
+        *by,
+        "bucket_start",
+        F.coalesce("__n", F.lit(0)).alias("n_events"),
+        F.last("__sv", ignorenulls=True).over(w).cast("double").alias("sum_value_filled"),
+    )

@@ -295,3 +295,44 @@ def test_knn_graph_never_collects(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "toArrow", boom, raising=False)
     out = S2.knn_graph(df, k=3, q_block_rows=16, c_block_rows=16)
     assert out.count() == 150  # 50 queries x 3 neighbors, no collect
+
+
+def test_kmeans_lloyd_recovers_separated_clusters(spark):
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.similarity import kmeans_lloyd
+
+    # 3 well-separated blobs in 8-d; margins >> float noise, so the
+    # final assignment is stable under any partitioning
+    rng = np.random.RandomState(7)
+    centers = np.array([[10.0] * 8, [-10.0] * 8, [10.0, -10.0] * 4])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.randn(8) * 0.1).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, C = kmeans_lloyd(df, k=3, n_iter=5)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # every blob maps to exactly one cluster label and labels differ
+    labels = [{got[i] for i in range(90) if i % 3 == c} for c in range(3)]
+    assert all(len(s) == 1 for s in labels)
+    assert len({next(iter(s)) for s in labels}) == 3
+    # centroids land on the blob centers
+    for c in range(3):
+        lbl = next(iter(labels[c]))
+        assert np.abs(C[lbl] - centers[c]).max() < 0.1
+    # repartitioned input: identical final assignment
+    got2 = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df.repartition(11), k=3, n_iter=5)[0].collect()}
+    assert got2 == got
+
+
+def test_kmeans_lloyd_guards(spark):
+    import pytest
+
+    from skylinemapreducehadoop_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=5)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=0)

@@ -147,3 +147,30 @@ def test_range_join_plan_is_hash_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_fills_missing_buckets_and_locf(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import gapfill_time_series
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 00:40:00", 2.0),
+        # hour 01 and 02 missing entirely for group a
+        ("a", "2024-01-01 03:05:00", 5.0),
+        ("b", "2024-01-01 02:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts string, value double").selectExpr(
+        "event_type", "cast(ts as timestamp) as ts", "value"
+    )
+    out = {
+        (r["event_type"], str(r["bucket_start"])): (r["n_events"], r["sum_value_filled"])
+        for r in gapfill_time_series(df).collect()
+    }
+    # group a spans 4 hourly buckets: 00 (2 rows), 01/02 filled, 03
+    assert out[("a", "2024-01-01 00:00:00")] == (2, 3.0)
+    assert out[("a", "2024-01-01 01:00:00")] == (0, 3.0)  # locf
+    assert out[("a", "2024-01-01 02:00:00")] == (0, 3.0)  # locf
+    assert out[("a", "2024-01-01 03:00:00")] == (1, 5.0)
+    # group b: single bucket, no gap rows invented outside its span
+    assert out[("b", "2024-01-01 02:00:00")] == (1, 7.0)
+    assert len(out) == 5
