@@ -68,10 +68,16 @@ def _build_scale_replicas(spark, sf_dir: str, base: str, n_rep: int) -> None:
     marker = os.path.join(base, "_BUILT")
     if os.path.exists(marker):
         return
+    # repartition before writing: the source is a single file, and a
+    # 1-task explode would produce ONE parquet file with ONE 10x-sized
+    # row group — a row group is the minimum scan split, so every probe
+    # query would run on a 1-thread scan and measure nothing but that
+    par = spark.sparkContext.defaultParallelism
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     (
         li.withColumn("__r", F.explode(F.sequence(F.lit(1), F.lit(n_rep))))
         .drop("__r")
+        .repartition(par)
         .write.mode("overwrite")
         .parquet(os.path.join(base, "lineitem.parquet"))
     )
@@ -82,6 +88,7 @@ def _build_scale_replicas(spark, sf_dir: str, base: str, n_rep: int) -> None:
         )
         .withColumn("doc_id", F.col("doc_id") * n_rep + F.col("__r"))
         .drop("__r")
+        .repartition(par)
         .write.mode("overwrite")
         .parquet(os.path.join(base, "documents.parquet"))
     )

@@ -33,6 +33,24 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # In local/client mode the driver JVM heap is fixed BEFORE
+    # SparkSession.builder configs apply — a plain `python script.py`
+    # launch otherwise runs 32 executor threads on the 1 GB default
+    # heap (observed: GC-thrash + OOM at a 10x data probe). Setting
+    # PYSPARK_SUBMIT_ARGS before the gateway starts is the documented
+    # client-mode channel; respect an operator-provided value and do
+    # nothing once a JVM exists (spark-submit sets the env itself).
+    from pyspark import SparkContext
+
+    if (
+        SparkContext._active_spark_context is None
+        and "PYSPARK_SUBMIT_ARGS" not in os.environ
+    ):
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            f"--driver-memory {mem} pyspark-shell"
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -57,10 +75,6 @@ def get_session(
         # operators/skyline.py, operators/dedup.py).
         .config("spark.ui.enabled", "false")
     )
-    # NOTE: driver memory cannot be set here — in local/client mode the
-    # JVM heap is fixed before SparkSession.builder runs. Use
-    # PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell" or
-    # spark-submit --driver-memory instead.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
