@@ -500,6 +500,31 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD2 version history from a change log: consecutive equal values
+    # collapse, half-open validity intervals, event_id breaks ts ties
+    from skylinemapreducehadoop_spark.operators.temporal import scd2_from_changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_from_changelog(
+        ev, key_col="user_id", value_col="event_type", order_cols=["event_id"]
+    )
+
+
+def _pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank over the (symmetrized) near-dup pair graph — iterative
+    # float fixed point, not SQL-expressible → rows-only; ranks are
+    # numpy-verified to 1e-9 in tests/test_graph.py
+    from skylinemapreducehadoop_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup(docs, threshold=0.5).select("id_a", "id_b")
+    edges = pairs.selectExpr("id_a as src", "id_b as dst").union(
+        pairs.selectExpr("id_b as src", "id_a as dst")
+    )
+    return pagerank(edges, n_iter=8)
+
+
 def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed Lloyd's k-means — iterative algorithm, not
     # SQL-expressible → rows-only check (omitted from oracle_sql);
@@ -1767,6 +1792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_rollup": _events_daily_rollup,
         "gapfill_events_hourly": _gapfill_events_hourly,
         "kmeans_embeddings": _kmeans_embeddings,
+        "scd2_user_events": _scd2_user_events,
+        "pagerank_dup_graph": _pagerank_dup_graph,
         "funnel_users": _funnel_users,
         "sessionize_events": _sessionize_events,
         "range_join_events": _range_join_events,
@@ -2321,6 +2348,19 @@ SELECT (CASE WHEN x > b1 THEN 1 ELSE 0 END + CASE WHEN x > b2 THEN 1 ELSE 0 END
       + CASE WHEN x > b7 THEN 1 ELSE 0 END)::INT AS bucket,
        count(*)::BIGINT AS cnt, min(x) AS min_v, max(x) AS max_v
 FROM d, b GROUP BY 1
+""",
+        "scd2_user_events": """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev IS NULL OR event_type IS DISTINCT FROM prev)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM chg
 """,
         "gapfill_events_hourly": """
 WITH hourly AS (

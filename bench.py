@@ -138,6 +138,8 @@ EXTRA_QUERIES = [
     "events_daily_rollup",
     "gapfill_events_hourly",
     "kmeans_embeddings",
+    "scd2_user_events",
+    "pagerank_dup_graph",
 ]
 
 

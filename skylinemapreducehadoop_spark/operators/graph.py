@@ -1,0 +1,84 @@
+"""Graph analytics over edge DataFrames.
+
+Connected components live in ``operators.dedup`` (hash-min and
+large-star/small-star — they serve dup-pair clustering). This module
+adds PageRank, the canonical iterative-join workload: it exercises the
+join → aggregate → localCheckpoint loop shape that any fixed-point
+graph algorithm on Spark reduces to.
+
+Scale notes: per iteration exactly two shuffles (the contribution join
+and the rank sum); ranks/degrees are data-sized DataFrames, never
+driver-side; ``localCheckpoint`` truncates the lineage each round so
+plan size stays constant across iterations (the classic iterative-
+Spark pitfall is an exponentially growing plan). Dangling-node mass is
+redistributed uniformly via a 1-row aggregate crossJoin — the standard
+formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank by power iteration, ``n_iter`` rounds, on a directed
+    edge list. Returns (id, rank) with ranks summing to ~1.
+
+    Float fixed-point iterations are order-sensitive in the last ulps
+    (partial-sum ordering varies with partitioning), so this operator
+    is rows-only at the harness; ``tests/test_graph.py`` checks the
+    ranks against a dense numpy power iteration to 1e-9.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # scalar loop constants — one metadata-ish job
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+
+    for _ in range(n_iter):
+        with_deg = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
+            ranks["id"], "rank", "deg"
+        )
+        # dangling nodes (no out-edges) spread their mass uniformly
+        dangling = with_deg.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contribs = (
+            e.join(with_deg.where(F.col("deg").isNotNull()), e["src"] == with_deg["id"])
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -192,3 +192,41 @@ def gapfill_time_series(
         F.coalesce("__n", F.lit(0)).alias("n_events"),
         F.last("__sv", ignorenulls=True).over(w).cast("double").alias("sum_value_filled"),
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) version history
+    from a change log: collapse consecutive equal values per key and
+    emit one row per version — (key, value, valid_from, valid_to,
+    is_current), half-open intervals, ``valid_to`` NULL on the open
+    version.
+
+    ``order_cols`` breaks timestamp ties deterministically (pass a
+    unique id) so the history is identical under any partitioning.
+    One shuffle on the key; two window passes (lag to find change
+    points, lead to close intervals) over the same sort — Spark reuses
+    the sorted partition between them.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    marked = df.select(key_col, value_col, ts_col, *order_cols).withColumn(
+        "__prev", F.lag(value_col).over(w)
+    )
+    changes = marked.where(
+        F.col("__prev").isNull()
+        | ~F.col(value_col).eqNullSafe(F.col("__prev"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    out = changes.select(
+        key_col,
+        value_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())

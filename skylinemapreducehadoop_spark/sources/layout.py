@@ -147,3 +147,45 @@ def scan_output_rows(df: DataFrame) -> int:
         if m.contains("numOutputRows"):
             total += m.apply("numOutputRows").value()
     return total
+
+
+def compact(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_bytes: int = 128 << 20,
+    preserve_sort: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite ``src_path`` into files of
+    roughly ``target_bytes`` each and return the file count written.
+
+    Streaming sinks and fine-grained ingestion leave thousands of tiny
+    files per partition; at scale the scan's task-launch overhead and
+    the namenode listing dominate. Sizing uses the INPUT's on-disk
+    bytes (a metadata probe — no data pass): n_files =
+    ceil(input_bytes / target_bytes). With ``preserve_sort`` the
+    rewrite range-partitions + re-sorts on those columns so row-group
+    skipping (see :func:`write_sorted`) survives the compaction;
+    otherwise it is a pure coalesce-style rewrite.
+    """
+    df = spark.read.parquet(src_path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-int(total) // target_bytes))
+    if preserve_sort:
+        cols = [F.col(c) for c in preserve_sort]
+        out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    written = [
+        s
+        for s in fs.listStatus(dst)
+        if s.getPath().getName().endswith(".parquet")
+    ]
+    return len(written)

@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _numpy_pagerank(n, edge_list, damping=0.85, n_iter=10):
+    """Dense reference power iteration with uniform dangling spread —
+    the same update rule the operator implements."""
+    out_deg = np.zeros(n)
+    for s, _ in edge_list:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contribs = np.zeros(n)
+        for s, d in edge_list:
+            contribs[d] += r[s] / out_deg[s]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - damping) / n + damping * (contribs + dangling / n)
+    return r
+
+
+def test_pagerank_matches_dense_reference(spark):
+    from skylinemapreducehadoop_spark.operators.graph import pagerank
+
+    # ring + hub + a dangling node (exercises every term of the update)
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    edges += [(5, 0), (5, 1), (5, 2)]  # hub fanning into the ring
+    edges += [(2, 6)]  # node 6 dangles (no out-edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+    want = _numpy_pagerank(7, edges, n_iter=12)
+    assert set(got) == set(range(7))
+    for i in range(7):
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_plan_size_constant(spark):
+    # localCheckpoint must truncate lineage: the final plan string may
+    # not grow with iteration count (the iterative-Spark pitfall)
+    from skylinemapreducehadoop_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    p3 = pagerank(df, n_iter=3)._jdf.queryExecution().executedPlan().toString()
+    p6 = pagerank(df, n_iter=6)._jdf.queryExecution().executedPlan().toString()
+    assert abs(len(p6) - len(p3)) < len(p3) * 0.5

@@ -107,3 +107,45 @@ def test_layout_roundtrip_preserves_rows(spark, base, tmp_path):
     assert back.count() == N
     assert sorted(back.columns) == sorted(base.columns)
     assert back.agg(F.sum("id")).first()[0] == base.agg(F.sum("id")).first()[0]
+
+
+def test_compact_reduces_file_count_preserving_data(spark, base, tmp_path):
+    import glob
+
+    from skylinemapreducehadoop_spark.sources.layout import compact
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # 64 tiny files — the streaming-sink pathology
+    base.repartition(64).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) == 64
+
+    n = compact(spark, src, dst, target_bytes=1 << 20)
+    assert n == len(glob.glob(dst + "/*.parquet"))
+    assert n < 64
+    back = spark.read.parquet(dst)
+    assert back.count() == N
+    assert back.agg(F.sum("id")).first()[0] == base.agg(F.sum("id")).first()[0]
+
+
+def test_compact_preserve_sort_keeps_skipping(spark, base, tmp_path):
+    import glob
+
+    from skylinemapreducehadoop_spark.sources.layout import compact, scan_output_rows, write_sorted
+
+    src = str(tmp_path / "sorted_frag")
+    dst = str(tmp_path / "sorted_compact")
+    write_sorted(base, src, ["x"], n_files=64, parquet_block_bytes=BLOCK)
+    # the 40k-row fixture is ~250 KB on disk; 64 KB targets ~4 files
+    compact(spark, src, dst, target_bytes=64 << 10, preserve_sort=["x"])
+    assert len(glob.glob(dst + "/*.parquet")) < 64
+    pred = (F.col("x") >= 100.0) & (F.col("x") < 110.0)
+    # skipping survives the rewrite: the compacted files are range-
+    # partitioned, so a selective scan prunes whole files. With only a
+    # couple of output files the skip granularity is 1/n_files — assert
+    # at that granularity, not a fixed fraction.
+    import glob as _g
+
+    n_out = len(_g.glob(dst + "/*.parquet"))
+    rows = scan_output_rows(spark.read.parquet(dst).where(pred))
+    assert n_out >= 2 and rows <= N // n_out + N // 10, (rows, n_out)

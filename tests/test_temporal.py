@@ -174,3 +174,31 @@ def test_gapfill_fills_missing_buckets_and_locf(spark):
     # group b: single bucket, no gap rows invented outside its span
     assert out[("b", "2024-01-01 02:00:00")] == (1, 7.0)
     assert len(out) == 5
+
+
+def test_scd2_from_changelog_versions(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import scd2_from_changelog
+
+    rows = [
+        (1, "a", "2024-01-01 00:00:00", 10),
+        (1, "a", "2024-01-02 00:00:00", 11),  # same value -> collapsed
+        (1, "b", "2024-01-03 00:00:00", 12),
+        (1, "a", "2024-01-04 00:00:00", 13),  # value returns -> NEW version
+        (2, "x", "2024-01-01 00:00:00", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string, event_id long"
+    ).selectExpr("user_id", "event_type", "cast(ts as timestamp) as ts", "event_id")
+    hist = scd2_from_changelog(
+        df, key_col="user_id", value_col="event_type", order_cols=["event_id"]
+    ).collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_key[1], key=lambda r: r["valid_from"])
+    assert [r["event_type"] for r in u1] == ["a", "b", "a"]
+    assert str(u1[0]["valid_from"]) == "2024-01-01 00:00:00"
+    assert str(u1[0]["valid_to"]) == "2024-01-03 00:00:00"
+    assert u1[0]["is_current"] is False
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"] is True
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"] is True
