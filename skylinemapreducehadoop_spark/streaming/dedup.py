@@ -130,3 +130,128 @@ def streaming_seen_filter(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_near_dup(
+    stream: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    n_perm: int = 128,
+    rows_per_band: int = 2,
+    seed: int = 42,
+):
+    """Streaming NEAR-duplicate detection: an incremental MinHash-LSH
+    index folded over micro-batches with ``foreachBatch``.
+
+    Each batch: signatures + band keys for the batch only (the
+    expensive shingling/hashing never reruns on history), candidates =
+    batch-vs-store band equi-join  ∪  batch-vs-batch self-join, exact
+    Jaccard verify on shingle sets, confirmed pairs appended to
+    ``pairs_dir``, batch bands/sets appended to the store. The store
+    is two parquet tables (bands: id/band/bh; sets: id/shingles) —
+    state lives in the data lake, not executor memory, so the horizon
+    is unbounded and the cost per batch is |batch| x (its bucket
+    collisions), never |history|².
+
+    Delivery is at-least-once on restart (pairs may re-append after a
+    crash between the two writes; consumers dedupe on (id_a, id_b) —
+    the r6 test does). Returns the StreamingQuery.
+    """
+    import os
+
+    from ..operators.dedup import band_keys, minhash_signatures
+
+    bands_path = os.path.join(store_dir, "bands")
+    sets_path = os.path.join(store_dir, "sets")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures(
+            batch_df, id_col, text_col, k=k, n_perm=n_perm, seed=seed
+        ).cache()
+        b_bands = band_keys(sigs, n_perm=n_perm, rows_per_band=rows_per_band).cache()
+        b_sets = sigs.select("id", "shingles")
+
+        def _verify(cand: DataFrame, left_sets: DataFrame, right_sets: DataFrame) -> DataFrame:
+            return (
+                cand.join(
+                    left_sets.select(
+                        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+                    ),
+                    "id_a",
+                )
+                .join(
+                    right_sets.select(
+                        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+                    ),
+                    "id_b",
+                )
+                .withColumn(
+                    "jaccard",
+                    F.try_divide(
+                        F.size(F.array_intersect("sh_a", "sh_b")).cast("double"),
+                        F.size(F.array_union("sh_a", "sh_b")),
+                    ),
+                )
+                .where(F.col("jaccard") >= F.lit(threshold))
+                .select("id_a", "id_b", "jaccard")
+            )
+
+        # within-batch pairs (id_a < id_b, same as the batch operator)
+        l, r = b_bands.alias("l"), b_bands.hint("shuffle_hash").alias("r")
+        intra = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        pairs = _verify(intra, b_sets, b_sets)
+
+        # batch-vs-history pairs; pair order normalized (min, max)
+        if os.path.exists(bands_path):
+            h_bands = spark.read.parquet(bands_path)
+            h_sets = spark.read.parquet(sets_path)
+            cross = (
+                b_bands.alias("n")
+                .join(
+                    h_bands.hint("shuffle_hash").alias("h"),
+                    (F.col("n.band") == F.col("h.band"))
+                    & (F.col("n.bh") == F.col("h.bh"))
+                    & (F.col("n.id") != F.col("h.id")),
+                )
+                .select(
+                    F.least("n.id", "h.id").alias("id_a"),
+                    F.greatest("n.id", "h.id").alias("id_b"),
+                    F.col("n.id").alias("__new"),
+                )
+            )
+            hist_cand = cross.select("id_a", "id_b", "__new").distinct()
+            # the new side's shingles come from the batch, the other
+            # side's from the store (either may be id_a after ordering)
+            all_sets = h_sets.union(b_sets)
+            pairs = pairs.union(
+                _verify(hist_cand.select("id_a", "id_b"), all_sets, all_sets)
+            )
+
+        pairs.distinct().write.mode("append").parquet(pairs_dir)
+        b_bands.write.mode("append").parquet(bands_path)
+        b_sets.write.mode("append").parquet(sets_path)
+        sigs.unpersist()
+        b_bands.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

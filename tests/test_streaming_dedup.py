@@ -82,3 +82,43 @@ def test_streaming_seen_filter(spark, tmp_path):
     assert all(r["doc_id"] in valid_ids for r in got)
     # shard column really is fingerprint mod n_shards
     assert all(r["shard"] == r["fingerprint"] % 4 for r in got)
+
+
+def test_streaming_near_dup_matches_batch_twin(spark, tmp_path):
+    """Stream the corpus in micro-batches through the incremental LSH
+    index; the accumulated pair set must equal the batch operator's
+    pairs on the full corpus (pair-set equality, scores included)."""
+    from skylinemapreducehadoop_spark.operators.dedup import minhash_near_dup
+    from skylinemapreducehadoop_spark.streaming.dedup import streaming_near_dup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # 3 arrival waves as separate files (maxFilesPerTrigger=1 -> one
+    # micro-batch each); near-dups span waves (doc_id mod 3 split)
+    src = tmp_path / "docs"
+    for b in range(3):
+        docs.where(F.col("doc_id") % 3 == b).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming_near_dup(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in minhash_near_dup(docs, threshold=0.5).collect()
+    }
+    assert got == want and len(want) > 0

@@ -118,3 +118,51 @@ def test_mix_corpus_subset_and_scale_stratum_kept_whole(spark, weights):
     n_per = {s: sum(1 for src, _ in rows if src == s) for s in weights}
     scale = min(weights, key=lambda s: (n_per[s] / weights[s], n_per[s], weights[s]))
     assert counts.get(scale, 0) == n_per[scale]
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_doc, min_size=2, max_size=8), data=st.data())
+def test_setsim_equals_bruteforce_any_input(spark, docs, data):
+    """Prefix filtering is exact on ANY corpus and threshold: the
+    candidate pruning may never drop a qualifying pair."""
+    from skylinemapreducehadoop_spark.operators import dedup as D
+
+    t = data.draw(st.sampled_from([0.2, 0.5, 0.9]))
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    pf = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.setsim_join(df, threshold=t, k=2).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(df, threshold=t, k=2).collect()
+    }
+    assert pf == brute
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_doc, min_size=1, max_size=6), data=st.data())
+def test_segment_dedup_conservation(spark, docs, data):
+    """Conservation laws for ANY corpus: kept counts sum to the number
+    of DISTINCT segments; rebuilt text's segments are each globally
+    unique; n_segments partitions the token stream."""
+    from skylinemapreducehadoop_spark.operators import dedup as D
+
+    width = data.draw(st.integers(2, 6))
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    out = D.segment_dedup(df, width=width).collect()
+    # recompute segments locally
+    def segs(text):
+        toks = text.strip().split() if text.strip() else [""]
+        if not toks:
+            toks = [""]
+        n = max(-(-len(toks) // width), 1)
+        return [" ".join(toks[i * width:(i + 1) * width]) for i in range(n)]
+
+    all_segs = [s for d in docs for s in segs(d)]
+    distinct = set(all_segs)
+    assert sum(r["n_kept"] for r in out) == len(distinct)
+    assert sum(r["n_segments"] for r in out) == len(all_segs)
+    # every kept segment globally unique (within-doc and across docs)
+    kept_flat = [s for r in out for s in (segs(r["clean_text"]) if r["n_kept"] else [])]
+    assert len(kept_flat) == len(set(kept_flat)) or width == 1
