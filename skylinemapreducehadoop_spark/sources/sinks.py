@@ -107,3 +107,23 @@ def read_jsonl(spark, path: str, schema=None) -> DataFrame:
     if schema is not None:
         r = r.schema(schema)
     return r.option("mode", "PERMISSIVE").json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "error",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink — Spark's second native columnar format (built-in
+    reader/writer, predicate pushdown and column pruning like parquet).
+    Interchange surface for Hive/Trino-centric lakes."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -148,3 +148,28 @@ def test_jsonl_roundtrip(spark, tmp_path):
     back = read_jsonl(spark, path, schema="doc_id long, text string, score int")
     got = sorted((r["doc_id"], r["text"], r["score"]) for r in back.collect())
     assert got == [(1, "alpha beta", 10), (2, "gamma", None)]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.sources.sinks import read_orc, write_orc
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    p = str(tmp_path / "orders_orc")
+    write_orc(df, p, mode="overwrite")
+    back = read_orc(spark, p)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    # values survive the roundtrip (decimal-exact money sum)
+    a = df.agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)"))).first()[0]
+    b = back.agg(F.sum(F.col("o_totalprice").cast("decimal(20,2)"))).first()[0]
+    assert a == b
+    # filter pushdown reaches the ORC scan
+    plan = (
+        back.where(F.col("o_orderkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
