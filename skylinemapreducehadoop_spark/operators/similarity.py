@@ -679,7 +679,6 @@ def kmeans_lloyd(
 
         return assign
 
-    assigned = None
     for _ in range(n_iter):
         assigned = df.withColumn("cluster", _assigner(C)(F.col(vec_col)))
         upd = (
@@ -692,4 +691,7 @@ def kmeans_lloyd(
         for r in upd:
             newC[r["cluster"], r["pos"]] = r["m"]
         C = newC
-    return assigned, C
+    # re-assign under the FINAL centroids — the loop's last `assigned`
+    # reflects the previous iteration's centroids, and returning a
+    # (labels, centroids) pair that disagrees would be a subtle bug
+    return df.withColumn("cluster", _assigner(C)(F.col(vec_col))), C

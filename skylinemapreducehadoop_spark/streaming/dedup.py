@@ -217,8 +217,14 @@ def streaming_near_dup(
         )
         pairs = _verify(intra, b_sets, b_sets)
 
-        # batch-vs-history pairs; pair order normalized (min, max)
-        if os.path.exists(bands_path):
+        # batch-vs-history pairs; pair order normalized (min, max).
+        # Store existence is probed through the Hadoop FS API so the
+        # store may live on any scheme (local in tests, HDFS/object
+        # store on a cluster)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(bands_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             h_bands = spark.read.parquet(bands_path)
             h_sets = spark.read.parquet(sets_path)
             cross = (
