@@ -500,6 +500,25 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fuzzy_pairs_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deletion-neighborhood fuzzy join (FastSS/SymSpell family):
+    # all distinct p_name pairs at Levenshtein distance 1 via hash
+    # equi-join on 1-deletion keys + exact verify — no cartesian
+    from skylinemapreducehadoop_spark.operators.fuzzy import fuzzy_join_ed1
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_join_ed1(part, "p_name")
+
+
+def _trailing_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-row trailing 1h count/sum per user (fraud/rate-limit feature
+    # shape) — one microsecond-exact range window, decimal-folded sums
+    from skylinemapreducehadoop_spark.operators.temporal import trailing_time_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return trailing_time_stats(ev, duration="1 hour")
+
+
 def _scd2_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCD2 version history from a change log: consecutive equal values
     # collapse, half-open validity intervals, event_id breaks ts ties
@@ -1793,6 +1812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_events_hourly": _gapfill_events_hourly,
         "kmeans_embeddings": _kmeans_embeddings,
         "scd2_user_events": _scd2_user_events,
+        "fuzzy_pairs_partnames": _fuzzy_pairs_partnames,
+        "trailing_hour_events": _trailing_hour_events,
         "pagerank_dup_graph": _pagerank_dup_graph,
         "funnel_users": _funnel_users,
         "sessionize_events": _sessionize_events,
@@ -2348,6 +2369,20 @@ SELECT (CASE WHEN x > b1 THEN 1 ELSE 0 END + CASE WHEN x > b2 THEN 1 ELSE 0 END
       + CASE WHEN x > b7 THEN 1 ELSE 0 END)::INT AS bucket,
        count(*)::BIGINT AS cnt, min(x) AS min_v, max(x) AS max_v
 FROM d, b GROUP BY 1
+""",
+        "fuzzy_pairs_partnames": """
+WITH names AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL)
+SELECT a.v AS a, b.v AS b, levenshtein(a.v, b.v) AS dist
+FROM names a JOIN names b ON a.v < b.v
+WHERE levenshtein(a.v, b.v) <= 1
+""",
+        "trailing_hour_events": """
+SELECT user_id, ts, value,
+       count(*) OVER w AS trailing_n,
+       (sum(value::DECIMAL(20,4)) OVER w)::DOUBLE AS trailing_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """,
         "scd2_user_events": """
 WITH ordered AS (

@@ -144,6 +144,8 @@ EXTRA_QUERIES = [
     "kmeans_embeddings",
     "scd2_user_events",
     "pagerank_dup_graph",
+    "fuzzy_pairs_partnames",
+    "trailing_hour_events",
 ]
 
 

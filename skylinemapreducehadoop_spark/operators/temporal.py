@@ -230,3 +230,49 @@ def scd2_from_changelog(
         F.lead(ts_col).over(w2).alias("valid_to"),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def trailing_time_stats(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    by: str | Sequence[str] = "user_id",
+    value_col: str = "value",
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Per-ROW trailing-window aggregates: for every event, the count
+    and sum of ``value_col`` over [ts - duration, ts] within its
+    ``by`` group (both bounds inclusive — the fraud/rate-limit
+    feature shape, computed in one window pass rather than a
+    self-join).
+
+    The range frame orders on epoch MICROSECONDS (Spark's rangeBetween
+    needs a numeric key; the microsecond frame is exact where a
+    seconds frame would truncate). Sums fold in decimal so rows tied
+    on the timestamp produce the same total under any partition
+    storage order (float partial-sum order is nondeterministic).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    span_us = -int(pd_timedelta(duration).total_seconds() * 1_000_000)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(span_us, 0)
+    )
+    return df.select(
+        *by,
+        ts_col,
+        value_col,
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(F.col(value_col).cast("decimal(20,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_sum"),
+    )
+
+
+def pd_timedelta(duration: str):
+    """Parse '1 hour' / '15 minutes' style durations via pandas."""
+    import pandas as pd
+
+    return pd.Timedelta(duration)

@@ -202,3 +202,27 @@ def test_scd2_from_changelog_versions(spark):
     assert u1[0]["is_current"] is False
     assert u1[2]["valid_to"] is None and u1[2]["is_current"] is True
     assert len(by_key[2]) == 1 and by_key[2][0]["is_current"] is True
+
+
+def test_trailing_time_stats_window_bounds(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import trailing_time_stats
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:30:00", 2.0),
+        (1, "2024-01-01 01:00:00", 4.0),   # exactly 1h after first: INCLUSIVE
+        (1, "2024-01-01 01:30:01", 8.0),   # first two roll out
+        (2, "2024-01-01 00:45:00", 16.0),  # other group unaffected
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").selectExpr(
+        "user_id", "cast(ts as timestamp) as ts", "value"
+    )
+    out = {
+        (r["user_id"], str(r["ts"])): (r["trailing_n"], r["trailing_sum"])
+        for r in trailing_time_stats(df, duration="1 hour").collect()
+    }
+    assert out[(1, "2024-01-01 00:00:00")] == (1, 1.0)
+    assert out[(1, "2024-01-01 00:30:00")] == (2, 3.0)
+    assert out[(1, "2024-01-01 01:00:00")] == (3, 7.0)   # inclusive lower bound
+    assert out[(1, "2024-01-01 01:30:01")] == (2, 12.0)  # 01:00 + itself
+    assert out[(2, "2024-01-01 00:45:00")] == (1, 16.0)
