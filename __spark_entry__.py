@@ -500,6 +500,52 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cohort_retention_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classic cohort retention: users grouped by first-activity day,
+    # distinct active users per (cohort, day offset). Two hash aggs +
+    # one equi-join — the min-date "first touch" is map-side combined
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort",
+            F.datediff(F.to_date("ts"), F.to_date("cohort")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+def _top_paths_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # path analysis: each user's first 5 event types in time order
+    # (event_id breaks ts ties), frequency of each path. One window
+    # pass + two aggs; the path string is bounded, not event-stream-
+    # sized, so the final group-by key stays small at any scale
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return first5.groupBy("path").agg(F.count("*").alias("n_users"))
+
+
 def _fuzzy_pairs_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deletion-neighborhood fuzzy join (FastSS/SymSpell family):
     # all distinct p_name pairs at Levenshtein distance 1 via hash
@@ -1814,6 +1860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_events": _scd2_user_events,
         "fuzzy_pairs_partnames": _fuzzy_pairs_partnames,
         "trailing_hour_events": _trailing_hour_events,
+        "cohort_retention_users": _cohort_retention_users,
+        "top_paths_users": _top_paths_users,
         "pagerank_dup_graph": _pagerank_dup_graph,
         "funnel_users": _funnel_users,
         "sessionize_events": _sessionize_events,
@@ -2369,6 +2417,26 @@ SELECT (CASE WHEN x > b1 THEN 1 ELSE 0 END + CASE WHEN x > b2 THEN 1 ELSE 0 END
       + CASE WHEN x > b7 THEN 1 ELSE 0 END)::INT AS bucket,
        count(*)::BIGINT AS cnt, min(x) AS min_v, max(x) AS max_v
 FROM d, b GROUP BY 1
+""",
+        "cohort_retention_users": """
+WITH first AS (
+  SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS cohort FROM events GROUP BY 1
+)
+SELECT cohort,
+       date_diff('day', cohort::DATE, ts::DATE)::INT AS day_offset,
+       count(DISTINCT e.user_id)::BIGINT AS active_users
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
+        "top_paths_users": """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 5 GROUP BY user_id)
+SELECT path, count(*)::BIGINT AS n_users FROM paths GROUP BY path
 """,
         "fuzzy_pairs_partnames": """
 WITH names AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL)

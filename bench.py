@@ -146,6 +146,8 @@ EXTRA_QUERIES = [
     "pagerank_dup_graph",
     "fuzzy_pairs_partnames",
     "trailing_hour_events",
+    "cohort_retention_users",
+    "top_paths_users",
 ]
 
 
