@@ -120,3 +120,42 @@ class TestHeavyHitters:
         # shuffle) and the test fixture's own repartition — no
         # vocabulary-sized groupBy exchange
         assert plan.count("Exchange") <= 2 + 1
+
+
+def test_heavy_hitters_property_random_inputs(spark):
+    """MG + exact recount equals plain groupBy/HAVING for random value
+    distributions, partition counts, and counter budgets at the
+    guarantee bound — the theory, checked empirically."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n_vals = rng.randint(5, 40)
+        weights = [rng.randint(1, 50) for _ in range(n_vals)]
+        rows = [(f"v{i}",) for i, w in enumerate(weights) for _ in range(w)]
+        rng.shuffle(rows)
+        n = len(rows)
+        ratio = rng.choice([0.05, 0.1, 0.2])
+        # counters exactly at the smallest guaranteed-correct budget
+        counters = int(1.0 / ratio) + 1
+        df = spark.createDataFrame(rows, "v string").repartition(
+            rng.randint(2, 12)
+        )
+        got = {
+            r["value"]: r["cnt"]
+            for r in heavy_hitters(
+                df, "v", threshold_ratio=ratio, counters=counters
+            ).collect()
+        }
+        # integer cnt >= ratio*n  <=>  cnt >= ceil(ratio*n), the
+        # operator's threshold
+        exact = {
+            r["v"]: r["cnt"]
+            for r in df.groupBy("v").agg(F.count("*").alias("cnt")).collect()
+            if r["cnt"] >= ratio * n
+        }
+        assert got == exact, (trial, n, ratio, counters)
