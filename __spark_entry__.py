@@ -1260,9 +1260,12 @@ def _stratified_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skylinemapreducehadoop_spark.operators.sampling import stratified_topk_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    return stratified_topk_sample(docs, "source", 5, ["text"]).select(
-        "doc_id", "source", "n_chars"
-    )
+    # doc_id tiebreaker: duplicate texts within a stratum tie on
+    # (hash, text) — without a unique final key, which physical row
+    # wins rank k would be partition-dependent (ADVICE r6)
+    return stratified_topk_sample(
+        docs, "source", 5, ["text"], tiebreak_cols=["doc_id"]
+    ).select("doc_id", "source", "n_chars")
 
 
 def _equidepth_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2398,7 +2401,7 @@ WITH r AS (
   SELECT doc_id, source, n_chars,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT, text
+           ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT, text, doc_id
          ) AS rn
   FROM documents)
 SELECT doc_id, source, n_chars FROM r WHERE rn <= 5

@@ -3,8 +3,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once end-to-end (plan + execute + collect-ish
-action); timings are wall-clock per query. Session startup is excluded.
+Timings are median-of-3 wall-clock per query (best-of-2 for the 10x
+scale probe — replica runs are expensive); session startup is excluded.
+
+Output protocol (the round driver keeps only a ~2 KB tail of stdout,
+which silently truncated the r6 record): the FULL detail blob — extra
+queries, scale probe, errors — is written to BENCH_DETAIL.json and
+printed first; the LAST line printed is a compact (<1.5 KB) JSON
+summary with the headline total, guaranteed to fit in the tail.
 """
 
 from __future__ import annotations
@@ -206,18 +212,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     extra: dict[str, float] = {}
+    def _median3(name: str) -> float:
+        # median-of-3: the documented single-VM run-to-run variance
+        # (PLANS.md §10: 15.9s vs 28.6s on identical code) makes a
+        # single sample — or even best-of-2 — noisy; the median damps
+        # both a cold first run and a one-off GC/scheduler stall.
+        runs = sorted(_run_once(name) for _ in range(3))
+        return round(runs[1], 3)
+
     if not probe_only:
         for name in BENCH_QUERIES:
             try:
-                timings[name] = round(min(_run_once(name) for _ in range(2)), 3)
+                timings[name] = _median3(name)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
 
         for name in EXTRA_QUERIES:
             try:
-                # best-of-2 like the headline: a single cold run charges
-                # one-time stage/codegen setup to the query being measured
-                extra[name] = round(min(_run_once(name) for _ in range(2)), 3)
+                extra[name] = _median3(name)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
 
@@ -262,7 +274,7 @@ def main() -> None:
             scale_probe = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     total = round(sum(timings.values()), 3)
-    out = {
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -272,10 +284,42 @@ def main() -> None:
         "sf": sf,
     }
     if scale_probe:
-        out["scale_probe"] = scale_probe
+        detail["scale_probe"] = scale_probe
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    # Full record to disk (survives any stdout truncation) and to
+    # stdout FIRST, so the compact line below is what lands at the
+    # very end of the driver's ~2 KB output tail.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    sys.stdout.flush()
+    probe_q = scale_probe.get("queries", {}) if isinstance(scale_probe, dict) else {}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra_total": detail["extra_total"],
+        "n_extra": len(extra),
+        "n_errors": len(errors),
+        "probe_ok": bool(probe_q)
+        and not (isinstance(scale_probe, dict) and scale_probe.get("errors")),
+        "probe_total": round(sum(probe_q.values()), 3),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard guarantee: never outgrow the tail again
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
     try:
         spark.stop()
     except Exception:

@@ -49,6 +49,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # scalar loop constants — one metadata-ish job
+    if n_nodes == 0:
+        # empty edge frame: no nodes to rank — return an empty (id, rank)
+        # frame instead of a bare ZeroDivisionError from 1/n_nodes
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))

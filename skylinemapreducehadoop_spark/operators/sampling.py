@@ -199,10 +199,18 @@ def stratified_topk_sample(
     key_cols: Sequence[str | Column],
     *,
     buckets: int = 1 << 62,
+    tiebreak_cols: Sequence[str | Column] = (),
 ) -> DataFrame:
     """Exact-``k``-PER-STRATUM deterministic sample: within each
-    stratum, the k rows with the smallest content hash (ties broken by
-    the key itself — total order, stable under any partitioning).
+    stratum, the k rows with the smallest content hash, ties broken by
+    the key itself and then ``tiebreak_cols``.
+
+    The order is a TOTAL order (stable under any partitioning) only if
+    (key_cols + tiebreak_cols) uniquely identifies rows within a
+    stratum: two rows with identical key values tie on both the hash
+    and the key, and which one wins rank k is then partition-dependent.
+    Pass the table's unique id in ``tiebreak_cols`` whenever the key
+    (e.g. document text) can repeat.
 
     The per-stratum analogue of :func:`reservoir_sample`: build
     balanced eval sets (k docs per language/source) without a global
@@ -217,7 +225,8 @@ def stratified_topk_sample(
     from pyspark.sql import Window
 
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
-    w = Window.partitionBy(strata_col).orderBy(F.col("__h"), *cols)
+    ties = [F.col(c) if isinstance(c, str) else c for c in tiebreak_cols]
+    w = Window.partitionBy(strata_col).orderBy(F.col("__h"), *cols, *ties)
     return (
         df.withColumn("__h", _hash_bucket(key_cols, buckets))
         .withColumn("__rn", F.row_number().over(w))

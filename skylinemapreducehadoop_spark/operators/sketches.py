@@ -38,8 +38,13 @@ def mg_candidates(df: DataFrame, value_col: str, k: int) -> DataFrame:
     Returns a frame with one ``value`` column: the union of every
     partition's k-counter summary — a superset of all values with
     global frequency > n/(k+1) regardless of how rows are partitioned.
+
+    NULL values are excluded up front (see :func:`heavy_hitters`).
     """
-    vals = df.select(F.col(value_col).cast("string").alias("value"))
+    vals = (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .where(F.col("value").isNotNull())
+    )
     schema = T.StructType(
         [
             T.StructField("value", T.StringType()),
@@ -79,6 +84,15 @@ def heavy_hitters(
     value can be missed. Larger ``counters`` shrinks the candidate
     superset (fewer recount keys) at the cost of executor memory
     (k counters per partition).
+
+    NULL semantics: NULL values are dropped before sketching, and
+    ``n`` is the count of NON-NULL rows — i.e. the contract is
+    ``GROUP BY value HAVING cnt >= ceil(ratio * n_nonnull)`` over the
+    non-null values only. (A NULL group cannot flow through the
+    sketch: pandas value_counts silently drops NaN and an equi
+    semi-join never matches NULL, so an implicit NULL group would be
+    silently missed — excluding it explicitly keeps the contract
+    honest.)
     """
     k = counters if counters is not None else int(2.0 / threshold_ratio) + 1
     if k + 1 <= 1.0 / threshold_ratio:
@@ -86,7 +100,10 @@ def heavy_hitters(
             f"counters={k} cannot guarantee ratio {threshold_ratio}: "
             f"need counters + 1 > 1/ratio"
         )
-    vals = df.select(F.col(value_col).cast("string").alias("value"))
+    vals = (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .where(F.col("value").isNotNull())
+    )
     cand = mg_candidates(df, value_col, k)
 
     # single lazy plan: total-row count rides along as a broadcast

@@ -14,6 +14,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Default driver heap: ~40% of physical RAM, clamped to [2g, 48g].
+
+    A fixed large default (the old 48g) is right for the 128 GiB bench
+    machine but can swap or invoke the OOM killer on small hosts; a
+    fixed small default GC-thrashes 32 local executor threads at the
+    10x scale probe. Deriving from the host keeps both safe.
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides (see README).
+    """
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        gib = int(total * 0.4 / (1 << 30))
+    except (ValueError, OSError, AttributeError):
+        gib = 4
+    return f"{max(2, min(48, gib))}g"
+
+
 def get_session(
     app_name: str = "skyline-spark",
     *,
@@ -46,7 +63,7 @@ def get_session(
         SparkContext._active_spark_context is None
         and "PYSPARK_SUBMIT_ARGS" not in os.environ
     ):
-        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
         os.environ["PYSPARK_SUBMIT_ARGS"] = (
             f"--driver-memory {mem} pyspark-shell"
         )

@@ -45,3 +45,14 @@ def test_pagerank_plan_size_constant(spark):
     p3 = pagerank(df, n_iter=3)._jdf.queryExecution().executedPlan().toString()
     p6 = pagerank(df, n_iter=6)._jdf.queryExecution().executedPlan().toString()
     assert abs(len(p6) - len(p3)) < len(p3) * 0.5
+
+
+def test_pagerank_empty_graph(spark):
+    # an empty edge frame returns an empty (id, rank) frame — not a
+    # bare ZeroDivisionError (r6 ADVICE)
+    from skylinemapreducehadoop_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df, n_iter=3)
+    assert out.columns == ["id", "rank"]
+    assert out.count() == 0

@@ -159,3 +159,17 @@ def test_heavy_hitters_property_random_inputs(spark):
             if r["cnt"] >= ratio * n
         }
         assert got == exact, (trial, n, ratio, counters)
+
+
+def test_heavy_hitters_null_semantics(spark):
+    # NULLs are excluded up front and n = non-null count (documented
+    # contract, r6 ADVICE): a majority-NULL column must still report
+    # the heavy non-null value, with its exact count, and never a
+    # NULL row.
+    from skylinemapreducehadoop_spark.operators.sketches import heavy_hitters
+
+    rows = [("a",)] * 40 + [(None,)] * 60 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = {r["value"]: r["cnt"] for r in heavy_hitters(df, "v", threshold_ratio=0.5).collect()}
+    # n_nonnull = 42 -> threshold ceil(21) = 21: only "a" qualifies
+    assert got == {"a": 40}

@@ -122,3 +122,28 @@ def test_streaming_near_dup_matches_batch_twin(spark, tmp_path):
         for r in minhash_near_dup(docs, threshold=0.5).collect()
     }
     assert got == want and len(want) > 0
+
+    # Replay idempotency (r6 ADVICE): re-running the same batches —
+    # fresh checkpoint, same batch ids, store already populated — must
+    # NOT duplicate store rows (each batch overwrites its own
+    # partition). Before the fix the store doubled on every replay,
+    # inflating all future candidate joins.
+    bands_before = spark.read.parquet(str(tmp_path / "store" / "bands")).count()
+    sets_before = spark.read.parquet(str(tmp_path / "store" / "sets")).count()
+    q2 = streaming_near_dup(
+        stream,
+        str(tmp_path / "store"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(300)
+    assert spark.read.parquet(str(tmp_path / "store" / "bands")).count() == bands_before
+    assert spark.read.parquet(str(tmp_path / "store" / "sets")).count() == sets_before
+    # the pair SET stays exactly the batch twin's (per-partition rows
+    # may move between batch partitions on a from-scratch replay;
+    # consumers key on the pair, as here)
+    got2 = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert got2 == want
