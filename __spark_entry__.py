@@ -346,6 +346,20 @@ def _segment_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.segment_dedup(docs, width=10)
 
 
+def _segment_dedup_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shift-robust sub-document dedup (content-defined chunking): the
+    # corpus plus planted +1-token-offset copies of every 20th doc
+    # ("zz " prefix, doc_id+500000) — a duplicate the ALIGNED mode
+    # provably misses (tests prove it) and this mode must catch; the
+    # oracle reproduces the md5-anchor boundaries exactly
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("zz "), F.col("text")).alias("text"),
+    )
+    return D.segment_dedup(docs.unionByName(shifted), width=10, mode="cdc")
+
+
 def _heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Misra-Gries candidates + exact recount: deterministic output
     # (every token with freq >= ceil(2% of corpus) and its exact
@@ -416,6 +430,47 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     top = S.ivf_probe(assigned, C, qv, k=10)
     return top.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _ann_recall_corpus(spark: SparkSession, sf_dir: str, n_plant: int = 10):
+    """Planted-neighbor ANN fixture: the base embeddings (max natural
+    pairwise cosine ~0.51) plus ``n_plant`` exact copies of the query
+    vector (vec_id 0) at ids 900000+. The exact top-10 is therefore
+    provably the planted set (cosine 1.0), and a CORRECT ANN index
+    must place every planted copy in a probed bucket/cell (identical
+    vector -> identical LSH signs / same nearest IVF centroid), so
+    recall@10 == 10 is a deterministic, hashable integer — this is
+    how the approximate operators get a REAL oracle row instead of
+    the r6 rows-only declaration."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (
+        emb.where(F.col("vec_id") == 0)
+        .crossJoin(spark.range(n_plant))
+        .select((F.lit(900000) + F.col("id")).alias("vec_id"), "embedding")
+    )
+    return emb.where(F.col("vec_id") != 0).unionByName(planted)
+
+
+def _ann_recall(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    corpus = _ann_recall_corpus(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    if kind == "lsh":
+        ann = S.ann_lsh_topk(corpus, qv, k=10)
+    else:
+        ann = S.ivf_topk(corpus, qv, k=10)
+    exact = S.cosine_topk(corpus, qv, k=10)
+    hits = ann.join(exact.select("vec_id"), "vec_id", "left_semi")
+    return hits.agg(F.count("*").cast("int").alias("recall_hits")).select(
+        F.lit(10).cast("int").alias("k"), "recall_hits"
+    )
+
+
+def _ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall(spark, sf_dir, "lsh")
+
+
+def _ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_recall(spark, sf_dir, "ivf")
 
 
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,6 +1792,43 @@ def _streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFra
     return out
 
 
+def _streaming_near_dup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental MinHash-LSH index replay (the last streaming surface
+    # without a driver row, r6 brief item 6): the corpus streams in as
+    # FOUR deterministic waves (doc_id mod 4), so both the intra-batch
+    # self-join AND the batch-vs-store candidate paths execute; the
+    # accumulated pair set is order-independent and equals the batch
+    # operator's, so it hash-matches the exact-Jaccard oracle
+    import os
+    import tempfile
+
+    from skylinemapreducehadoop_spark.streaming.dedup import streaming_near_dup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="stream_neardup_replay_")
+    src = os.path.join(tmp, "src")
+    for i in range(4):
+        docs.where(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_near_dup(
+        stream,
+        os.path.join(tmp, "store"),
+        os.path.join(tmp, "pairs"),
+        os.path.join(tmp, "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(os.path.join(tmp, "pairs")).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 def _dynamic_skyline_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dellis & Seeger's dynamic skyline at the same query point the
     # reverse skyline uses: rows Pareto-minimal in |x - q| space
@@ -1785,26 +1877,86 @@ def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
-    # 50 entries only. Round-6 window (rotation in COVERAGE.md):
-    # (a) the queries NEW in r6; (b) the 35 queries rotated past the
-    # window in r5 (green r4 — their newest green row would otherwise
-    # go two rounds stale); (c) r5-green queries whose operators were
-    # CHANGED by r6 code (contamination coalesce, batch-retrieval
-    # guard/dtype); (d) fillers from the r5 window to reach 50.
-    # Positions 51+ are hash-green in r5 with untouched logic.
+    # 50 entries only. Round-7 window (rotation in COVERAGE.md):
+    # (a) the queries NEW in r7 (ANN recall oracles via the exact twin,
+    # shift-robust segment dedup, the 4th streaming replay); (b) the 13
+    # mid-r6 queries that have NEVER had a driver row; (c) r6-green
+    # queries whose OPERATOR code changed in r7 (heavy-hitters NULL
+    # filter, star-CC fixed-point check, segment_dedup mode split);
+    # (d) the queries rotated past the window in r6 whose newest green
+    # row is r5 — operator-backed ones first. Positions 51+ are
+    # hash-green in r6 (or r5 for the plain-SQL TPC-H shapes deferred
+    # for space, re-verified locally with tools/check_contract.py —
+    # see COVERAGE.md).
     return {
-        # (a) new in round 6
+        # (a) new in round 7
+        "ann_recall_lsh": _ann_recall_lsh,
+        "ann_recall_ivf": _ann_recall_ivf,
+        "segment_dedup_shifted": _segment_dedup_shifted,
+        "streaming_near_dup_replay": _streaming_near_dup_replay,
+        # (b) registered mid-r6, never driver-checked
+        "classifier_score_documents": _classifier_score_documents,
+        "histogram_orders": _histogram_orders,
+        "stratified_topk_documents": _stratified_topk_documents,
+        "equidepth_histogram_events": _equidepth_histogram_events,
+        "events_daily_rollup": _events_daily_rollup,
+        "gapfill_events_hourly": _gapfill_events_hourly,
+        "kmeans_embeddings": _kmeans_embeddings,
+        "scd2_user_events": _scd2_user_events,
+        "fuzzy_pairs_partnames": _fuzzy_pairs_partnames,
+        "trailing_hour_events": _trailing_hour_events,
+        "cohort_retention_users": _cohort_retention_users,
+        "top_paths_users": _top_paths_users,
+        "pagerank_dup_graph": _pagerank_dup_graph,
+        # (c) r6-green, operator code touched in r7
+        "heavy_hitters_tokens": _heavy_hitters_tokens,
+        "dedup_star_clusters": _dedup_star_clusters,
+        "semantic_dedup_embeddings": _semantic_dedup_embeddings,
+        "segment_dedup_documents": _segment_dedup_documents,
+        # (d) newest green row is r5 — rotate back in before it goes
+        # two rounds stale (operator-backed queries prioritized)
+        "funnel_users": _funnel_users,
+        "sessionize_events": _sessionize_events,
+        "range_join_events": _range_join_events,
+        "dynamic_skyline_part": _dynamic_skyline_part,
+        "pack_sequences_documents": _pack_sequences_documents,
+        "unigram_logprob_documents": _unigram_logprob_documents,
+        "mix_corpus_sources": _mix_corpus_sources,
+        "skyline_bruteforce": _sky("bruteforce"),
+        "skyline_5dim": _sky_5dim,
+        "skyline_layers": _sky_layers,
+        "skyline_events": _sky_events,
+        "profile_lineitem": _profile_lineitem,
+        "window_top2_orders": _window_top2_orders,
+        "events_hourly": _events_hourly,
+        "text_stats_documents": _text_stats,
+        "fingerprint_rolling_documents": _fingerprint_rolling,
+        "quality_flags_documents": _quality_flags,
+        "dedup_exact_documents": _dedup_exact,
+        "dedup_simhash_documents": _dedup_simhash,
+        "ngram_jaccard_documents": _ngram_jaccard,
+        "topk_similarity": _topk_similarity,
+        "multimodal_stats": _multimodal_stats,
+        "window_analytics_events": _window_analytics_events,
+        "chunk_documents": _chunk_documents,
+        "token_entropy_documents": _token_entropy_documents,
+        "asof_join_events": _asof_join_events,
+        "skyline_kband_events": _sky_kband_events,
+        "distinct_users_by_type": _distinct_users_by_type,
+        "window_analytics_orders": _window_analytics_orders,
+        # --- past the driver's 50-entry window: hash-green in r6
+        # with logic untouched in r7, except the trailing TPC-H/SQL
+        # shapes whose newest green is r5 (deferred for window space —
+        # pure Catalyst compositions over untouched operators, all
+        # re-verified locally with the driver-mimic comparator)
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
         "streaming_dedup_replay": _streaming_dedup_replay,
-        "dedup_star_clusters": _dedup_star_clusters,
         "approx_percentile_value": _approx_percentile_value,
         "streaming_skyline_replay": _streaming_skyline_replay,
         "streaming_interval_join_replay": _streaming_interval_join_replay,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "semantic_dedup_embeddings": _semantic_dedup_embeddings,
-        # (b) rotated past the window in r5, green r4
         "q14_promo_revenue": _q14_promo_revenue,
         "q17_small_qty_revenue": _q17_small_qty_revenue,
         "q18_large_orders": _q18_large_orders,
@@ -1840,75 +1992,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt": _q16_supplier_cnt,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_sales_opportunity": _q22_sales_opportunity,
-        # (c) r5-green, operator code touched in r6
         "decontaminate_documents": _decontaminate_documents,
         "topk_batch_similarity": _topk_batch_similarity,
-        # (d) new depth operators added mid-round-6 (these displace the
-        # r5-green fillers, which stay <= 1 round stale below the line)
         "setsim_join_documents": _setsim_join_documents,
-        "segment_dedup_documents": _segment_dedup_documents,
-        "heavy_hitters_tokens": _heavy_hitters_tokens,
-        # --- past the driver's 50-entry window: hash-green in r5
-        # (or rows-only by declared design), logic untouched in r6;
-        # the first two are NEW in r6 but locally verified with the
-        # driver-mimic comparator (tools/check_contract.py) — they
-        # rotate into the checked window in r7
-        "classifier_score_documents": _classifier_score_documents,
-        "histogram_orders": _histogram_orders,
-        "stratified_topk_documents": _stratified_topk_documents,
-        "equidepth_histogram_events": _equidepth_histogram_events,
-        "events_daily_rollup": _events_daily_rollup,
-        "gapfill_events_hourly": _gapfill_events_hourly,
-        "kmeans_embeddings": _kmeans_embeddings,
-        "scd2_user_events": _scd2_user_events,
-        "fuzzy_pairs_partnames": _fuzzy_pairs_partnames,
-        "trailing_hour_events": _trailing_hour_events,
-        "cohort_retention_users": _cohort_retention_users,
-        "top_paths_users": _top_paths_users,
-        "pagerank_dup_graph": _pagerank_dup_graph,
-        "funnel_users": _funnel_users,
-        "sessionize_events": _sessionize_events,
-        "range_join_events": _range_join_events,
-        "dynamic_skyline_part": _dynamic_skyline_part,
-        "pack_sequences_documents": _pack_sequences_documents,
-        "unigram_logprob_documents": _unigram_logprob_documents,
-        "mix_corpus_sources": _mix_corpus_sources,
+        "pivot_user_events": _pivot_user_events,
+        "percentile_value_by_type": _percentile_value_by_type,
+        "cube_events": _cube_events,
         "set_ops_customers": _set_ops_customers,
         "rollup_orders": _rollup_orders,
         "anti_join_customers": _anti_join_customers,
         "q10_returned_items": _q10_returned_items,
-        "skyline_bruteforce": _sky("bruteforce"),
-        "skyline_5dim": _sky_5dim,
-        "skyline_layers": _sky_layers,
-        "skyline_events": _sky_events,
-        "profile_lineitem": _profile_lineitem,
         "q1_pricing_summary": _q1_pricing,
         "join_nation_revenue": _join_nation_revenue,
-        "window_top2_orders": _window_top2_orders,
-        "events_hourly": _events_hourly,
-        "text_stats_documents": _text_stats,
-        "fingerprint_rolling_documents": _fingerprint_rolling,
-        "quality_flags_documents": _quality_flags,
-        "dedup_exact_documents": _dedup_exact,
-        "dedup_simhash_documents": _dedup_simhash,
-        "ngram_jaccard_documents": _ngram_jaccard,
-        "topk_similarity": _topk_similarity,
-        "multimodal_stats": _multimodal_stats,
-        "window_analytics_events": _window_analytics_events,
-        "chunk_documents": _chunk_documents,
-        "token_entropy_documents": _token_entropy_documents,
         "q8_market_share": _q8_market_share,
         "q9_profit_by_nation": _q9_profit_by_nation,
         "q11_important_brands": _q11_important_brands,
         "q13_customer_distribution": _q13_customer_distribution,
         "q15_top_supplier": _q15_top_supplier,
-        "asof_join_events": _asof_join_events,
-        "skyline_kband_events": _sky_kband_events,
-        "distinct_users_by_type": _distinct_users_by_type,
-        "pivot_user_events": _pivot_user_events,
-        "percentile_value_by_type": _percentile_value_by_type,
-        "cube_events": _cube_events,
-        "window_analytics_orders": _window_analytics_orders,
         "q3_shipping_priority": _q3_shipping_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q4_priority_exists": _q4_priority_exists,
@@ -2093,6 +2193,75 @@ totals AS (SELECT doc_id, greatest((len(t)+9)//10, 1)::INT AS n_segments FROM to
 SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_segments,
        coalesce(r.n_kept, 0)::BIGINT AS n_kept
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+#: segment_dedup mode='cdc' twin over the corpus + planted +1-token-
+#: shifted copies of every 20th doc: boundaries open at md5-anchor
+#: tokens (60-bit hex prefix % 10 == 0) — the same construction in
+#: both engines, so segment boundaries agree bit-for-bit; two zipped
+#: unnests give (pos, tok) and a running sum of anchor flags numbers
+#: the segments
+_SEGMENT_CDC_SQL = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, 'zz ' || text FROM documents WHERE doc_id % 20 = 0
+),
+tk AS (
+  SELECT doc_id,
+         unnest(range(1, len(t)+1)) AS pos,
+         unnest(t) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM base)
+),
+st AS (
+  SELECT doc_id, pos, tok,
+         sum(CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 10 = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS seg_idx
+  FROM tk
+),
+segs AS (
+  SELECT doc_id, seg_idx,
+         string_agg(tok, ' ' ORDER BY pos) AS seg,
+         min(pos) AS pos
+  FROM st GROUP BY doc_id, seg_idx
+),
+firsts AS (
+  SELECT seg, doc_id, pos,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs
+),
+kept AS (SELECT doc_id, pos, seg FROM firsts WHERE rn = 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*)::INT AS n_segments FROM segs GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_segments,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+#: planted-neighbor ANN recall twin (shared by the LSH and IVF recall
+#: queries): expected recall@10 derived from the data — the count of
+#: planted exact copies (cosine 1.0) inside the exact top-10
+_ANN_RECALL_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0
+  UNION ALL
+  SELECT 900000 + t.i, q.v FROM q, range(10) t(i)
+),
+exact AS (
+  SELECT c.vec_id
+  FROM corpus c, q
+  ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id
+  LIMIT 10
+)
+SELECT CAST(10 AS INTEGER) AS k, CAST(count(*) AS INTEGER) AS recall_hits
+FROM exact WHERE vec_id >= 900000
 """
 
 #: heavy_hitters twin: the MG+recount operator's contract IS the plain
@@ -2379,6 +2548,10 @@ SELECT ('0x' || substr(h, 1, 15))::BIGINT AS fingerprint, keep_id, n_copies
 FROM g
 """,
         "dedup_minhash_documents": _JACCARD_PAIRS_SQL,
+        # 4-wave availableNow replay of the same operator: the pair
+        # set is order-independent and equals the batch twin's
+        "streaming_near_dup_replay": _JACCARD_PAIRS_SQL,
+        "segment_dedup_shifted": _SEGMENT_CDC_SQL,
         "repetition_stats_documents": _REPETITION_SQL,
         "redact_pii_documents": _REDACT_PII_SQL,
         "dedup_clusters_documents": _DEDUP_CLUSTERS_SQL,
@@ -2499,7 +2672,14 @@ WHERE e.vec_id <> 0
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v) DESC, e.vec_id
 LIMIT 10
 """,
-        # ann_lsh_topk: approximate by design → rows-only check (omitted)
+        # ann_lsh_topk / ann_ivf_topk raw outputs stay rows-only
+        # (bucket membership is probabilistic on natural data), but the
+        # planted-neighbor RECALL queries are deterministic: the oracle
+        # derives the expected hits (= all 10 planted copies, cosine
+        # 1.0 > max natural ~0.51) from the data; a single missed probe
+        # on the Spark side breaks the hash
+        "ann_recall_lsh": _ANN_RECALL_SQL,
+        "ann_recall_ivf": _ANN_RECALL_SQL,
         "embedding_near_dup": """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

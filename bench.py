@@ -154,6 +154,12 @@ EXTRA_QUERIES = [
     "trailing_hour_events",
     "cohort_retention_users",
     "top_paths_users",
+    # new in round 7 (streaming_near_dup_replay excluded like the
+    # other streaming replays — it measures streaming machinery, not
+    # an operator plan)
+    "ann_recall_lsh",
+    "ann_recall_ivf",
+    "segment_dedup_shifted",
 ]
 
 

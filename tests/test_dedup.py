@@ -262,3 +262,49 @@ def test_segment_dedup_partial_tail_segment(spark):
     row = D.segment_dedup(df, width=10).collect()[0]
     assert row["clean_text"] == text
     assert row["n_segments"] == 2 and row["n_kept"] == 2
+
+
+def test_segment_dedup_cdc_catches_shifted_boilerplate(spark):
+    """A boilerplate run shifted by +1 token escapes the aligned mode
+    (segments are position-aligned) but is caught by content-defined
+    chunking (boundaries depend only on token content)."""
+    rng = __import__("random").Random(7)
+    boiler = " ".join(f"b{rng.randrange(10**6)}" for _ in range(80))
+    pre_a = " ".join(f"a{rng.randrange(10**6)}" for _ in range(17))
+    pre_b = " ".join(f"c{rng.randrange(10**6)}" for _ in range(18))  # +1 offset
+    df = spark.createDataFrame(
+        [(1, f"{pre_a} {boiler}"), (2, f"{pre_b} {boiler}")],
+        "doc_id long, text string",
+    )
+    import skylinemapreducehadoop_spark.operators.dedup as D
+
+    aligned = {r["doc_id"]: r for r in D.segment_dedup(df, width=10).collect()}
+    # aligned mode provably misses: doc 2's segments all survive
+    assert aligned[2]["n_kept"] == aligned[2]["n_segments"]
+
+    cdc = {r["doc_id"]: r for r in D.segment_dedup(df, width=10, mode="cdc").collect()}
+    # CDC catches the run's interior: doc 2 loses segments
+    assert cdc[2]["n_kept"] < cdc[2]["n_segments"]
+    # only boilerplate tokens are dropped; doc 2's own prefix survives
+    assert all(t in cdc[2]["clean_text"].split() for t in pre_b.split())
+    # doc 1 (first occurrence) keeps everything
+    assert cdc[1]["n_kept"] == cdc[1]["n_segments"]
+    # reconstruction invariant: concatenating kept segments of doc 1
+    # in order reproduces the document
+    assert cdc[1]["clean_text"] == f"{pre_a} {boiler}"
+
+
+def test_segment_dedup_cdc_determinism_and_mode_guard(spark):
+    import pytest as _pytest
+
+    import skylinemapreducehadoop_spark.operators.dedup as D
+
+    rows = [(i, f"tok{i % 7} common run of words {i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, D.segment_dedup(df, width=5, mode="cdc").collect()))
+    b = sorted(
+        map(tuple, D.segment_dedup(df.repartition(13), width=5, mode="cdc").collect())
+    )
+    assert a == b
+    with _pytest.raises(ValueError):
+        D.segment_dedup(df, mode="rolling")
