@@ -160,6 +160,9 @@ EXTRA_QUERIES = [
     "ann_recall_lsh",
     "ann_recall_ivf",
     "segment_dedup_shifted",
+    "skyline_sql_lineitem",
+    "approx_distinct_check",
+    "approx_percentile_check",
 ]
 
 
@@ -316,8 +319,13 @@ def main() -> None:
         "extra_total": detail["extra_total"],
         "n_extra": len(extra),
         "n_errors": len(errors),
-        "probe_ok": bool(probe_q)
-        and not (isinstance(scale_probe, dict) and scale_probe.get("errors")),
+        # probe_ok: None = probe skipped, else ran-without-errors
+        "probe_ok": (
+            None
+            if not scale_probe
+            else bool(probe_q)
+            and not (isinstance(scale_probe, dict) and scale_probe.get("errors"))
+        ),
         "probe_total": round(sum(probe_q.values()), 3),
         "detail": "BENCH_DETAIL.json",
     }
