@@ -163,6 +163,8 @@ EXTRA_QUERIES = [
     "skyline_sql_lineitem",
     "approx_distinct_check",
     "approx_percentile_check",
+    "pagerank_cycle_check",
+    "kmeans_blobs_check",
 ]
 
 

@@ -34,7 +34,9 @@ SKIP_EAGER = {
     "ann_ivf_topk",  # builds/persists the IVF index
     "ann_recall_ivf",
     "kmeans_embeddings",  # iterative: collects k*d centroid rows per iter
+    "kmeans_blobs_check",
     "pagerank_dup_graph",  # iterative: localCheckpoint per round
+    "pagerank_cycle_check",
     "dedup_star_clusters",  # fixed-point loop materializes per round
     "semantic_dedup_embeddings",
     "dedup_clusters_documents",
