@@ -1810,6 +1810,26 @@ def _streaming_skyline_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # native session_window replay (5th driver-checked streaming
+    # entry): complete-mode availableNow emits every session (open or
+    # watermark-closed), and gap-merge is order-independent, so the
+    # final session set is deterministic and hash-matches the batch
+    # islands SQL. Spark merges an event iff it lands STRICTLY inside
+    # the previous window (ts - prev < gap), hence the oracle's
+    # >= 1800s new-session predicate.
+    from skylinemapreducehadoop_spark.streaming.incremental import session_rollup
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = _replay_dir(spark, ev, "stream_sess_replay_")
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
+        tmp + "/src"
+    )
+    out = session_rollup(stream, gap="30 minutes", watermark="1 hour")
+    res = _run_replay(out, tmp, mode="complete")
+    return res.select("session_start", "session_end", "user_id", "n_events")
+
+
 def _streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-stream interval join replay — the operator whose state
     # eviction was fixed in r6 (interval arithmetic on watermarked
@@ -1915,6 +1935,14 @@ def _unigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # log2 + sorted fold keep the doubles engine-exact
     docs = load_table(spark, sf_dir, "documents")
     return TX.unigram_logprob(docs)
+
+
+def _bigram_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # add-one-smoothed corpus-bigram LM scoring — the next rung of the
+    # perplexity-filter ladder; same integer-arg-log2 + sorted-fold
+    # exactness rules as the unigram scorer
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bigram_logprob(docs)
 
 
 def _approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2082,6 +2110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentile_check": _approx_percentile_check,
         "pagerank_cycle_check": _pagerank_cycle_check,
         "kmeans_blobs_check": _kmeans_blobs_check,
+        "streaming_session_replay": _streaming_session_replay,
+        "bigram_logprob_documents": _bigram_logprob_documents,
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
@@ -2845,6 +2875,28 @@ SELECT i AS id, round(1.0/100, 9) AS rank FROM range(100) t(i)
         "kmeans_blobs_check": """
 SELECT i::INTEGER AS cluster, CAST(25 AS BIGINT) AS n_members FROM range(4) t(i)
 """,
+        # gap-sessionization islands; session_end = last event + gap;
+        # >= matches Spark's strict-interior merge rule
+        "streaming_session_replay": """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id, sid
+""",
         "embedding_near_dup": """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -3294,6 +3346,30 @@ SELECT doc_id, n_tokens,
        round(list_reduce(list_prepend(CAST(0 AS DOUBLE), ts), (a, b) -> a + b)
          / CAST(n_tokens AS DOUBLE)
          - log2((SELECT CAST(n AS DOUBLE) FROM tot)), 6) AS avg_token_logprob
+FROM agg
+""",
+        "bigram_logprob_documents": """
+WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, greatest(len(t), 1))]) AS b
+  FROM toks
+),
+dc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+gb AS (SELECT b, CAST(sum(c) AS BIGINT) AS c12 FROM dc GROUP BY b),
+ctx AS (SELECT split_part(b, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1 FROM gb GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS vv FROM (SELECT unnest(t) AS tok FROM toks)),
+terms AS (
+  SELECT dc.doc_id, dc.c,
+         CAST(dc.c AS DOUBLE)
+           * (log2(CAST(gb.c12 + 1 AS DOUBLE)) - log2(CAST(ctx.c1 + v.vv AS DOUBLE))) AS term
+  FROM dc JOIN gb USING (b)
+  JOIN ctx ON split_part(dc.b, ' ', 1) = ctx.w1, v
+),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, list_sort(list(term)) AS ts
+        FROM terms GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), ts), (a, b) -> a + b)
+         / CAST(n_bigrams AS DOUBLE), 6) AS avg_bigram_logprob
 FROM agg
 """,
         "window_analytics_events": """

@@ -165,6 +165,7 @@ EXTRA_QUERIES = [
     "approx_percentile_check",
     "pagerank_cycle_check",
     "kmeans_blobs_check",
+    "bigram_logprob_documents",
 ]
 
 

@@ -480,6 +480,74 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's own
+    add-one-smoothed bigram model — one step up from
+    :func:`unigram_logprob` on the perplexity-filter ladder (CCNet-
+    style quality filtering trains an n-gram LM on the corpus or a
+    reference corpus and drops high-perplexity documents; public
+    technique). Word-salad that passes a unigram filter (common words,
+    random order) scores poorly here.
+
+    ``avg lp = (Σ_b c_b · (log2(C_b + 1) − log2(C_ctx + V))) / n`` per
+    document, where ``C_b`` is the corpus count of bigram b, ``C_ctx``
+    the corpus count of its first word AS A CONTEXT (= Σ of bigram
+    counts starting with it), ``V`` the distinct-unigram vocabulary
+    size (add-one denominator), and ``c_b``/``n`` the document's
+    bigram counts/total. Both log2 arguments are INTEGERS and the Σ is
+    a sorted sequential fold — the same bit-exactness rules as
+    ``unigram_logprob``/``token_entropy`` (round(6) at the libm edge).
+
+    Shape: three hash aggregations (doc-bigram, corpus-bigram, context)
+    + two equi-joins + a per-doc fold; V rides as a 1-row broadcast.
+    Documents with fewer than 2 tokens have no bigrams and are absent
+    from the output.
+    """
+    ids = list(id_cols)
+    bg = df.select(*ids, F.explode(ngrams(text_col, 2)).alias("__bg"))
+    doc_cnt = bg.groupBy(*ids, "__bg").agg(F.count("*").alias("__c"))
+    glob = doc_cnt.groupBy("__bg").agg(F.sum("__c").alias("__c12"))
+    ctx = glob.groupBy(
+        F.split(F.col("__bg"), " ")[0].alias("__w1")
+    ).agg(F.sum("__c12").alias("__c1"))
+    vocab = (
+        df.select(F.explode(tokens(text_col)).alias("__tok"))
+        .agg(F.count_distinct("__tok").alias("__v"))
+    )
+    term = (
+        F.col("__c").cast("double")
+        * (
+            F.log2((F.col("__c12") + 1).cast("double"))
+            - F.log2((F.col("__c1") + F.col("__v")).cast("double"))
+        )
+    ).alias("__term")
+    per_doc = (
+        doc_cnt.join(glob, "__bg")
+        .withColumn("__w1", F.split(F.col("__bg"), " ")[0])
+        .join(ctx, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(*ids, "__c", term)
+        .groupBy(*ids)
+        .agg(
+            F.sum("__c").alias("n_bigrams"),
+            F.sort_array(F.collect_list("__term")).alias("__ts"),
+        )
+    )
+    fold = F.aggregate("__ts", F.lit(0.0), lambda acc, t: acc + t)
+    return per_doc.select(
+        *ids,
+        "n_bigrams",
+        F.round(fold / F.col("n_bigrams").cast("double"), 6).alias(
+            "avg_bigram_logprob"
+        ),
+    )
+
+
 #: large odd multiplier (Knuth's 2654435761) and a prime modulus — a
 #: fixed pseudo-random projection standing in for trained weights with
 #: the same compute shape (broadcast-free: the "model" is arithmetic)

@@ -231,3 +231,40 @@ def test_classifier_score_deterministic_and_bounded(spark):
     # partitioning independence: integer weight sum is order-free
     rep = {r["doc_id"]: r["score"] for r in classifier_score(df.repartition(7)).collect()}
     assert rep == {k: v["score"] for k, v in out.items()}
+
+
+def test_bigram_logprob_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    texts = ["a a b a b", "b c b c", "a c c d e", "x"]
+    out = {r["doc_id"]: r for r in TX.bigram_logprob(_df(spark, texts)).collect()}
+    bigrams = Counter()
+    vocab = set()
+    for t in texts:
+        ws = t.split()
+        vocab |= set(ws)
+        bigrams.update(zip(ws, ws[1:]))
+    ctx = Counter()
+    for (w1, _), c in bigrams.items():
+        ctx[w1] += c
+    V = len(vocab)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        if len(ws) < 2:
+            assert i not in out  # no bigrams -> absent by contract
+            continue
+        bs = list(zip(ws, ws[1:]))
+        want = sum(
+            math.log2((bigrams[b] + 1) / (ctx[b[0]] + V)) for b in bs
+        ) / len(bs)
+        got = out[i]["avg_bigram_logprob"]
+        assert abs(got - want) < 1e-6, (i, got, want)
+        assert out[i]["n_bigrams"] == len(bs)
+    # word salad scores worse than its in-order source under the
+    # bigram model even when unigram stats are identical
+    ordered = ["the cat sat on the mat", "the cat sat on the mat",
+               "the cat sat on the mat", "mat the on sat cat the"]
+    o = {r["doc_id"]: r["avg_bigram_logprob"]
+         for r in TX.bigram_logprob(_df(spark, ordered)).collect()}
+    assert o[3] < o[0]
