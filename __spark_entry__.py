@@ -513,6 +513,29 @@ def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image bytes end-to-end without any codec library: build a
+    # valid PNG per document (stdlib zlib/struct, dims derived from
+    # doc_id) and read the dimensions BACK with the zero-UDF JVM
+    # header parser. The oracle derives the expected dims from doc_id
+    # directly, so any corruption in either the writer or the parser
+    # breaks the hash. This is the known-answer twin that finally
+    # EXECUTES a genuine format decode in this sandbox (the Pillow
+    # codec path stays gated on the library).
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_header_meta,
+        synthesize_png_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (1 + F.col("doc_id") % 64).cast("int").alias("__w"),
+        (1 + F.col("doc_id") % 48).cast("int").alias("__h"),
+    )
+    parsed = image_header_meta(synthesize_png_column(docs, "__w", "__h"))
+    return parsed.select("doc_id", "kind", "width", "height")
+
+
 def _set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
@@ -2112,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_blobs_check": _kmeans_blobs_check,
         "streaming_session_replay": _streaming_session_replay,
         "bigram_logprob_documents": _bigram_logprob_documents,
+        "image_header_check": _image_header_check,
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
@@ -2871,6 +2895,14 @@ LIMIT 10
         # blob fixture's cluster sizes are exact by construction
         "pagerank_cycle_check": """
 SELECT i AS id, round(1.0/100, 9) AS rank FROM range(100) t(i)
+""",
+        # expected dims derived from doc_id: the Spark side must
+        # synthesize a valid PNG and parse the SAME numbers back out
+        "image_header_check": """
+SELECT doc_id, 'png' AS kind,
+       (1 + doc_id % 64)::INTEGER AS width,
+       (1 + doc_id % 48)::INTEGER AS height
+FROM documents
 """,
         "kmeans_blobs_check": """
 SELECT i::INTEGER AS cluster, CAST(25 AS BIGINT) AS n_members FROM range(4) t(i)

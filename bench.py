@@ -166,6 +166,7 @@ EXTRA_QUERIES = [
     "pagerank_cycle_check",
     "kmeans_blobs_check",
     "bigram_logprob_documents",
+    "image_header_check",
 ]
 
 

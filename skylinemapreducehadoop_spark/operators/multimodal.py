@@ -130,9 +130,12 @@ def decode_media(
     Decoder selection: ``'auto'`` (default) uses the REAL Pillow codec
     when the library is importable and falls back to the deterministic
     fake otherwise; ``'real'`` requires Pillow and raises
-    ``NotImplementedError`` without it; ``'fake'`` forces the synthetic
-    decode. The probe runs on the driver — workers are assumed to share
-    the driver's environment (standard Spark deployment).
+    ``NotImplementedError`` without it; ``'header'`` parses genuine
+    PNG/GIF/BMP/JPEG structure for true dimensions with byte-stat
+    features — real format decoding with no codec dependency;
+    ``'fake'`` forces the synthetic decode. The probe runs on the
+    driver — workers are assumed to share the driver's environment
+    (standard Spark deployment).
     """
     if decoder == "auto":
         decoder = "real" if pillow_available() else "fake"
@@ -144,6 +147,8 @@ def decode_media(
                 "'auto') for pipeline plumbing"
             )
         decode_one = _real_decode
+    elif decoder == "header":
+        decode_one = _header_decode
     elif decoder == "fake":
         decode_one = _fake_decode
     else:
@@ -165,6 +170,164 @@ def decode_media(
             yield out
 
     return df.select(*id_cols, media_col).mapInPandas(decode, out_schema)
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Build a VALID minimal grayscale PNG (public format: RFC 2083) —
+    signature, IHDR, one zlib IDAT of zero scanlines, IEND, real CRCs.
+    Pure stdlib (struct + zlib), so the repo can exercise genuine
+    image-format byte parsing without any codec library."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * width) * height  # filter byte + pixels
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png_column(
+    df: DataFrame,
+    width_col: str,
+    height_col: str,
+    *,
+    out_col: str = "media",
+) -> DataFrame:
+    """Attach a real PNG payload per row with the given dimensions
+    (Arrow-batched construction). Test/fixture helper: at production
+    scale the binary comes from the lake scan."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ws: pd.Series, hs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [make_png(int(w), int(h)) for w, h in zip(ws, hs)]
+        )
+
+    return df.withColumn(out_col, synth(F.col(width_col), F.col(height_col)))
+
+
+def _be_u32(col: str, pos: int):
+    """Big-endian uint32 at 1-based byte offset ``pos`` of a binary
+    column — pure JVM (substring → hex → conv)."""
+    return F.conv(F.hex(F.expr(f"substring({col}, {pos}, 4)")), 16, 10).cast("int")
+
+
+def _le_u16(col: str, pos: int):
+    b = lambda p: F.conv(F.hex(F.expr(f"substring({col}, {p}, 1)")), 16, 10).cast("int")  # noqa: E731
+    return b(pos) + b(pos + 1) * 256
+
+
+def _le_u32(col: str, pos: int):
+    b = lambda p: F.conv(F.hex(F.expr(f"substring({col}, {p}, 1)")), 16, 10).cast("int")  # noqa: E731
+    return b(pos) + b(pos + 1) * 256 + b(pos + 2) * 65536 + b(pos + 3) * 16777216
+
+
+def image_header_meta(
+    df: DataFrame, *, media_col: str = "media"
+) -> DataFrame:
+    """REAL image-format header decoding with ZERO UDFs: magic-number
+    dispatch plus fixed-offset dimension fields, all as JVM substring/
+    hex/conv expressions, so a metadata backfill over 100 TB of
+    payloads runs entirely inside whole-stage codegen with no Python
+    worker in the loop.
+
+    Formats with fixed-offset dimensions (all public specs):
+    - PNG (RFC 2083): IHDR width/height, big-endian u32 at bytes 17/21
+    - GIF (GIF87a/89a): logical screen w/h, little-endian u16 at 7/9
+    - BMP (BITMAPINFOHEADER): little-endian u32 at bytes 19/23
+    JPEG dimensions live in a variable-position SOF marker — that walk
+    needs iteration, so JPEG rows get kind='jpeg' with NULL dims here;
+    use ``decode_media(decoder='header')`` for the marker walk.
+
+    Adds ``kind`` (string, NULL if unrecognized), ``width``,
+    ``height`` (int, NULL where unknown).
+    """
+    magic8 = F.hex(F.expr(f"substring({media_col}, 1, 8)"))
+    magic3 = F.hex(F.expr(f"substring({media_col}, 1, 3)"))
+    magic2 = F.hex(F.expr(f"substring({media_col}, 1, 2)"))
+    is_png = magic8 == "89504E470D0A1A0A"
+    is_gif = magic3 == "474946"
+    is_bmp = magic2 == "424D"
+    is_jpeg = magic2 == "FFD8"
+    kind = (
+        F.when(is_png, "png")
+        .when(is_gif, "gif")
+        .when(is_bmp, "bmp")
+        .when(is_jpeg, "jpeg")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    width = (
+        F.when(is_png, _be_u32(media_col, 17))
+        .when(is_gif, _le_u16(media_col, 7))
+        .when(is_bmp, _le_u32(media_col, 19))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    height = (
+        F.when(is_png, _be_u32(media_col, 21))
+        .when(is_gif, _le_u16(media_col, 9))
+        .when(is_bmp, _le_u32(media_col, 23))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return (
+        df.withColumn("kind", kind)
+        .withColumn("width", width)
+        .withColumn("height", height)
+    )
+
+
+def _header_decode(payload: bytes | None) -> tuple[int, int, list[float]]:
+    """Header-level real decode: true dimensions from PNG/GIF/BMP fixed
+    offsets and the JPEG SOF marker walk (public JFIF structure), plus
+    the byte-stat features of the payload (same schema as the other
+    decoders). No codec library; undecodable bytes degrade to the
+    (0, 0, zeros) sentinel."""
+    import struct
+
+    if payload is None or len(payload) == 0:
+        return 0, 0, [0.0] * 4
+    p = bytes(payload)
+    b = np.frombuffer(p, dtype=np.uint8)
+    feat = [float(b.mean()), float(b.std()), float(b.min()), float(b.max())]
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+            w, h = struct.unpack(">II", p[16:24])
+            return int(w), int(h), feat
+        if p[:3] == b"GIF" and len(p) >= 10:
+            w, h = struct.unpack("<HH", p[6:10])
+            return int(w), int(h), feat
+        if p[:2] == b"BM" and len(p) >= 26:
+            w, h = struct.unpack("<ii", p[18:26])
+            return int(w), int(abs(h)), feat
+        if p[:2] == b"\xff\xd8":
+            # JPEG: walk the marker list to a SOFn frame header
+            i = 2
+            while i + 9 < len(p):
+                if p[i] != 0xFF:
+                    break
+                marker = p[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", p[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                    return int(w), int(h), feat
+                i += 2 + seg_len
+    except Exception:
+        pass
+    return 0, 0, feat
 
 
 def sample_frames(

@@ -89,3 +89,106 @@ def test_frame_sampling_fans_out(spark):
     for doc_id, idxs in by_doc.items():
         assert idxs == sorted(idxs)
         assert all(i % 2 == 0 for i in idxs)  # every 2nd frame kept
+
+
+def _gif_bytes(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 20
+
+
+def _bmp_bytes(w, h):
+    import struct
+
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 20
+
+
+def _jpeg_bytes(w, h):
+    import struct
+
+    # SOI + APP0 stub + SOF0 frame header (public JFIF structure)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def test_image_header_meta_jvm_parses_real_formats(spark):
+    """Zero-UDF JVM header parsing extracts TRUE dimensions from real
+    PNG/GIF/BMP bytes (and classifies JPEG); garbage is NULL-kind."""
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_header_meta,
+        make_png,
+    )
+
+    rows = [
+        (0, make_png(640, 480)),
+        (1, _gif_bytes(320, 200)),
+        (2, _bmp_bytes(800, 600)),
+        (3, _jpeg_bytes(1024, 768)),
+        (4, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in image_header_meta(df).collect()}
+    assert (out[0]["kind"], out[0]["width"], out[0]["height"]) == ("png", 640, 480)
+    assert (out[1]["kind"], out[1]["width"], out[1]["height"]) == ("gif", 320, 200)
+    assert (out[2]["kind"], out[2]["width"], out[2]["height"]) == ("bmp", 800, 600)
+    assert out[3]["kind"] == "jpeg" and out[3]["width"] is None
+    assert out[4]["kind"] is None and out[4]["width"] is None
+    # the plan is pure expressions: no Python UDF stage
+    plan = image_header_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_header_decoder_all_formats_and_pillow_parity(spark):
+    """decoder='header' walks genuine format structure (incl. the JPEG
+    SOF marker scan) for true dimensions; corrupt payloads degrade to
+    the sentinel row. If Pillow is present, dims must agree with the
+    real codec on the PNG."""
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        decode_media,
+        make_png,
+        pillow_available,
+    )
+
+    rows = [
+        (0, make_png(17, 9)),
+        (1, _gif_bytes(33, 21)),
+        (2, _bmp_bytes(5, 7)),
+        (3, _jpeg_bytes(61, 43)),
+        (4, b"\x89PNG truncated"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in decode_media(df, decoder="header").collect()}
+    assert (out[0]["width"], out[0]["height"]) == (17, 9)
+    assert (out[1]["width"], out[1]["height"]) == (33, 21)
+    assert (out[2]["width"], out[2]["height"]) == (5, 7)
+    assert (out[3]["width"], out[3]["height"]) == (61, 43)
+    assert (out[4]["width"], out[4]["height"]) == (0, 0)
+    assert (out[5]["width"], out[5]["height"]) == (0, 0)
+    assert len(out[0]["features"]) == 4
+    if pillow_available():
+        real = {r["doc_id"]: r for r in decode_media(df, decoder="real").collect()}
+        assert (real[0]["width"], real[0]["height"]) == (17, 9)
+
+
+def test_synthesize_png_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_header_meta,
+        synthesize_png_column,
+    )
+
+    df = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        (1 + F.col("id") % 13).cast("int").alias("w"),
+        (1 + F.col("id") % 7).cast("int").alias("h"),
+    )
+    out = image_header_meta(synthesize_png_column(df, "w", "h"))
+    bad = out.where(
+        (F.col("kind") != "png")
+        | (F.col("width") != F.col("w"))
+        | (F.col("height") != F.col("h"))
+    ).count()
+    assert bad == 0
