@@ -513,6 +513,34 @@ def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Great-Expectations-style table validation compiled to ONE
+    # single-pass aggregate (plan-asserted in tests): 6 rules over
+    # orders, exact integer metrics -> deterministic hash
+    from skylinemapreducehadoop_spark.functions.expect import (
+        accepted_values,
+        expectations,
+        in_range,
+        matches,
+        min_rows,
+        not_null,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return expectations(
+        orders,
+        [
+            min_rows(100),
+            unique("o_orderkey"),
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0.0, 600000.0),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+
+
 def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL image bytes end-to-end without any codec library: build a
     # valid PNG per document (stdlib zlib/struct, dims derived from
@@ -1853,6 +1881,25 @@ def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("session_start", "session_end", "user_id", "n_events")
 
 
+def _streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-static enrichment replay (6th driver-checked streaming
+    # entry): the fact stream joins a broadcast dim table map-side per
+    # micro-batch (stateless — no watermark needed), so the replayed
+    # row set equals the batch join exactly
+    from skylinemapreducehadoop_spark.streaming.incremental import enrich_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tmp = _replay_dir(spark, ev, "stream_enrich_replay_")
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .parquet(tmp + "/src")
+        .withColumn("n_nationkey", F.pmod(F.col("user_id"), F.lit(25)))
+    )
+    out = enrich_stream(stream, nation, on="n_nationkey", how="inner")
+    return _run_replay(out.select("event_id", "user_id", "n_name"), tmp)
+
+
 def _streaming_interval_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-stream interval join replay — the operator whose state
     # eviction was fixed in r6 (interval arithmetic on watermarked
@@ -2136,6 +2183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_session_replay": _streaming_session_replay,
         "bigram_logprob_documents": _bigram_logprob_documents,
         "image_header_check": _image_header_check,
+        "data_quality_orders": _data_quality_orders,
+        "streaming_enrich_replay": _streaming_enrich_replay,
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
@@ -2895,6 +2944,29 @@ LIMIT 10
         # blob fixture's cluster sizes are exact by construction
         "pagerank_cycle_check": """
 SELECT i AS id, round(1.0/100, 9) AS rank FROM range(100) t(i)
+""",
+        "streaming_enrich_replay": """
+SELECT e.event_id, e.user_id, n.n_name
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+""",
+        "data_quality_orders": """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(o_orderkey) - count(DISTINCT o_orderkey) AS dup,
+         count(CASE WHEN o_custkey IS NULL THEN 1 END) AS nn,
+         count(CASE WHEN o_totalprice IS NOT NULL
+                     AND (o_totalprice < 0.0 OR o_totalprice > 600000.0) THEN 1 END) AS rng,
+         count(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS acc,
+         count(CASE WHEN o_orderpriority IS NOT NULL
+                     AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END) AS rex
+  FROM orders)
+SELECT 'min_rows(100)' AS rule, round(n::DOUBLE, 9) AS metric, n >= 100 AS ok FROM a
+UNION ALL SELECT 'unique(o_orderkey)', round(dup::DOUBLE, 9), dup = 0 FROM a
+UNION ALL SELECT 'not_null(o_custkey)', round(nn::DOUBLE / n, 9), nn::DOUBLE / n <= 0.0 FROM a
+UNION ALL SELECT 'in_range(o_totalprice,0.0,600000.0)', round(rng::DOUBLE, 9), rng = 0 FROM a
+UNION ALL SELECT 'accepted_values(o_orderstatus)', round(acc::DOUBLE, 9), acc = 0 FROM a
+UNION ALL SELECT 'matches(o_orderpriority)', round(rex::DOUBLE, 9), rex = 0 FROM a
 """,
         # expected dims derived from doc_id: the Spark side must
         # synthesize a valid PNG and parse the SAME numbers back out

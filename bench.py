@@ -61,8 +61,10 @@ PROBE_QUERIES = [
     "dedup_minhash_documents",
     "token_entropy_documents",
     "segment_dedup_documents",
+    "segment_dedup_shifted",  # CDC mode: per-doc window at 10x (r7)
     "heavy_hitters_tokens",
     "setsim_join_documents",
+    "bigram_logprob_documents",  # corpus-wide bigram aggs at 10x (r7)
 ]
 PROBE_REPLICAS = 10
 
@@ -167,6 +169,7 @@ EXTRA_QUERIES = [
     "kmeans_blobs_check",
     "bigram_logprob_documents",
     "image_header_check",
+    "data_quality_orders",
 ]
 
 

@@ -32,6 +32,7 @@ SKIP_EAGER = {
     "streaming_interval_join_replay",
     "streaming_near_dup_replay",
     "streaming_session_replay",
+    "streaming_enrich_replay",
     "ann_ivf_topk",  # builds/persists the IVF index
     "ann_recall_ivf",
     "kmeans_embeddings",  # iterative: collects k*d centroid rows per iter
