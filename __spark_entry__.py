@@ -513,6 +513,16 @@ def _multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenize-and-numericalize against the corpus's own top-2000
+    # vocabulary (deterministic count-desc/token-asc ids, OOV=0) — the
+    # final prep step before training shards; ids emitted as a joined
+    # string so the row hashes across engines
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = TX.build_vocab(docs, max_size=2000)
+    return TX.encode_tokens(docs, vocab)
+
+
 def _data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Great-Expectations-style table validation compiled to ONE
     # single-pass aggregate (plan-asserted in tests): 6 rules over
@@ -2185,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_header_check": _image_header_check,
         "data_quality_orders": _data_quality_orders,
         "streaming_enrich_replay": _streaming_enrich_replay,
+        "encode_documents": _encode_documents,
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
@@ -2948,6 +2959,25 @@ SELECT i AS id, round(1.0/100, 9) AS rank FROM range(100) t(i)
         "streaming_enrich_replay": """
 SELECT e.event_id, e.user_id, n.n_name
 FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+""",
+        "encode_documents": """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(range(1, len(t)+1)) AS pos,
+         unnest(t) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+),
+vc AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+rk AS (
+  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS tid
+  FROM vc QUALIFY tid <= 2000
+)
+SELECT tk.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(CASE WHEN rk.tid IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       string_agg(coalesce(rk.tid, 0)::VARCHAR, '-' ORDER BY tk.pos) AS token_ids
+FROM tk LEFT JOIN rk USING (tok)
+GROUP BY tk.doc_id
 """,
         "data_quality_orders": """
 WITH a AS (

@@ -548,6 +548,78 @@ def bigram_logprob(
     )
 
 
+def build_vocab(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    max_size: int = 30_000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the ``max_size`` most frequent tokens as
+    (token, token_id, count), ids 1..max_size in (count DESC, token
+    ASC) order — id 0 is reserved for OOV/padding. Deterministic under
+    any partitioning (total order with the token as tiebreak).
+
+    Shape: one hash aggregate over the exploded tokens (map-side
+    combined), then orderBy+limit — Spark executes that as TakeOrdered
+    (per-partition top-k heaps), so the full vocabulary is never
+    sorted or collected; the final row_number window runs on at most
+    ``max_size`` rows (bounded by construction, not by data).
+    """
+    if max_size < 1:
+        raise ValueError(f"max_size must be >= 1, got {max_size}")
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .where(F.col("count") >= min_count)
+    )
+    top = counts.orderBy(F.desc("count"), F.col("token")).limit(max_size)
+    w = Window.orderBy(F.desc("count"), F.col("token"))
+    return top.withColumn("token_id", F.row_number().over(w)).select(
+        "token", "token_id", "count"
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents to token-id sequences against a ``build_vocab``
+    table — the final tokenize-and-numericalize step before training
+    shards. OOV tokens map to id 0.
+
+    Shape: posexplode → broadcast join on the (bounded) vocab →
+    per-doc re-assembly via sorted collect_list; one shuffle on the
+    doc id. Output: (id_cols..., n_tokens, n_oov, token_ids) with
+    ``token_ids`` a '-'-joined string of ids in document order
+    (string form keeps the row hashable across engines).
+    """
+    ids = list(id_cols)
+    tok = df.select(
+        *ids, F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+    joined = tok.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(*ids, "pos", F.coalesce("token_id", F.lit(0)).alias("tid"))
+    return joined.groupBy(*ids).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"].cast("string"),
+            ),
+            "-",
+        ).alias("token_ids"),
+    )
+
+
 #: large odd multiplier (Knuth's 2654435761) and a prime modulus — a
 #: fixed pseudo-random projection standing in for trained weights with
 #: the same compute shape (broadcast-free: the "model" is arithmetic)

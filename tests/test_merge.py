@@ -1,0 +1,80 @@
+"""Partition-pruned parquet upsert (sources/merge.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from skylinemapreducehadoop_spark.sources.merge import upsert_partitioned
+
+
+def _build_table(spark, path):
+    rows = [(p, i, f"v{p}_{i}") for p in range(5) for i in range(10)]
+    df = spark.createDataFrame(rows, "part int, id int, val string")
+    df.write.partitionBy("part").parquet(path)
+
+
+def _part_files(path):
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("part="):
+            full = os.path.join(path, d)
+            out[d] = {
+                f: os.stat(os.path.join(full, f)).st_mtime_ns
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+    return out
+
+def test_upsert_replaces_inserts_and_leaves_other_partitions_untouched(
+    spark, tmp_path
+):
+    path = str(tmp_path / "tbl")
+    _build_table(spark, path)
+    before = _part_files(path)
+
+    updates = spark.createDataFrame(
+        [(1, 3, "UPDATED"), (1, 99, "NEW"), (4, 0, "UPDATED4")],
+        "part int, id int, val string",
+    )
+    touched = upsert_partitioned(spark, path, updates, ["part", "id"], "part")
+    assert touched == 2
+
+    after_df = spark.read.parquet(path)
+    got = {(r["part"], r["id"]): r["val"] for r in after_df.collect()}
+    assert got[(1, 3)] == "UPDATED"        # replaced
+    assert got[(1, 99)] == "NEW"           # inserted
+    assert got[(4, 0)] == "UPDATED4"
+    assert got[(1, 4)] == "v1_4"           # untouched key in touched partition
+    assert got[(2, 5)] == "v2_5"           # untouched partition intact
+    assert len(got) == 51                  # 50 original + 1 insert
+
+    # untouched partitions' FILES are byte-identical (same mtimes) —
+    # the write really was partition-pruned
+    after = _part_files(path)
+    for d in ("part=0", "part=2", "part=3"):
+        assert after[d] == before[d], d
+    assert after["part=1"] != before["part=1"]
+
+
+def test_upsert_partition_read_is_pruned(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    _build_table(spark, path)
+    # the pruned read carries a PartitionFilters entry at plan time
+    pruned = spark.read.parquet(path).where(F.col("part").isin([1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_upsert_guards(spark, tmp_path):
+    path = str(tmp_path / "tbl3")
+    _build_table(spark, path)
+    updates = spark.createDataFrame([(0, 1, "x")], "part int, id int, val string")
+    with pytest.raises(ValueError):
+        upsert_partitioned(spark, path, updates, [], "part")
+    with pytest.raises(ValueError):
+        upsert_partitioned(
+            spark, path, updates, ["part", "id"], "part", max_touched_partitions=0
+        )

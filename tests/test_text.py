@@ -268,3 +268,21 @@ def test_bigram_logprob_matches_reference(spark):
     o = {r["doc_id"]: r["avg_bigram_logprob"]
          for r in TX.bigram_logprob(_df(spark, ordered)).collect()}
     assert o[3] < o[0]
+
+
+def test_build_vocab_and_encode(spark):
+    from skylinemapreducehadoop_spark.functions.text import build_vocab, encode_tokens
+
+    texts = ["b a a", "a b c", "d d d d c"]
+    df = _df(spark, texts)
+    vocab = {r["token"]: (r["token_id"], r["count"]) for r in build_vocab(df, max_size=3).collect()}
+    # counts: d=4, a=3, b=2, c=2 -> top3 by (count desc, token asc): d, a, b
+    assert vocab == {"d": (1, 4), "a": (2, 3), "b": (3, 2)}
+    out = {r["doc_id"]: r for r in encode_tokens(df, build_vocab(df, max_size=3)).collect()}
+    assert out[0]["token_ids"] == "3-2-2" and out[0]["n_oov"] == 0
+    assert out[1]["token_ids"] == "2-3-0" and out[1]["n_oov"] == 1  # c is OOV
+    assert out[2]["token_ids"] == "1-1-1-1-0" and out[2]["n_tokens"] == 5
+    # determinism under repartitioning
+    a = sorted(map(tuple, encode_tokens(df.repartition(7), build_vocab(df, max_size=3)).collect()))
+    b = sorted(map(tuple, encode_tokens(df, build_vocab(df.repartition(5), max_size=3)).collect()))
+    assert a == b
