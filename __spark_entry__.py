@@ -1891,6 +1891,31 @@ def _streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("session_start", "session_end", "user_id", "n_events")
 
 
+def _streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # watermarked tumbling-window rollup replay (7th driver-checked
+    # streaming entry). value rides as DECIMAL through the windowed
+    # sum — float partial-sum order varies with the state store's
+    # merge order, decimal addition doesn't — then casts to double at
+    # the edge, exactly like the batch twin (same oracle).
+    from skylinemapreducehadoop_spark.streaming.incremental import hourly_rollup
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tmp = _replay_dir(spark, ev, "stream_rollup_replay_")
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .parquet(tmp + "/src")
+        .withColumn("value", F.col("value").cast("decimal(20,4)"))
+    )
+    out = hourly_rollup(stream, window="1 hour", watermark="1 hour")
+    res = _run_replay(out, tmp, mode="complete")
+    return res.select(
+        F.col("window_start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 def _streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-static enrichment replay (6th driver-checked streaming
     # entry): the fact stream joins a broadcast dim table map-side per
@@ -2196,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_orders": _data_quality_orders,
         "streaming_enrich_replay": _streaming_enrich_replay,
         "encode_documents": _encode_documents,
+        "streaming_rollup_replay": _streaming_rollup_replay,
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
@@ -2959,6 +2985,14 @@ SELECT i AS id, round(1.0/100, 9) AS rank FROM range(100) t(i)
         "streaming_enrich_replay": """
 SELECT e.event_id, e.user_id, n.n_name
 FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+""",
+        # same contract as the batch events_hourly query
+        "streaming_rollup_replay": """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
 """,
         "encode_documents": """
 WITH tk AS (

@@ -33,6 +33,7 @@ SKIP_EAGER = {
     "streaming_near_dup_replay",
     "streaming_session_replay",
     "streaming_enrich_replay",
+    "streaming_rollup_replay",
     "ann_ivf_topk",  # builds/persists the IVF index
     "ann_recall_ivf",
     "kmeans_embeddings",  # iterative: collects k*d centroid rows per iter
@@ -66,6 +67,7 @@ BNLJ_OK = {
     "q11_important_brands",  # 1-row scalar-subquery threshold
     "q15_top_supplier",  # 1-row max-revenue CTE
     "unigram_logprob_documents",  # 1-row corpus-total frame
+    "bigram_logprob_documents",  # 1-row vocabulary-size frame
     "repetition_stats_documents",  # 1-row total
     "equidepth_histogram_events",  # 1-row percentile-bounds frame
     "approx_distinct_check",  # tiny per-group sketch frame join
