@@ -672,6 +672,29 @@ def _fuzzy_pairs_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_ed1(part, "p_name")
 
 
+def _entity_resolution_partnames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end entity resolution as pure operator composition:
+    # deletion-neighborhood blocking (no cartesian) -> exact verify ->
+    # star connected components over the match graph -> canonical form
+    # = lexicographic cluster minimum; singletons canonicalize to
+    # themselves. Oracle: recursive-CTE transitive closure.
+    from skylinemapreducehadoop_spark.operators.fuzzy import fuzzy_join_ed1
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_join_ed1(part, "p_name").select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    clusters = D.dedup_clusters(pairs, algorithm="star")
+    names = (
+        part.select(F.col("p_name")).where(F.col("p_name").isNotNull()).distinct()
+    )
+    return names.join(
+        clusters, names["p_name"] == clusters["doc_id"], "left"
+    ).select(
+        "p_name", F.coalesce("cluster_id", "p_name").alias("canonical")
+    )
+
+
 def _trailing_hour_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row trailing 1h count/sum per user (fraud/rate-limit feature
     # shape) — one microsecond-exact range window, decimal-folded sums
@@ -2222,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich_replay": _streaming_enrich_replay,
         "encode_documents": _encode_documents,
         "streaming_rollup_replay": _streaming_rollup_replay,
+        "entity_resolution_partnames": _entity_resolution_partnames,
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
@@ -2913,6 +2937,29 @@ WITH names AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL)
 SELECT a.v AS a, b.v AS b, levenshtein(a.v, b.v) AS dist
 FROM names a JOIN names b ON a.v < b.v
 WHERE levenshtein(a.v, b.v) <= 1
+""",
+        "entity_resolution_partnames": """
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL
+),
+pairs AS (
+  SELECT a.v AS a, b.v AS b
+  FROM names a JOIN names b ON a.v < b.v
+  WHERE levenshtein(a.v, b.v) <= 1
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs
+  UNION
+  SELECT b AS s, a AS d FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+),
+canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+SELECT n.v AS p_name, coalesce(c.canonical, n.v) AS canonical
+FROM names n LEFT JOIN canon c ON n.v = c.id
 """,
         "trailing_hour_events": """
 SELECT user_id, ts, value,

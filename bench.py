@@ -170,6 +170,7 @@ EXTRA_QUERIES = [
     "bigram_logprob_documents",
     "image_header_check",
     "data_quality_orders",
+    "entity_resolution_partnames",
 ]
 
 

@@ -41,6 +41,7 @@ SKIP_EAGER = {
     "pagerank_dup_graph",  # iterative: localCheckpoint per round
     "pagerank_cycle_check",
     "dedup_star_clusters",  # fixed-point loop materializes per round
+    "entity_resolution_partnames",  # star-CC fixed-point composition
     "semantic_dedup_embeddings",
     "dedup_clusters_documents",
     "skyline_quadtree",  # driver-side sample -> broadcast tree
