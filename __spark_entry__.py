@@ -552,26 +552,32 @@ def _data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL image bytes end-to-end without any codec library: build a
-    # valid PNG per document (stdlib zlib/struct, dims derived from
-    # doc_id) and read the dimensions BACK with the zero-UDF JVM
-    # header parser. The oracle derives the expected dims from doc_id
-    # directly, so any corruption in either the writer or the parser
-    # breaks the hash. This is the known-answer twin that finally
-    # EXECUTES a genuine format decode in this sandbox (the Pillow
-    # codec path stays gated on the library).
+    # REAL media bytes end-to-end without any codec library: build a
+    # valid PNG/GIF/BMP/WAV per document (stdlib struct/zlib, kind and
+    # dims/sample-rate derived from doc_id) and read the fields BACK
+    # with the zero-UDF JVM header parser. The oracle derives the
+    # expected values from doc_id directly, so any corruption in
+    # either the writer or the parser breaks the hash — genuine format
+    # decoding executes in-sandbox across all four JVM branches (the
+    # Pillow codec path stays gated on the library).
     from skylinemapreducehadoop_spark.operators.multimodal import (
         image_header_meta,
-        synthesize_png_column,
+        synthesize_media_column,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
+        F.element_at(
+            F.array(F.lit("png"), F.lit("gif"), F.lit("bmp"), F.lit("wav")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("__k"),
         (1 + F.col("doc_id") % 64).cast("int").alias("__w"),
         (1 + F.col("doc_id") % 48).cast("int").alias("__h"),
     )
-    parsed = image_header_meta(synthesize_png_column(docs, "__w", "__h"))
-    return parsed.select("doc_id", "kind", "width", "height")
+    parsed = image_header_meta(
+        synthesize_media_column(docs, "__k", "__w", "__h")
+    )
+    return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
 def _set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3079,12 +3085,19 @@ UNION ALL SELECT 'in_range(o_totalprice,0.0,600000.0)', round(rng::DOUBLE, 9), r
 UNION ALL SELECT 'accepted_values(o_orderstatus)', round(acc::DOUBLE, 9), acc = 0 FROM a
 UNION ALL SELECT 'matches(o_orderpriority)', round(rex::DOUBLE, 9), rex = 0 FROM a
 """,
-        # expected dims derived from doc_id: the Spark side must
-        # synthesize a valid PNG and parse the SAME numbers back out
+        # expected kind/dims/sample-rate derived from doc_id: the Spark
+        # side must synthesize valid format bytes and parse the SAME
+        # numbers back out of them
         "image_header_check": """
-SELECT doc_id, 'png' AS kind,
-       (1 + doc_id % 64)::INTEGER AS width,
-       (1 + doc_id % 48)::INTEGER AS height
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                       WHEN 2 THEN 'bmp' ELSE 'wav' END AS kind,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE (1 + doc_id % 64)::INTEGER END AS width,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE (1 + doc_id % 48)::INTEGER END AS height,
+       CASE WHEN doc_id % 4 = 3 THEN ((1 + doc_id % 64) * 100)::INTEGER
+            ELSE NULL END AS sample_rate
 FROM documents
 """,
         "kmeans_blobs_check": """

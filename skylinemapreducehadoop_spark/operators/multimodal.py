@@ -198,6 +198,38 @@ def make_png(width: int, height: int) -> bytes:
     )
 
 
+def make_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a header with a logical screen descriptor (public
+    format) — enough real structure for header-level decoding."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """Minimal BMP: file header + BITMAPINFOHEADER (public format)."""
+    import struct
+
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0)
+    head = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    return head + info
+
+
+def make_wav(sample_rate: int, n_samples: int = 8) -> bytes:
+    """Minimal valid PCM WAV (RIFF/WAVE, public format): fmt chunk with
+    the given sample rate + a silent 16-bit mono data chunk."""
+    import struct
+
+    data = b"\x00\x00" * n_samples
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def synthesize_png_column(
     df: DataFrame,
     width_col: str,
@@ -216,6 +248,34 @@ def synthesize_png_column(
         )
 
     return df.withColumn(out_col, synth(F.col(width_col), F.col(height_col)))
+
+
+def synthesize_media_column(
+    df: DataFrame,
+    kind_col: str,
+    width_col: str,
+    height_col: str,
+    *,
+    out_col: str = "media",
+) -> DataFrame:
+    """Mixed-format fixture: per row build a real PNG/GIF/BMP (dims
+    from width/height) or WAV (sample rate = width * 100) according to
+    ``kind_col`` in {'png','gif','bmp','wav'}."""
+    makers = {"png": make_png, "gif": make_gif, "bmp": make_bmp}
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ks: pd.Series, ws: pd.Series, hs: pd.Series) -> pd.Series:
+        out = []
+        for k, w, h in zip(ks, ws, hs):
+            if k == "wav":
+                out.append(make_wav(int(w) * 100))
+            else:
+                out.append(makers[k](int(w), int(h)))
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col, synth(F.col(kind_col), F.col(width_col), F.col(height_col))
+    )
 
 
 def _be_u32(col: str, pos: int):
@@ -243,16 +303,18 @@ def image_header_meta(
     payloads runs entirely inside whole-stage codegen with no Python
     worker in the loop.
 
-    Formats with fixed-offset dimensions (all public specs):
+    Formats with fixed-offset fields (all public specs):
     - PNG (RFC 2083): IHDR width/height, big-endian u32 at bytes 17/21
     - GIF (GIF87a/89a): logical screen w/h, little-endian u16 at 7/9
     - BMP (BITMAPINFOHEADER): little-endian u32 at bytes 19/23
+    - WAV (RIFF/WAVE with a leading fmt chunk — the canonical layout):
+      sample_rate, little-endian u32 at byte 25
     JPEG dimensions live in a variable-position SOF marker — that walk
     needs iteration, so JPEG rows get kind='jpeg' with NULL dims here;
     use ``decode_media(decoder='header')`` for the marker walk.
 
     Adds ``kind`` (string, NULL if unrecognized), ``width``,
-    ``height`` (int, NULL where unknown).
+    ``height``, ``sample_rate`` (int, NULL where unknown/n.a.).
     """
     magic8 = F.hex(F.expr(f"substring({media_col}, 1, 8)"))
     magic3 = F.hex(F.expr(f"substring({media_col}, 1, 3)"))
@@ -261,11 +323,15 @@ def image_header_meta(
     is_gif = magic3 == "474946"
     is_bmp = magic2 == "424D"
     is_jpeg = magic2 == "FFD8"
+    is_wav = (F.hex(F.expr(f"substring({media_col}, 1, 4)")) == "52494646") & (
+        F.hex(F.expr(f"substring({media_col}, 9, 8)")) == "57415645666D7420"
+    )
     kind = (
         F.when(is_png, "png")
         .when(is_gif, "gif")
         .when(is_bmp, "bmp")
         .when(is_jpeg, "jpeg")
+        .when(is_wav, "wav")
         .otherwise(F.lit(None).cast("string"))
     )
     width = (
@@ -280,10 +346,14 @@ def image_header_meta(
         .when(is_bmp, _le_u32(media_col, 23))
         .otherwise(F.lit(None).cast("int"))
     )
+    sample_rate = F.when(is_wav, _le_u32(media_col, 25)).otherwise(
+        F.lit(None).cast("int")
+    )
     return (
         df.withColumn("kind", kind)
         .withColumn("width", width)
         .withColumn("height", height)
+        .withColumn("sample_rate", sample_rate)
     )
 
 

@@ -192,3 +192,40 @@ def test_synthesize_png_roundtrip(spark):
         | (F.col("height") != F.col("h"))
     ).count()
     assert bad == 0
+
+
+def test_wav_header_and_mixed_synth(spark):
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_header_meta,
+        make_wav,
+        synthesize_media_column,
+    )
+
+    df = spark.createDataFrame([(0, make_wav(44100)), (1, b"RIFFxxxx1234")],
+                               "doc_id long, media binary")
+    out = {r["doc_id"]: r for r in image_header_meta(df).collect()}
+    assert (out[0]["kind"], out[0]["sample_rate"]) == ("wav", 44100)
+    assert out[0]["width"] is None
+    assert out[1]["kind"] is None  # RIFF but not WAVE/fmt -> unrecognized
+
+    mixed = spark.range(16).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("gif"), F.lit("bmp"), F.lit("wav")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("k"),
+        (3 + F.col("id") % 5).cast("int").alias("w"),
+        (2 + F.col("id") % 3).cast("int").alias("h"),
+    )
+    parsed = image_header_meta(synthesize_media_column(mixed, "k", "w", "h"))
+    bad = parsed.where(
+        (F.col("kind") != F.col("k"))
+        | (
+            (F.col("k") != "wav")
+            & ((F.col("width") != F.col("w")) | (F.col("height") != F.col("h")))
+        )
+        | ((F.col("k") == "wav") & (F.col("sample_rate") != F.col("w") * 100))
+    ).count()
+    assert bad == 0
