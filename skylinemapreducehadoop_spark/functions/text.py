@@ -459,7 +459,8 @@ def unigram_logprob(
         F.col("__c").cast("double") * F.log2(F.col("__g").cast("double"))
     ).alias("__term")
     per_doc = (
-        doc_cnt.join(glob, "__tok")
+        # shuffle_hash: glob is vocabulary-sized (see bigram_logprob)
+        doc_cnt.join(glob.hint("shuffle_hash"), "__tok")
         .select(*ids, "__c", term)
         .groupBy(*ids)
         .agg(
@@ -526,10 +527,14 @@ def bigram_logprob(
             - F.log2((F.col("__c1") + F.col("__v")).cast("double"))
         )
     ).alias("__term")
+    # shuffle_hash pins: glob/ctx are VOCABULARY-sized aggregates — a
+    # compile-time size misestimate must never auto-broadcast a corpus
+    # vocabulary (the repo-wide r5 rule); AQE still broadcasts a side
+    # it measures small at runtime
     per_doc = (
-        doc_cnt.join(glob, "__bg")
+        doc_cnt.join(glob.hint("shuffle_hash"), "__bg")
         .withColumn("__w1", F.split(F.col("__bg"), " ")[0])
-        .join(ctx, "__w1")
+        .join(ctx.hint("shuffle_hash"), "__w1")
         .crossJoin(F.broadcast(vocab))
         .select(*ids, "__c", term)
         .groupBy(*ids)
