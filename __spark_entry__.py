@@ -1782,6 +1782,22 @@ def _decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_check(evald, bench, k=5)
 
 
+def _decontaminate_fuzzy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy decontamination: the "eval suite" is every 50th document
+    # PERTURBED by a one-token prefix ("zz "), so no exact match exists
+    # but the shingle Jaccard vs the source doc stays ~(n-2)/(n-1) —
+    # exactly the lightly-edited leakage the exact k-gram check
+    # undercounts. Above-threshold pairs are deterministic (LSH recall
+    # 1.0 at 0.5 with these bands — the minhash oracle proves it);
+    # sub-threshold pairs are contractually excluded from the output.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.lit("zz "), F.col("text")).alias("text"),
+    )
+    return D.contamination_check_fuzzy(docs, bench, threshold=0.5)
+
+
 def _topk_batch_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batched exact retrieval: top-10 neighbors for the first 10
     # vectors in one pass (per-partition top-k keeps the shuffle tiny)
@@ -2252,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_documents": _encode_documents,
         "streaming_rollup_replay": _streaming_rollup_replay,
         "entity_resolution_partnames": _entity_resolution_partnames,
+        "decontaminate_fuzzy_documents": _decontaminate_fuzzy_documents,
         "knn_graph_sample": _knn_graph_sample,
         "q21_waiting_orders": _q21_waiting_orders,
         "q20_excess_suppliers": _q20_excess_suppliers,
@@ -2875,6 +2892,43 @@ FROM g
         # 4-wave availableNow replay of the same operator: the pair
         # set is order-independent and equals the batch twin's
         "streaming_near_dup_replay": _JACCARD_PAIRS_SQL,
+        # brute-force max-Jaccard vs the perturbed eval set, scoped to
+        # pairs at/above the 0.5 threshold (the deterministic contract)
+        "decontaminate_fuzzy_documents": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, greatest(len(t)-1, 1))]) AS s
+  FROM toks
+),
+btoks AS (
+  SELECT doc_id + 900000 AS doc_id,
+         regexp_split_to_array(trim('zz ' || text), '\\s+') AS t
+  FROM documents WHERE doc_id % 50 = 0
+),
+bsh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, greatest(len(t)-1, 1))]) AS s
+  FROM btoks
+),
+scores AS (
+  SELECT a.doc_id,
+         max(CASE WHEN len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+                  THEN len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))) END) AS mx
+  FROM sh a, bsh b
+  GROUP BY a.doc_id
+)
+SELECT t.doc_id,
+       coalesce(s.mx, 0.0) AS max_eval_jaccard,
+       s.mx IS NOT NULL AS contaminated
+FROM toks t LEFT JOIN scores s USING (doc_id)
+""",
         "segment_dedup_shifted": _SEGMENT_CDC_SQL,
         "repetition_stats_documents": _REPETITION_SQL,
         "redact_pii_documents": _REDACT_PII_SQL,

@@ -126,6 +126,7 @@ EXTRA_QUERIES = [
     "window_analytics_events",
     "chunk_documents",
     "decontaminate_documents",
+    "decontaminate_fuzzy_documents",
     "unigram_logprob_documents",
     "pack_sequences_documents",
     "mix_corpus_sources",

@@ -308,3 +308,25 @@ def test_segment_dedup_cdc_determinism_and_mode_guard(spark):
     assert a == b
     with _pytest.raises(ValueError):
         D.segment_dedup(df, mode="rolling")
+
+
+def test_contamination_check_fuzzy_flags_perturbed_eval_docs(spark):
+    """Fuzzy decontamination: a one-token-prefix-perturbed eval doc
+    (no exact match anywhere) is flagged with high Jaccard; unrelated
+    docs stay clean with 0.0."""
+    from pyspark.sql import functions as F
+
+    docs = _make_docs(spark)
+    bench = docs.where(F.col("doc_id") == 5).select(
+        F.col("doc_id"), F.concat(F.lit("zz "), F.col("text")).alias("text")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.contamination_check_fuzzy(docs, bench, threshold=0.5).collect()
+    }
+    assert out[5]["contaminated"] and out[5]["max_eval_jaccard"] > 0.8
+    # every doc appears exactly once; unrelated docs report 0.0
+    assert len(out) == docs.count()
+    clean = [r for i, r in out.items() if i not in (5,)]
+    assert all(not r["contaminated"] for r in clean)
+    assert all(r["max_eval_jaccard"] == 0.0 for r in clean)

@@ -42,6 +42,7 @@ SKIP_EAGER = {
     "pagerank_cycle_check",
     "dedup_star_clusters",  # fixed-point loop materializes per round
     "entity_resolution_partnames",  # star-CC fixed-point composition
+    "decontaminate_fuzzy_documents",  # eager signature materialization
     "semantic_dedup_embeddings",
     "dedup_clusters_documents",
     "skyline_quadtree",  # driver-side sample -> broadcast tree
