@@ -45,15 +45,39 @@ from skylinemapreducehadoop_spark.operators.sampling import (
     reservoir_sample,
     stratified_hash_sample,
 )
+from skylinemapreducehadoop_spark.operators.dedup import (
+    contamination_check,
+    contamination_check_fuzzy,
+    dedup_clusters,
+    segment_dedup,
+)
+from skylinemapreducehadoop_spark.operators.fuzzy import fuzzy_join_ed1
+from skylinemapreducehadoop_spark.operators.graph import pagerank
+from skylinemapreducehadoop_spark.operators.sketches import heavy_hitters
+from skylinemapreducehadoop_spark.operators.similarity import (
+    kmeans_lloyd,
+    knn_graph,
+)
+from skylinemapreducehadoop_spark.operators.multimodal import (
+    decode_media,
+    image_header_meta,
+)
 from skylinemapreducehadoop_spark.functions.profile import profile
+from skylinemapreducehadoop_spark.functions.expect import expectations
 from skylinemapreducehadoop_spark.functions.text import (
+    bigram_logprob,
+    build_vocab,
+    encode_tokens,
     language_id,
     quality_flags,
     text_stats,
+    unigram_logprob,
 )
 from skylinemapreducehadoop_spark.sources.tables import load_table, load_tables
 from skylinemapreducehadoop_spark.sources.gsod import read_gsod
+from skylinemapreducehadoop_spark.sources.merge import upsert_partitioned
 from skylinemapreducehadoop_spark.session import get_session
+from skylinemapreducehadoop_spark.sql import skyline_sql
 
 __all__ = [
     "skyline",
@@ -88,6 +112,24 @@ __all__ = [
     "load_tables",
     "read_gsod",
     "get_session",
+    "skyline_sql",
+    "segment_dedup",
+    "dedup_clusters",
+    "contamination_check",
+    "contamination_check_fuzzy",
+    "fuzzy_join_ed1",
+    "pagerank",
+    "heavy_hitters",
+    "knn_graph",
+    "kmeans_lloyd",
+    "decode_media",
+    "image_header_meta",
+    "expectations",
+    "unigram_logprob",
+    "bigram_logprob",
+    "build_vocab",
+    "encode_tokens",
+    "upsert_partitioned",
 ]
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
