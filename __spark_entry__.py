@@ -339,11 +339,23 @@ def _setsim_join_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.setsim_join(docs, threshold=0.5, k=3)
 
 
+def _empty_doc_rows(spark: SparkSession) -> DataFrame:
+    # planted empty/NULL/whitespace-only docs: the segment-dedup
+    # empty-document contract says these survive as (id, '', 0, 0) in
+    # BOTH modes (cdc used to drop them; aligned used to emit a fake
+    # '' segment)
+    return spark.createDataFrame(
+        [(600000, ""), (600001, None), (600002, "   ")],
+        "doc_id long, text string",
+    )
+
+
 def _segment_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sub-document exact dedup (Lee et al. ACL'22 shape): fixed-width
-    # token segments, keep the globally-first occurrence, rebuild docs
-    docs = load_table(spark, sf_dir, "documents")
-    return D.segment_dedup(docs, width=10)
+    # token segments, keep the globally-first occurrence, rebuild docs;
+    # plus planted empty/NULL-text rows exercising the empty-doc contract
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.segment_dedup(docs.unionByName(_empty_doc_rows(spark)), width=10)
 
 
 def _segment_dedup_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,13 +363,18 @@ def _segment_dedup_shifted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus plus planted +1-token-offset copies of every 20th doc
     # ("zz " prefix, doc_id+500000) — a duplicate the ALIGNED mode
     # provably misses (tests prove it) and this mode must catch; the
-    # oracle reproduces the md5-anchor boundaries exactly
+    # oracle reproduces the md5-anchor boundaries exactly. Planted
+    # empty/NULL-text rows exercise the empty-doc contract.
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     shifted = docs.where(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 500000).alias("doc_id"),
         F.concat(F.lit("zz "), F.col("text")).alias("text"),
     )
-    return D.segment_dedup(docs.unionByName(shifted), width=10, mode="cdc")
+    return D.segment_dedup(
+        docs.unionByName(shifted).unionByName(_empty_doc_rows(spark)),
+        width=10,
+        mode="cdc",
+    )
 
 
 def _heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2489,8 +2506,14 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s,
 #: segment_dedup twin: DuckDB list slicing is 1-based end-INCLUSIVE,
 #: so t[(i-1)*10+1 : i*10] is exactly Spark's slice(t, (i-1)*10+1, 10)
 _SEGMENT_DEDUP_SQL = """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES (600000, ''), (600001, NULL), (600002, '   ')) v(doc_id, text)
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM base
+  WHERE text IS NOT NULL AND trim(text) <> ''
 ),
 segs AS (
   SELECT doc_id,
@@ -2510,7 +2533,14 @@ rebuilt AS (
          count(*)::BIGINT AS n_kept
   FROM kept GROUP BY doc_id
 ),
-totals AS (SELECT doc_id, greatest((len(t)+9)//10, 1)::INT AS n_segments FROM toks)
+totals AS (
+  -- DuckDB's greatest() ignores NULL args, so guard the missing-join
+  -- case explicitly (empty docs must report 0 segments, not 1)
+  SELECT b.doc_id,
+         CASE WHEN k.t IS NULL THEN 0
+              ELSE greatest((len(k.t)+9)//10, 1) END::INT AS n_segments
+  FROM base b LEFT JOIN toks k USING (doc_id)
+)
 SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_segments,
        coalesce(r.n_kept, 0)::BIGINT AS n_kept
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)
@@ -2527,12 +2557,15 @@ WITH base AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 500000, 'zz ' || text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT * FROM (VALUES (600000, ''), (600001, NULL), (600002, '   ')) v(doc_id, text)
 ),
 tk AS (
   SELECT doc_id,
          unnest(range(1, len(t)+1)) AS pos,
          unnest(t) AS tok
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM base)
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM base
+        WHERE text IS NOT NULL AND trim(text) <> '')
 ),
 st AS (
   SELECT doc_id, pos, tok,
@@ -2559,7 +2592,11 @@ rebuilt AS (
          count(*)::BIGINT AS n_kept
   FROM kept GROUP BY doc_id
 ),
-totals AS (SELECT doc_id, count(*)::INT AS n_segments FROM segs GROUP BY doc_id)
+seg_counts AS (SELECT doc_id, count(*)::INT AS n_segments FROM segs GROUP BY doc_id),
+totals AS (
+  SELECT b.doc_id, coalesce(c.n_segments, 0)::INT AS n_segments
+  FROM base b LEFT JOIN seg_counts c USING (doc_id)
+)
 SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_segments,
        coalesce(r.n_kept, 0)::BIGINT AS n_kept
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)

@@ -228,11 +228,13 @@ def skyline(
         shuffle — opt in for anti-correlated data at extreme scale.
 
     NOTE (declarative-API caveat): with the default
-    ``reduce_levels=None`` + ``merge="tree"``, CALLING this function
-    runs one Spark job eagerly — the local pass is persisted and
-    counted so the auto tree guard can size its merge levels from the
-    measured candidate count. Pass ``reduce_levels`` explicitly (or
-    ``merge="blocked"``) for fully lazy plan construction.
+    ``reduce_levels=None``, CALLING this function runs one Spark job
+    eagerly for BOTH merge modes — the local pass is persisted and
+    counted so the auto guard can size its merge levels (tree) or its
+    block count (blocked) from the measured candidate count; the count
+    job fills the cache the merge plan then reuses, so the kernel runs
+    once. Pass ``reduce_levels`` explicitly with ``merge="tree"`` for
+    fully lazy plan construction.
     """
     dim_signs = normalize_dims(dims)
     dim_cols = [c for c, _ in dim_signs]
@@ -309,25 +311,34 @@ def _blocked_merge(local: DataFrame, dim_signs: list[tuple[str, float]], blocked
     """Distributed global verification of local-skyline candidates with
     no single-partition stage (see ``skyline(merge="blocked")``).
 
-    Plan: pin candidates (localCheckpoint — row ids must not change
-    under lineage recompute), hash rows into B blocks, cogroup every
+    Plan: persist the local-skyline candidates and count them (the one
+    sizing job — it fills the cache every later job reuses, so the
+    kernel pass runs once), hash rows into B blocks, cogroup every
     (candidate-block i, opponent-block j) pair in its own task, emit the
     ids of dominated candidates, anti-join them away. The pair (i, i)
     also removes intra-block dominance between rows that came from
     different source partitions. Strict dominance keeps all ties, same
     as the kernel.
+
+    Row-id stability: ``monotonically_increasing_id`` is a pure function
+    of (partition index, row position), so on top of the persisted
+    candidates it is identical across the dominated-ids job and the
+    final anti-join. Even under cache eviction the recompute is
+    deterministic end-to-end — parquet splits are fixed, round-robin
+    ``repartition`` local-sorts for determinism (SPARK-23207), and the
+    skyline kernel is order-stable — so no eager ``localCheckpoint``
+    pin is needed (the per-call checkpoint+count was a 6x wall-clock
+    overhead at sf0.1; see PLANS.md §15).
     """
     d = len(dim_signs)
     spark = local.sparkSession
 
-    tagged = local.withColumn("__rid", F.monotonically_increasing_id())
-    # monotonically_increasing_id is only stable for one materialization;
-    # checkpoint pins it (eager, lineage truncated)
-    tagged = tagged.localCheckpoint(eager=True)
-    n_cand = tagged.count()
+    local = _persist_tracked(local)
+    n_cand = local.count()
     if n_cand == 0:
-        return tagged.drop("__rid")
+        return local
     n_blocks = max(1, -(-n_cand // blocked_rows))
+    tagged = local.withColumn("__rid", F.monotonically_increasing_id())
 
     sexprs = [
         (F.col(c).cast("double") * F.lit(s)).alias(f"__s{k}")

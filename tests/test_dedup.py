@@ -264,6 +264,24 @@ def test_segment_dedup_partial_tail_segment(spark):
     assert row["n_segments"] == 2 and row["n_kept"] == 2
 
 
+def test_segment_dedup_empty_doc_contract_both_modes(spark):
+    """Empty/NULL/whitespace-only documents survive in the output as
+    (id, '', 0, 0) in BOTH modes — cdc used to drop them entirely and
+    aligned used to emit a phantom '' segment (latent divergence found
+    in the r7 audit)."""
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    for mode in ("aligned", "cdc"):
+        out = {r["doc_id"]: r for r in D.segment_dedup(df, width=2, mode=mode).collect()}
+        assert set(out) == {1, 2, 3, 4}, mode
+        for i in (2, 3, 4):
+            r = out[i]
+            assert (r["clean_text"], r["n_segments"], r["n_kept"]) == ("", 0, 0), mode
+        assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+
+
 def test_segment_dedup_cdc_catches_shifted_boilerplate(spark):
     """A boilerplate run shifted by +1 token escapes the aligned mode
     (segments are position-aligned) but is caught by content-defined
