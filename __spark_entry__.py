@@ -420,14 +420,17 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("score", 6).alias("score"))
 
 
-def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # build-once / probe-many: the index (assignment partition column +
-    # centroids) is persisted on first use; the probe is then a
-    # partition-pruned parquet scan with no full-data UDF stage.
-    # The cache key includes the source file's (mtime, size) fingerprint
-    # so regenerated testdata at the same path rebuilds instead of
-    # probing a stale index; ivf_write persists centroids BEFORE
-    # vectors, so the vectors/_SUCCESS gate implies a complete index.
+def _ivf_cached_index(spark: SparkSession, sf_dir: str, corpus: DataFrame, variant: str):
+    """Build-once / probe-many IVF index for a corpus derived
+    deterministically from ``sf_dir``'s embeddings: the index
+    (assignment partition column + centroids) is persisted on first
+    use; later probes are partition-pruned parquet scans with no
+    full-data UDF stage. The cache key = source file (mtime, size)
+    fingerprint + the ``variant`` tag (natural corpus vs the planted
+    recall fixture build DIFFERENT indexes from the same source file),
+    so regenerated testdata at the same path rebuilds instead of
+    probing a stale index; ivf_write persists centroids BEFORE
+    vectors, so the vectors/_SUCCESS gate implies a complete index."""
     import hashlib
     import tempfile
 
@@ -437,13 +440,17 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp = f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         fp = "nofp"
-    tag = hashlib.md5(f"{sf_dir}|{fp}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{sf_dir}|{fp}|{variant}".encode()).hexdigest()[:10]
     idx_path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
     if not os.path.exists(os.path.join(idx_path, "vectors", "_SUCCESS")):
-        assigned, C = S.ivf_build(emb)
+        assigned, C = S.ivf_build(corpus)
         S.ivf_write(assigned, C, idx_path)
-    assigned, C = S.ivf_read(spark, idx_path)
+    return S.ivf_read(spark, idx_path)
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") != 0)
+    assigned, C = _ivf_cached_index(spark, sf_dir, emb, "natural")
     qv = _query_vec(spark, sf_dir)
     top = S.ivf_probe(assigned, C, qv, k=10)
     return top.select("vec_id", F.round("score", 6).alias("score"))
@@ -474,7 +481,12 @@ def _ann_recall(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     if kind == "lsh":
         ann = S.ann_lsh_topk(corpus, qv, k=10)
     else:
-        ann = S.ivf_topk(corpus, qv, k=10)
+        # the planted fixture is deterministic, so its IVF index is
+        # cached under its own fingerprint (variant tag) instead of
+        # rebuilt per run — same build-once/probe-many path as the
+        # natural-corpus query
+        assigned, C = _ivf_cached_index(spark, sf_dir, corpus, "planted10")
+        ann = S.ivf_probe(assigned, C, qv, k=10)
     exact = S.cosine_topk(corpus, qv, k=10)
     hits = ann.join(exact.select("vec_id"), "vec_id", "left_semi")
     return hits.agg(F.count("*").cast("int").alias("recall_hits")).select(

@@ -290,8 +290,22 @@ def _le_u16(col: str, pos: int):
 
 
 def _le_u32(col: str, pos: int):
-    b = lambda p: F.conv(F.hex(F.expr(f"substring({col}, {p}, 1)")), 16, 10).cast("int")  # noqa: E731
-    return b(pos) + b(pos + 1) * 256 + b(pos + 2) * 65536 + b(pos + 3) * 16777216
+    # accumulate in LONG: the top byte's contribution (up to 255 * 2^24)
+    # overflows int32, which throws under ANSI mode and silently wraps
+    # otherwise; the final cast is safe for the fields this helper reads
+    # (dims/sample rates < 2^31) — signed fields go through _le_i32
+    b = lambda p: F.conv(F.hex(F.expr(f"substring({col}, {p}, 1)")), 16, 10).cast("long")  # noqa: E731
+    return (b(pos) + b(pos + 1) * 256 + b(pos + 2) * 65536 + b(pos + 3) * 16777216).cast(
+        "int"
+    )
+
+
+def _le_i32(col: str, pos: int):
+    """Little-endian SIGNED int32 (two's complement) at 1-based byte
+    offset ``pos`` — e.g. BMP biHeight, negative for top-down bitmaps."""
+    b = lambda p: F.conv(F.hex(F.expr(f"substring({col}, {p}, 1)")), 16, 10).cast("long")  # noqa: E731
+    u = b(pos) + b(pos + 1) * 256 + b(pos + 2) * 65536 + b(pos + 3) * 16777216
+    return F.when(u >= F.lit(2**31), u - F.lit(2**32)).otherwise(u).cast("int")
 
 
 def image_header_meta(
@@ -343,7 +357,9 @@ def image_header_meta(
     height = (
         F.when(is_png, _be_u32(media_col, 21))
         .when(is_gif, _le_u16(media_col, 9))
-        .when(is_bmp, _le_u32(media_col, 23))
+        # biHeight is SIGNED (negative = top-down row order); report the
+        # magnitude, matching the Python _header_decode path
+        .when(is_bmp, F.abs(_le_i32(media_col, 23)))
         .otherwise(F.lit(None).cast("int"))
     )
     sample_rate = F.when(is_wav, _le_u32(media_col, 25)).otherwise(

@@ -39,12 +39,26 @@ def upsert_partitioned(
     partition_col: str,
     *,
     max_touched_partitions: int = 10_000,
+    check_key_moves: bool = False,
 ) -> int:
     """MERGE ``updates`` into the ``partition_col``-partitioned parquet
-    table at ``target_path``: rows whose ``key_cols`` match are
-    replaced, new keys are inserted, and only partitions present in
-    the updates are read or rewritten. Returns the number of touched
-    partitions.
+    table at ``target_path``: rows whose ``key_cols`` match (within the
+    touched partitions — see the precondition below) are replaced, new
+    keys are inserted, and only partitions present in the updates are
+    read or rewritten. A first upsert into a not-yet-existing
+    ``target_path`` creates the table (a plain partitioned write of the
+    updates). Returns the number of touched partitions.
+
+    PRECONDITION (the standard partition-aligned-merge caveat, same as
+    a static `replaceWhere` in any lakehouse engine): ``partition_col``
+    must be stable — functionally determined by ``key_cols``. If an
+    update row carries an existing key with a NEW partition value, only
+    the new partition is rewritten; the old row survives in its
+    untouched partition and the key is duplicated. Pass
+    ``check_key_moves=True`` to detect this and fail fast: it joins the
+    updates' keys against the full table's (key -> partition) projection
+    — one extra scan of the key/partition columns only (column-pruned),
+    so it costs a pass over the table's key columns, not its data.
 
     ``max_touched_partitions`` bounds the driver-side partition list
     (an update batch spraying the whole table should be a rewrite, not
@@ -53,6 +67,20 @@ def upsert_partitioned(
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
+    try:
+        full = spark.read.parquet(target_path)
+    except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        # first write: no existing rows to merge against
+        n_parts = updates.select(partition_col).distinct().count()
+        if n_parts > max_touched_partitions:
+            raise ValueError(
+                f"updates touch more than max_touched_partitions="
+                f"{max_touched_partitions} partitions; use a full rewrite"
+            )
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        return n_parts
     parts_rows = (
         updates.select(partition_col)
         .distinct()
@@ -65,9 +93,28 @@ def upsert_partitioned(
             f"{max_touched_partitions} partitions; use a full rewrite"
         )
     parts = [r[0] for r in parts_rows]
-    existing = spark.read.parquet(target_path).where(
-        F.col(partition_col).isin(parts)
-    )
+    if check_key_moves:
+        moved = (
+            full.select(*keys, F.col(partition_col).alias("__old_part"))
+            .join(
+                updates.select(*keys, F.col(partition_col).alias("__new_part"))
+                .dropDuplicates(keys),
+                keys,
+            )
+            .where(F.col("__old_part") != F.col("__new_part"))
+            .limit(1)
+            .collect()
+        )
+        if moved:
+            r = moved[0]
+            raise ValueError(
+                f"upsert_partitioned: key {[r[k] for k in keys]} moves from "
+                f"partition {r['__old_part']!r} to {r['__new_part']!r}; "
+                f"partition_col must be functionally determined by key_cols "
+                f"(delete-then-insert across partitions is not expressible as "
+                f"a partition-pruned upsert)"
+            )
+    existing = full.where(F.col(partition_col).isin(parts))
     merged = (
         existing.join(
             updates.select(*keys).dropDuplicates(keys), keys, "left_anti"

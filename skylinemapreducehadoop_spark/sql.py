@@ -25,6 +25,7 @@ physical plans the function API produces.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +58,16 @@ def parse_skyline_clause(sql: str) -> tuple[str, list[tuple[str, str]], list[str
     m = _SKYLINE_RE.search(sql)
     if not m:
         raise ValueError("statement has no SKYLINE OF clause")
+    # string-level rewrite guard: a match inside a quoted literal (e.g.
+    # WHERE note = 'SKYLINE OF x') would silently mis-split the
+    # statement — reject when the match point sits inside open quotes
+    # (cheap parity scan; doubled '' / "" escapes cancel out)
+    prefix = sql[: m.start()]
+    if prefix.count("'") % 2 == 1 or prefix.count('"') % 2 == 1:
+        raise ValueError(
+            "SKYLINE OF appears inside a quoted literal; the string-level "
+            "rewrite cannot split this statement"
+        )
     dims: list[tuple[str, str]] = []
     diff_cols: list[str] = []
     for part in m.group("dims").split(","):
@@ -101,7 +112,10 @@ def skyline_sql(
     else:
         out = skyline(base, dims, strategy=strategy)
     if tail:
-        view = f"__skyline_sql_out_{abs(hash(sql)) % 10**8}"
+        # content-stable view name (md5, not Python's salted hash) so
+        # the same statement maps to the same view across processes
+        digest = hashlib.md5(sql.encode()).hexdigest()[:12]
+        view = f"__skyline_sql_out_{digest}"
         out.createOrReplaceTempView(view)
         out = spark.sql(f"SELECT * FROM {view} {tail}")
     return out

@@ -132,6 +132,28 @@ def streaming_seen_filter(
     )
 
 
+def _require_batch_partitioned_store(spark, path: str) -> None:
+    """Refuse to start against a v1-layout store (flat parquet files at
+    the table root instead of ``__batch=N`` partition directories) —
+    partition discovery would fail or batches would be silently
+    overwritten. Probed through the Hadoop FS API so the store may live
+    on any scheme (local in tests, HDFS/object store on a cluster)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            raise ValueError(
+                f"store table {path!r} contains root-level parquet files "
+                f"(pre-__batch-partitioned v1 layout); migrate it by "
+                f"rewriting under a __batch=0 partition or point the "
+                f"query at a fresh store directory"
+            )
+
+
 def streaming_near_dup(
     stream: DataFrame,
     store_dir: str,
@@ -169,6 +191,16 @@ def streaming_near_dup(
     batch (changed text) is by-design indexed twice: both versions'
     bands/shingles stay in the store and each matches its own
     near-duplicates. Returns the StreamingQuery.
+
+    Store layout versioning: this (v2) layout partitions every table by
+    ``__batch``. A v1 store (flat appended parquet files at the table
+    root) is INCOMPATIBLE — mixing root-level files with partition
+    directories breaks Spark partition discovery, and pointing a fresh
+    checkpoint at an existing store would silently overwrite its
+    batch-0.. partitions. Startup therefore refuses a store whose table
+    roots contain bare ``*.parquet`` files; migrate by rewriting the old
+    store under a ``__batch=0`` partition (one read + one partitioned
+    write) or start a new store directory.
     """
     import os
 
@@ -176,6 +208,10 @@ def streaming_near_dup(
 
     bands_path = os.path.join(store_dir, "bands")
     sets_path = os.path.join(store_dir, "sets")
+
+    spark0 = stream.sparkSession
+    for p in (bands_path, sets_path, pairs_dir):
+        _require_batch_partitioned_store(spark0, p)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

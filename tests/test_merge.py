@@ -78,3 +78,34 @@ def test_upsert_guards(spark, tmp_path):
         upsert_partitioned(
             spark, path, updates, ["part", "id"], "part", max_touched_partitions=0
         )
+
+
+def test_upsert_creates_missing_target(spark, tmp_path):
+    # first-ever upsert into a nonexistent path = plain partitioned write
+    path = str(tmp_path / "fresh")
+    updates = spark.createDataFrame(
+        [(0, 1, "a"), (1, 2, "b")], "part int, id int, val string"
+    )
+    touched = upsert_partitioned(spark, path, updates, ["part", "id"], "part")
+    assert touched == 2
+    got = {(r["part"], r["id"]): r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {(0, 1): "a", (1, 2): "b"}
+    # and a second upsert over it merges normally
+    upd2 = spark.createDataFrame([(0, 1, "a2")], "part int, id int, val string")
+    assert upsert_partitioned(spark, path, upd2, ["part", "id"], "part") == 1
+    got2 = {(r["part"], r["id"]): r["val"] for r in spark.read.parquet(path).collect()}
+    assert got2 == {(0, 1): "a2", (1, 2): "b"}
+
+
+def test_upsert_detects_cross_partition_key_move(spark, tmp_path):
+    # key (id=3) exists in part=1; an update placing it in part=2 would
+    # duplicate the key (the old row's partition is never read) — the
+    # optional check fails fast instead
+    path = str(tmp_path / "tbl4")
+    _build_table(spark, path)
+    moved = spark.createDataFrame([(2, 3, "MOVED")], "part int, id int, val string")
+    # key_cols here is just id: the same id exists under part=1
+    with pytest.raises(ValueError, match="moves from partition"):
+        upsert_partitioned(spark, path, moved, ["id"], "part", check_key_moves=True)
+    # without the flag the documented precondition applies (no raise)
+    upsert_partitioned(spark, path, moved, ["id"], "part")

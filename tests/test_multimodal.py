@@ -139,6 +139,24 @@ def test_image_header_meta_jvm_parses_real_formats(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_image_header_meta_topdown_bmp_signed_height(spark):
+    """Real-world top-down BMPs store a NEGATIVE biHeight (signed LE
+    i32); the JVM parse must sign-extend and report the magnitude —
+    the same answer as the Python _header_decode path — instead of a
+    ~4-billion garbage height from an unsigned read."""
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _header_decode,
+        image_header_meta,
+    )
+
+    payload = _bmp_bytes(800, -600)  # top-down: height stored as -600
+    df = spark.createDataFrame([(0, payload)], "doc_id long, media binary")
+    row = image_header_meta(df).collect()[0]
+    assert (row["kind"], row["width"], row["height"]) == ("bmp", 800, 600)
+    w, h, _ = _header_decode(payload)
+    assert (w, h) == (row["width"], row["height"])
+
+
 def test_header_decoder_all_formats_and_pillow_parity(spark):
     """decoder='header' walks genuine format structure (incl. the JPEG
     SOF marker scan) for true dimensions; corrupt payloads degrade to

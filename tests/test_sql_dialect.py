@@ -40,6 +40,23 @@ def test_parse_clause_variants():
         parse_skyline_clause("SELECT a FROM t SKYLINE OF a MIN GROUP BY a")
 
 
+def test_parse_clause_rejects_match_inside_string_literal():
+    # the string-level rewrite must not split on SKYLINE OF inside a
+    # quoted literal (quote-parity guard)
+    with pytest.raises(ValueError, match="quoted literal"):
+        parse_skyline_clause(
+            "SELECT a FROM t WHERE note = 'use SKYLINE OF x here' SKYLINE"
+        )
+    with pytest.raises(ValueError, match="quoted literal"):
+        parse_skyline_clause('SELECT a FROM t WHERE note = "SKYLINE OF x"')
+    # a literal BEFORE the clause (balanced quotes) still parses
+    core, dims, _, _ = parse_skyline_clause(
+        "SELECT a FROM t WHERE note = 'hello' SKYLINE OF a MIN"
+    )
+    assert core == "SELECT a FROM t WHERE note = 'hello'"
+    assert dims == [("a", "min")]
+
+
 def test_skyline_sql_matches_function_api(spark, li_view):
     cols = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"]
     got = skyline_sql(

@@ -147,3 +147,32 @@ def test_streaming_near_dup_matches_batch_twin(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
     }
     assert got2 == want
+
+
+def test_streaming_near_dup_refuses_v1_store_layout(spark, tmp_path):
+    """A pre-__batch-partitioned store (flat parquet files at the table
+    root) must be refused at startup: partition discovery would break on
+    the mixed layout, and a fresh checkpoint would silently overwrite
+    batch-0.. partitions."""
+    import pytest as _pytest
+
+    from skylinemapreducehadoop_spark.streaming.dedup import streaming_near_dup
+
+    # simulate a v1 store: flat (unpartitioned) parquet under bands/
+    legacy = spark.createDataFrame([(1, 0, 7)], "id long, band int, bh long")
+    legacy.write.parquet(str(tmp_path / "store" / "bands"))
+
+    src = tmp_path / "docs"
+    spark.createDataFrame([(1, "a b c")], "doc_id long, text string").write.parquet(
+        str(src)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    )
+    with _pytest.raises(ValueError, match="v1 layout"):
+        streaming_near_dup(
+            stream,
+            str(tmp_path / "store"),
+            str(tmp_path / "pairs"),
+            str(tmp_path / "ckpt"),
+        )
