@@ -65,6 +65,11 @@ PROBE_QUERIES = [
     "heavy_hitters_tokens",
     "setsim_join_documents",
     "bigram_logprob_documents",  # corpus-wide bigram aggs at 10x (r7)
+    # iterative fixed-point family at 10x (r8): replicated docs plant
+    # ~n_rep^2 more dup pairs, so the star-CC rounds and the per-iter
+    # PageRank shuffles both see a genuinely denser graph
+    "dedup_star_clusters",
+    "pagerank_dup_graph",
 ]
 PROBE_REPLICAS = 10
 
