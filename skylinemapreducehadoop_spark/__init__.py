@@ -38,7 +38,11 @@ from skylinemapreducehadoop_spark.operators.similarity import (
     ivf_topk,
     ivf_write,
 )
-from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
+from skylinemapreducehadoop_spark.operators.temporal import (
+    asof_join,
+    event_transitions,
+    range_join,
+)
 from skylinemapreducehadoop_spark.operators.skew import salted_agg, salted_join
 from skylinemapreducehadoop_spark.operators.sampling import (
     hash_sample,
@@ -52,7 +56,7 @@ from skylinemapreducehadoop_spark.operators.dedup import (
     segment_dedup,
 )
 from skylinemapreducehadoop_spark.operators.fuzzy import fuzzy_join_ed1
-from skylinemapreducehadoop_spark.operators.graph import pagerank
+from skylinemapreducehadoop_spark.operators.graph import pagerank, triangle_count
 from skylinemapreducehadoop_spark.operators.sketches import heavy_hitters
 from skylinemapreducehadoop_spark.operators.similarity import (
     kmeans_lloyd,
@@ -78,6 +82,12 @@ from skylinemapreducehadoop_spark.sources.gsod import read_gsod
 from skylinemapreducehadoop_spark.sources.merge import upsert_partitioned
 from skylinemapreducehadoop_spark.session import get_session
 from skylinemapreducehadoop_spark.sql import skyline_sql
+from skylinemapreducehadoop_spark.operators.stats import (
+    corr_matrix,
+    linear_fit,
+    zscore_outliers,
+)
+from skylinemapreducehadoop_spark.operators.retrieval import bm25_topk
 
 __all__ = [
     "skyline",
@@ -119,6 +129,12 @@ __all__ = [
     "contamination_check_fuzzy",
     "fuzzy_join_ed1",
     "pagerank",
+    "triangle_count",
+    "event_transitions",
+    "linear_fit",
+    "corr_matrix",
+    "zscore_outliers",
+    "bm25_topk",
     "heavy_hitters",
     "knn_graph",
     "kmeans_lloyd",

@@ -86,3 +86,60 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact global triangle count of the UNDIRECTED graph induced by
+    ``edges`` (direction and duplicates ignored; self-loops dropped).
+    Returns one row: (n_triangles bigint).
+
+    Degree-ordered orientation (the standard distributed formulation,
+    cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the
+    Last Reducer", WWW'11): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, build wedges by
+    joining oriented edges head-to-tail, and close each wedge against
+    the oriented edge set. Each triangle is counted exactly once, and
+    every join is an equi-join whose fan-out is bounded by ORIENTED
+    degree ≤ O(sqrt(m)) — the hub that breaks a naive neighbor join
+    (celebrity nodes at web scale) contributes only edges pointing TO
+    it, never wedges centered on it. Work is O(m^{3/2}) total,
+    hash-partitioned; nothing driver-side.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropna()
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
+    da = und.join(deg.hint("shuffle_hash"), und["a"] == deg["v"]).select(
+        "a", "b", F.col("d").alias("da")
+    )
+    dab = da.join(deg.hint("shuffle_hash"), da["b"] == deg["v"]).select(
+        "a", "b", "da", F.col("d").alias("db")
+    )
+    fwd = F.when(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+        F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+    ).otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+    oriented = dab.select(fwd.alias("e")).select("e.u", "e.w")
+    # wedges u->v, v->w closed by u->w
+    e1 = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y"), F.col("w").alias("z"))
+    wedges = e1.join(e2.hint("shuffle_hash"), "y").select("x", "y", "z")
+    closed = wedges.join(
+        oriented.hint("shuffle_hash"),
+        (wedges["x"] == oriented["u"]) & (wedges["z"] == oriented["w"]),
+        "left_semi",
+    )
+    return closed.agg(F.count("*").alias("n_triangles"))

@@ -250,6 +250,22 @@ def synthesize_png_column(
     return df.withColumn(out_col, synth(F.col(width_col), F.col(height_col)))
 
 
+def make_jpeg(width: int, height: int) -> bytes:
+    """Minimal structurally-valid JPEG (public JFIF/ITU T.81 layout):
+    SOI, an APP0 JFIF stub, a quantization table, a baseline SOF0 frame
+    header carrying the dimensions, EOI — enough real marker structure
+    to exercise a SOF walk that must skip variable-length segments."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", height, width) + b"\x01\x11\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
 def synthesize_media_column(
     df: DataFrame,
     kind_col: str,
@@ -258,10 +274,10 @@ def synthesize_media_column(
     *,
     out_col: str = "media",
 ) -> DataFrame:
-    """Mixed-format fixture: per row build a real PNG/GIF/BMP (dims
-    from width/height) or WAV (sample rate = width * 100) according to
-    ``kind_col`` in {'png','gif','bmp','wav'}."""
-    makers = {"png": make_png, "gif": make_gif, "bmp": make_bmp}
+    """Mixed-format fixture: per row build a real PNG/GIF/BMP/JPEG
+    (dims from width/height) or WAV (sample rate = width * 100)
+    according to ``kind_col`` in {'png','gif','bmp','jpeg','wav'}."""
+    makers = {"png": make_png, "gif": make_gif, "bmp": make_bmp, "jpeg": make_jpeg}
 
     @F.pandas_udf(T.BinaryType())
     def synth(ks: pd.Series, ws: pd.Series, hs: pd.Series) -> pd.Series:
@@ -309,7 +325,7 @@ def _le_i32(col: str, pos: int):
 
 
 def image_header_meta(
-    df: DataFrame, *, media_col: str = "media"
+    df: DataFrame, *, media_col: str = "media", jpeg_max_segments: int = 12
 ) -> DataFrame:
     """REAL image-format header decoding with ZERO UDFs: magic-number
     dispatch plus fixed-offset dimension fields, all as JVM substring/
@@ -323,9 +339,12 @@ def image_header_meta(
     - BMP (BITMAPINFOHEADER): little-endian u32 at bytes 19/23
     - WAV (RIFF/WAVE with a leading fmt chunk — the canonical layout):
       sample_rate, little-endian u32 at byte 25
-    JPEG dimensions live in a variable-position SOF marker — that walk
-    needs iteration, so JPEG rows get kind='jpeg' with NULL dims here;
-    use ``decode_media(decoder='header')`` for the marker walk.
+    JPEG dimensions live in a variable-position SOFn marker; the walk
+    is unrolled as ``jpeg_max_segments`` chained PROJECTIONS (each
+    level reads the previous level's offset column, so the plan grows
+    linearly, not exponentially) — still zero UDF. A SOF deeper than
+    the bound (e.g. very EXIF-heavy files) leaves NULL dims; raise the
+    bound or use ``decode_media(decoder='header')`` for those.
 
     Adds ``kind`` (string, NULL if unrecognized), ``width``,
     ``height``, ``sample_rate`` (int, NULL where unknown/n.a.).
@@ -348,10 +367,73 @@ def image_header_meta(
         .when(is_wav, "wav")
         .otherwise(F.lit(None).cast("string"))
     )
+    # --- JPEG SOFn walk as ONE ArrayAggregate fold --------------------
+    # Segment grammar (public JFIF/ITU T.81 structure): at offset o
+    # (1-based), byte o = 0xFF, o+1 = marker, o+2..o+3 = BE u16 length
+    # (length bytes included); next segment at o + 2 + length. SOFn =
+    # 0xC0-0xCF minus DHT(0xC4)/JPG(0xC8)/DAC(0xCC); inside it height
+    # is the BE u16 at o+5, width at o+7. The walk is a bounded fold
+    # (``aggregate`` over a max_segments-long sequence) whose state is
+    # (offset, w, h): a single Catalyst expression evaluated
+    # ITERATIVELY at runtime — a chained-projection unroll would be
+    # re-inlined by CollapseProject into an exponentially growing tree
+    # (~10 offset references per level), which this avoids. The byte
+    # prefix is materialized once per row and lambda-bound (the
+    # ngrams() binding trick), so each byte is decoded exactly once.
+    # The walk stops (NULL offset) at SOS/EOI, a non-FF byte, a found
+    # SOF, or past the prefix (try_element_at -> NULL).
+    prefix_bytes = F.transform(
+        F.sequence(F.lit(1), F.lit(2048)),
+        lambda i: F.conv(
+            F.hex(F.substring(F.col(media_col), i, F.lit(1))), 16, 10
+        ).cast("int"),
+    )
+
+    def _sof_walk(bs):
+        def at(p):
+            return F.try_element_at(bs, p)
+
+        def step(acc, _i):
+            o = acc["o"]
+            marker = at(o + 1)
+            seg_len = at(o + 2) * 256 + at(o + 3)
+            ok = o.isNotNull() & (at(o) == 255) & marker.isNotNull()
+            is_sof = ok & marker.between(192, 207) & ~marker.isin(196, 200, 204)
+            return F.struct(
+                F.when(
+                    ok & ~is_sof & (marker != 218) & (marker != 217),
+                    o + 2 + seg_len,
+                )
+                .cast("int")
+                .alias("o"),
+                F.coalesce(
+                    acc["w"], F.when(is_sof, at(o + 7) * 256 + at(o + 8))
+                ).alias("w"),
+                F.coalesce(
+                    acc["h"], F.when(is_sof, at(o + 5) * 256 + at(o + 6))
+                ).alias("h"),
+            )
+
+        init = F.struct(
+            F.lit(3).cast("int").alias("o"),
+            F.lit(None).cast("int").alias("w"),
+            F.lit(None).cast("int").alias("h"),
+        )
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(jpeg_max_segments)), init, step
+        )
+
+    jpeg_dims = F.when(
+        is_jpeg,
+        F.element_at(F.transform(F.array(prefix_bytes), _sof_walk), 1),
+    )
+    out = df.withColumn("__jpeg", jpeg_dims)
+
     width = (
         F.when(is_png, _be_u32(media_col, 17))
         .when(is_gif, _le_u16(media_col, 7))
         .when(is_bmp, _le_u32(media_col, 19))
+        .when(is_jpeg, F.col("__jpeg.w"))
         .otherwise(F.lit(None).cast("int"))
     )
     height = (
@@ -360,16 +442,18 @@ def image_header_meta(
         # biHeight is SIGNED (negative = top-down row order); report the
         # magnitude, matching the Python _header_decode path
         .when(is_bmp, F.abs(_le_i32(media_col, 23)))
+        .when(is_jpeg, F.col("__jpeg.h"))
         .otherwise(F.lit(None).cast("int"))
     )
     sample_rate = F.when(is_wav, _le_u32(media_col, 25)).otherwise(
         F.lit(None).cast("int")
     )
     return (
-        df.withColumn("kind", kind)
+        out.withColumn("kind", kind)
         .withColumn("width", width)
         .withColumn("height", height)
         .withColumn("sample_rate", sample_rate)
+        .drop("__jpeg")
     )
 
 

@@ -1,0 +1,104 @@
+"""Ranked text retrieval (BM25) over a distributed corpus.
+
+The classic Okapi BM25 scorer (Robertson & Zaragoza, "The
+Probabilistic Relevance Framework: BM25 and Beyond", FnTIR 2009),
+re-expressed as the Spark plan a 100 TB corpus needs:
+
+- the per-document token counting is ONE explode + hash aggregate
+  (map-side combined); only tokens matching the query survive past
+  the filter, so the shuffle carries |docs containing a query term| x
+  |query| rows, never the corpus vocabulary;
+- document frequencies for the handful of query terms are a
+  |query|-row aggregate, broadcast back;
+- document lengths are a second narrow aggregate joined on doc id
+  (data-sized side — shuffle_hash-pinned, never broadcast);
+- the final top-k is ``orderBy(...).limit(k)`` = TakeOrdered, a
+  per-partition heap + driver merge of k rows, never a global sort.
+
+Engine-exactness (the repo's LM-scorer rules): both log2 arguments
+are INTEGERS — idf = log2(2N+2) − log2(2·df+1), the Lucene-style
+non-negative variant expressed in log2 — the tf normalization is a
+fixed sequence of IEEE +,*,/ on integer-valued doubles, per-document
+contributions are summed by an ascending SORTED FOLD, and the score
+is rounded to 6 digits at the libm edge. Ranking compares the
+ROUNDED score (ties broken by id) so rank order is also engine-exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query under BM25.
+    Returns (id, n_terms_hit, score) ordered by rounded score desc,
+    id asc. Duplicate query terms are collapsed (set semantics).
+    """
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    dl = tok.groupBy("id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    tf = (
+        tok.where(F.col("tok").isin(terms))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl.hint("shuffle_hash"), "id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log2((F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")) - F.log2(
+        (F.lit(2) * F.col("df_t") + F.lit(1)).cast("double")
+    )
+    # avgdl division deferred: dl/avgdl = dl * n_docs / total_tokens,
+    # evaluated in exactly this order on integer-valued doubles
+    tfn = (F.col("tf").cast("double") * (F.lit(k1) + F.lit(1.0))) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b)
+            * (
+                F.col("dl").cast("double")
+                * F.col("n_docs").cast("double")
+                / F.col("total_tokens").cast("double")
+            )
+        )
+    )
+    per_doc = (
+        scored.select("id", (idf * tfn).alias("__contrib"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sort_array(F.collect_list("__contrib")).alias("__cs"),
+        )
+        .select(
+            "id",
+            "n_terms_hit",
+            F.round(
+                F.aggregate("__cs", F.lit(0.0), lambda acc, c: acc + c), 6
+            ).alias("score"),
+        )
+    )
+    return per_doc.orderBy(F.col("score").desc(), F.col("id")).limit(k)

@@ -1,0 +1,201 @@
+"""Distributed descriptive statistics with ENGINE-EXACT results.
+
+Float aggregation over a shuffled dataset is order-sensitive in the
+last ulps, so a naive ``corr``/``regr_slope`` can never hash-match a
+second engine. These operators instead quantize each input to an
+integer grid once (`round(x * scale)` — one IEEE multiply + one
+round, bit-identical across engines on identical doubles), accumulate
+every moment as an EXACT decimal(38,0) sum (associative and
+commutative, so any partitioning and any combine order give the same
+value), and apply the closed-form float formula exactly once, on the
+driver-visible 1-row aggregate. The only float ops are that final
+handful on identical exact integers — deterministic everywhere, then
+rounded for cross-engine hashability.
+
+At 100 TB this is also the right execution shape: each statistic is
+ONE map-side-combined hash aggregate over the scan (no window, no
+join), the shuffle carries a single row of decimal partials per
+group, and adding columns adds expressions, not passes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: decimal wide enough for sums of pairwise products of ~1e12-scale
+#: quantized values over ~1e9 rows
+_DEC = "decimal(38,0)"
+
+
+def _q(col: str, scale: int):
+    """Quantize a double column to an integer grid: round(x * scale).
+    One multiply + one round — both correctly rounded IEEE ops, so the
+    result is bit-identical across engines; ties at .5 would need x to
+    land exactly on the half-grid, which the scale is chosen to avoid."""
+    return F.round(F.col(col) * F.lit(scale)).cast("long")
+
+
+def linear_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Simple least-squares fit ``y ~ a + b*x`` via the normal
+    equations, one distributed pass. Returns a single row
+    (n, slope, intercept, r2), each float rounded to 9 digits.
+
+    All five moments (n, Σx, Σy, Σxx, Σxy, Σyy) are exact decimal sums
+    of the quantized grid values; slope/intercept/r² are computed from
+    them in the ORIGINAL units (the grid scales divide back out) with
+    a fixed handful of float ops, so two engines computing from the
+    same parquet agree bit-for-bit before the final rounding.
+    """
+    x, y = _q(x_col, x_scale), _q(y_col, y_scale)
+    agg = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(_DEC)).alias("sx"),
+            F.sum(y.cast(_DEC)).alias("sy"),
+            F.sum((x.cast(_DEC) * x).cast(_DEC)).alias("sxx"),
+            F.sum((x.cast(_DEC) * y).cast(_DEC)).alias("sxy"),
+            F.sum((y.cast(_DEC) * y).cast(_DEC)).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    # un-scale inside the closed forms: sx/x_scale etc.; the exact
+    # decimal numerators/denominators are cast to double ONCE each
+    xs, ys = F.lit(float(x_scale)), F.lit(float(y_scale))
+    sx = F.col("sx").cast("double") / xs
+    sy = F.col("sy").cast("double") / ys
+    sxx = F.col("sxx").cast("double") / (xs * xs)
+    sxy = F.col("sxy").cast("double") / (xs * ys)
+    syy = F.col("syy").cast("double") / (ys * ys)
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    intercept = (sy - slope * sx) / n
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    scales: Sequence[int] | None = None,
+) -> DataFrame:
+    """Pearson correlation for every unordered column pair, one
+    distributed pass for ALL moments. Returns (col_x, col_y, corr)
+    rows, pairs in lexicographic column order, corr rounded to 9.
+
+    Same exact-decimal-moments scheme as :func:`linear_fit`: k columns
+    need k(k+3)/2 sums, all computed in the SAME single hash aggregate
+    — a correlation matrix over 100 TB is one scan, one 1-row shuffle.
+    """
+    names = list(cols)
+    if len(names) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    sc = list(scales) if scales is not None else [1] * len(names)
+    if len(sc) != len(names):
+        raise ValueError("scales must match cols")
+    qs = {c: _q(c, s) for c, s in zip(names, sc)}
+    cond = F.lit(True)
+    for c in names:
+        cond = cond & F.col(c).isNotNull()
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(names):
+        aggs.append(F.sum(qs[c].cast(_DEC)).alias(f"s{i}"))
+        for j in range(i, len(names)):
+            aggs.append(
+                F.sum((qs[c].cast(_DEC) * qs[names[j]]).cast(_DEC)).alias(f"p{i}_{j}")
+            )
+    agg = df.where(cond).agg(*aggs)
+
+    n = F.col("n").cast("double")
+    pairs = []
+    for i, ci in enumerate(names):
+        for j in range(i + 1, len(names)):
+            cj = names[j]
+            si = F.col(f"s{i}").cast("double") / F.lit(float(sc[i]))
+            sj = F.col(f"s{j}").cast("double") / F.lit(float(sc[j]))
+            pii = F.col(f"p{i}_{i}").cast("double") / F.lit(float(sc[i]) * sc[i])
+            pjj = F.col(f"p{j}_{j}").cast("double") / F.lit(float(sc[j]) * sc[j])
+            pij = F.col(f"p{i}_{j}").cast("double") / F.lit(float(sc[i]) * sc[j])
+            corr = (n * pij - si * sj) / F.sqrt(
+                (n * pii - si * si) * (n * pjj - sj * sj)
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(ci).alias("col_x"),
+                    F.lit(cj).alias("col_y"),
+                    F.round(corr, 9).alias("corr"),
+                )
+            )
+    return (
+        agg.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.col_x", "p.col_y", "p.corr")
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    n_sigma: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group count of ``|x - mean| > n_sigma * stddev_pop``
+    outliers, decided in EXACT integer arithmetic. Returns
+    (group, n, n_outliers).
+
+    The test is rearranged to clear every division:
+    ``(n*x - S)^2 > n_sigma^2 * (n*Sxx - S^2)`` — all decimal-exact on
+    the quantized grid, so the boundary decision can never flip with
+    ulp noise (the reason a float z-score filter cannot be an oracle
+    contract). Two hash aggregates on the group key: moments, then a
+    broadcast-sized join back for the comparison — at scale the second
+    pass re-reads the scan rather than shuffling the data twice.
+    """
+    x = _q(value_col, scale).cast(_DEC)
+    moments = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast(_DEC).alias("__n"),
+            F.sum(x).alias("__s"),
+            F.sum((x * x).cast(_DEC)).alias("__sxx"),
+        )
+    )
+    joined = df.where(F.col(value_col).isNotNull()).join(
+        F.broadcast(moments), group_col
+    )
+    lhs = F.col("__n") * x - F.col("__s")
+    rhs = F.lit(n_sigma * n_sigma).cast(_DEC) * (
+        F.col("__n") * F.col("__sxx") - F.col("__s") * F.col("__s")
+    )
+    # digit budget: |n*x - S| < n * max|x|; with group sizes ~1e9 and
+    # grid values ~1e9 both sides stay under 10^38 — inside
+    # decimal(38,0), where every op here is exact
+    out = lhs * lhs > rhs
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+        )
+        .select(group_col, "n", "n_outliers")
+    )

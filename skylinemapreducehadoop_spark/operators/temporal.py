@@ -276,3 +276,49 @@ def pd_timedelta(duration: str):
     import pandas as pd
 
     return pd.Timedelta(duration)
+
+
+def event_transitions(
+    df: DataFrame,
+    *,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+    prob_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition statistics over per-entity event
+    sequences: for every ordered pair of consecutive event types within
+    a ``by`` group, the global count and the conditional probability
+    P(to | from). Returns (from_type, to_type, cnt, prob) — the
+    session-modeling / next-event-prediction summary.
+
+    Ordering inside a group is (ts, tiebreak) so simultaneous events
+    sequence deterministically. One window shuffle on ``by`` (lead),
+    then one hash aggregate on the (from, to) pair; the per-from totals
+    ride on a window over the pair aggregate, which is tiny (|types|²),
+    so no second pass over the data. ``prob`` is one float division on
+    exact integer counts, rounded — engine-exact.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(by).orderBy(*order)
+    steps = (
+        df.select(by, ts_col, *( [tiebreak_col] if tiebreak_col else [] ), type_col)
+        .withColumn("__next", F.lead(type_col).over(w))
+        .where(F.col("__next").isNotNull())
+    )
+    pairs = steps.groupBy(
+        F.col(type_col).alias("from_type"), F.col("__next").alias("to_type")
+    ).agg(F.count("*").alias("cnt"))
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(
+            F.col("cnt").cast("double") / F.sum("cnt").over(wf).cast("double"),
+            prob_digits,
+        ).alias("prob"),
+    )

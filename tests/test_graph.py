@@ -56,3 +56,34 @@ def test_pagerank_empty_graph(spark):
     out = pagerank(df, n_iter=3)
     assert out.columns == ["id", "rank"]
     assert out.count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    from skylinemapreducehadoop_spark.operators.graph import triangle_count
+
+    # K4 has C(4,3)=4 triangles; direction/duplicates/self-loops noise
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]  # both dirs
+    edges += [(0, 0), (1, 1), (2, 3), (3, 2)]  # self-loops + dups
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+    # path graph: zero triangles
+    path = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
+    assert triangle_count(path).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from skylinemapreducehadoop_spark.operators.graph import triangle_count
+
+    rng = random.Random(5)
+    und = {tuple(sorted(rng.sample(range(30), 2))) for _ in range(160)}
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(range(30), 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    df = spark.createDataFrame(list(und), "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == want

@@ -132,11 +132,40 @@ def test_image_header_meta_jvm_parses_real_formats(spark):
     assert (out[0]["kind"], out[0]["width"], out[0]["height"]) == ("png", 640, 480)
     assert (out[1]["kind"], out[1]["width"], out[1]["height"]) == ("gif", 320, 200)
     assert (out[2]["kind"], out[2]["width"], out[2]["height"]) == ("bmp", 800, 600)
-    assert out[3]["kind"] == "jpeg" and out[3]["width"] is None
+    # JPEG dims come from the unrolled zero-UDF SOF walk (r8)
+    assert (out[3]["kind"], out[3]["width"], out[3]["height"]) == ("jpeg", 1024, 768)
     assert out[4]["kind"] is None and out[4]["width"] is None
     # the plan is pure expressions: no Python UDF stage
     plan = image_header_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_image_header_meta_jpeg_sof_walk_bounds(spark):
+    """The SOF walk skips leading variable-length segments (APPn/DQT),
+    agrees with the Python marker walk, and degrades to NULL dims —
+    never garbage — when SOF sits past the unroll bound."""
+    import struct
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _header_decode,
+        image_header_meta,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    sof = seg(0xC2, b"\x08" + struct.pack(">HH", 333, 222) + b"\x03\x11\x00")
+    deep = b"\xff\xd8" + b"".join(seg(0xE0 + i, b"x" * (5 + i)) for i in range(8)) + sof
+    too_deep = b"\xff\xd8" + b"".join(seg(0xE1, b"y" * 9) for _ in range(15)) + sof
+    df = spark.createDataFrame(
+        [(0, deep), (1, too_deep)], "doc_id long, media binary"
+    )
+    out = {r["doc_id"]: r for r in image_header_meta(df).collect()}
+    assert (out[0]["kind"], out[0]["width"], out[0]["height"]) == ("jpeg", 222, 333)
+    w, h, _ = _header_decode(deep)
+    assert (w, h) == (222, 333)
+    assert out[1]["kind"] == "jpeg"
+    assert out[1]["width"] is None and out[1]["height"] is None
 
 
 def test_image_header_meta_topdown_bmp_signed_height(spark):

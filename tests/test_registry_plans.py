@@ -79,6 +79,7 @@ BNLJ_OK = {
     "mix_corpus_sources",  # broadcast threshold table
     "q8_market_share",  # 1-row denominator
     "q14_promo_revenue",  # 1-row ratio denominators
+    "bm25_search_documents",  # 1-row (n_docs, total_tokens) corpus frame
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the
     # minhash/setsim sublinear paths — see COVERAGE.md); its nested

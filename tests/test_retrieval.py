@@ -1,0 +1,77 @@
+"""BM25 ranked retrieval (operators/retrieval.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from skylinemapreducehadoop_spark.operators.retrieval import bm25_topk
+
+
+def _bm25_ref(docs: dict[int, str], terms: list[str], k1=1.2, b=0.75):
+    """Plain-Python reference with the same formula variant."""
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0.0
+        hits = 0
+        for t in sorted(set(terms)):
+            tf = v.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            hits += 1
+            idf = math.log2(2 * n + 2) - math.log2(2 * dfreq[t] + 1)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if hits:
+            out[i] = (hits, round(s, 6))
+    return out
+
+
+def test_bm25_matches_reference_scores(spark):
+    docs = {
+        1: "spark shuffle join hash join hash",
+        2: "hash table scan filter",
+        3: "the quick brown fox",
+        4: "join join join spark",
+        5: "window agg sort merge",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_terms_hit"], r["score"])
+        for r in bm25_topk(df, ["spark", "join", "hash"], k=10).collect()
+    }
+    want = _bm25_ref(docs, ["spark", "join", "hash"])
+    assert got.keys() == want.keys()
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert got[i][1] == pytest.approx(want[i][1], abs=2e-6), i
+
+
+def test_bm25_ranking_and_k(spark):
+    # doc stuffed with the rare term outranks one with a common term
+    docs = [(i, "common filler text here") for i in range(1, 9)]
+    docs += [(9, "rareword common"), (10, "common common common")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    top = bm25_topk(df, ["rareword", "common"], k=3).collect()
+    assert top[0]["id"] == 9  # rare-term doc wins
+    assert len(top) == 3
+
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+
+def test_bm25_plan_is_takeordered_not_global_sort(spark):
+    df = spark.createDataFrame(
+        [(i, "a b c spark") for i in range(100)], "doc_id long, text string"
+    )
+    plan = (
+        bm25_topk(df, ["spark"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

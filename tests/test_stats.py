@@ -1,0 +1,92 @@
+"""Engine-exact distributed statistics (operators/stats.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from skylinemapreducehadoop_spark.operators.stats import (
+    corr_matrix,
+    linear_fit,
+    zscore_outliers,
+)
+
+
+def _xy_df(spark, n=500, seed=3):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(1, 50, n).astype(float)
+    y = (7.25 * x + 30 + rng.normal(0, 5, n)).round(2)
+    rows = [(float(a), float(b)) for a, b in zip(x, y)]
+    return spark.createDataFrame(rows, "x double, y double"), x, y.round(2)
+
+
+def test_linear_fit_matches_numpy(spark):
+    df, x, y = _xy_df(spark)
+    row = linear_fit(df, "x", "y", x_scale=1, y_scale=100).collect()[0]
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row["n"] == len(x)
+    assert row["slope"] == pytest.approx(slope, abs=1e-6)
+    assert row["intercept"] == pytest.approx(intercept, abs=1e-4)
+    assert row["r2"] == pytest.approx(r * r, abs=1e-6)
+
+
+def test_linear_fit_partitioning_invariant(spark):
+    # exact decimal moments: ANY partitioning gives the bit-identical
+    # result (the whole point vs float partial sums)
+    df, _, _ = _xy_df(spark)
+    a = linear_fit(df.repartition(1), "x", "y", y_scale=100).collect()[0]
+    b = linear_fit(df.repartition(32), "x", "y", y_scale=100).collect()[0]
+    assert a == b
+
+
+def test_corr_matrix_matches_numpy_all_pairs(spark):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 1000, 400).astype(float)
+    b = (a * 2 + rng.normal(0, 30, 400)).round(2)
+    c = rng.integers(0, 100, 400).astype(float)
+    df = spark.createDataFrame(
+        [(float(i), float(j), float(k)) for i, j, k in zip(a, b, c)],
+        "a double, b double, c double",
+    )
+    out = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in corr_matrix(df, ["a", "b", "c"], scales=[1, 100, 1]).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")] == pytest.approx(np.corrcoef(a, b)[0, 1], abs=1e-6)
+    assert out[("a", "c")] == pytest.approx(np.corrcoef(a, c)[0, 1], abs=1e-6)
+    assert out[("b", "c")] == pytest.approx(np.corrcoef(b, c)[0, 1], abs=1e-6)
+
+
+def test_corr_matrix_guards(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["a"])
+    with pytest.raises(ValueError):
+        corr_matrix(df, ["a", "b"], scales=[1])
+
+
+def test_zscore_outliers_exact_boundary(spark):
+    # group g: 100 values at 0 and one at 1000 — the 1000 is way out;
+    # group h: constant values — zero variance, nothing flagged
+    rows = [("g", 0.0)] * 100 + [("g", 1000.0)] + [("h", 5.0)] * 50
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r["grp"]: r for r in zscore_outliers(df, "value", "grp").collect()}
+    assert out["g"]["n"] == 101 and out["g"]["n_outliers"] == 1
+    assert out["h"]["n"] == 50 and out["h"]["n_outliers"] == 0
+
+
+def test_zscore_outliers_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(50, 10, 2000)
+    vals[:5] = 500.0  # planted
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in vals], "grp string, value double"
+    )
+    row = zscore_outliers(df, "value", "grp").collect()[0]
+    q = np.round(vals * 1_000_000)
+    mu, sd = q.mean(), q.std()
+    want = int(((np.abs(q - mu) > 3 * sd)).sum())
+    assert row["n_outliers"] == want and row["n"] == 2000

@@ -226,3 +226,41 @@ def test_trailing_time_stats_window_bounds(spark):
     assert out[(1, "2024-01-01 01:00:00")] == (3, 7.0)   # inclusive lower bound
     assert out[(1, "2024-01-01 01:30:01")] == (2, 12.0)  # 01:00 + itself
     assert out[(2, "2024-01-01 00:45:00")] == (1, 16.0)
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import event_transitions
+
+    # user 1: a->b->a->c ; user 2: b->a (simultaneous pair ordered by id)
+    rows = [
+        (1, 10, 100, "a"),
+        (2, 10, 200, "b"),
+        (3, 10, 300, "a"),
+        (4, 10, 400, "c"),
+        (5, 20, 100, "b"),
+        (6, 20, 100, "a"),  # same ts as event 5 -> event_id breaks tie
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["cnt"], r["prob"])
+        for r in event_transitions(df).collect()
+    }
+    assert out[("a", "b")] == (1, 0.5)
+    assert out[("a", "c")] == (1, 0.5)
+    assert out[("b", "a")] == (2, 1.0)
+    assert len(out) == 3
+
+
+def test_event_transitions_single_window_shuffle(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import event_transitions
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, "a"), (2, 1, 2, "b")],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    plan = event_transitions(df)._jdf.queryExecution().executedPlan().toString()
+    # exactly one window over the data (lead); the prob window runs on
+    # the |types|^2-row aggregate, not the events
+    assert plan.count("Window") >= 1 and "CartesianProduct" not in plan

@@ -153,9 +153,11 @@ def test_segment_dedup_conservation(spark, docs, data):
     out = D.segment_dedup(df, width=width).collect()
     # recompute segments locally
     def segs(text):
-        toks = text.strip().split() if text.strip() else [""]
-        if not toks:
-            toks = [""]
+        # empty-document contract (r8): NULL/whitespace-only text
+        # contributes ZERO segments in both modes
+        if text is None or not text.strip():
+            return []
+        toks = text.strip().split()
         n = max(-(-len(toks) // width), 1)
         return [" ".join(toks[i * width:(i + 1) * width]) for i in range(n)]
 
