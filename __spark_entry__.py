@@ -2279,6 +2279,42 @@ def _bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(F.col("id").alias("doc_id"), "n_terms_hit", "score")
 
 
+def _pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top collocations by PMI (sum-of-integer-arg-log2 form, so the
+    # doubles are engine-exact; ties rank by pair)
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pmi_collocations(docs, min_count=5, k=50)
+
+
+def _bm25_index_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME query through the persisted inverted index (build-once /
+    # probe-many, cached under the source fingerprint like the IVF
+    # index): probe(index(docs)) must hash-match the direct operator's
+    # oracle — the partition-pruned access path changes, the answer
+    # cannot
+    import hashlib
+    import tempfile
+
+    from skylinemapreducehadoop_spark.operators.retrieval import (
+        bm25_probe,
+        build_text_index,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nofp"
+    tag = hashlib.md5(f"{sf_dir}|{fp}|text_index".encode()).hexdigest()[:10]
+    idx_path = os.path.join(tempfile.gettempdir(), f"text_index_{tag}")
+    if not os.path.exists(os.path.join(idx_path, "postings", "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents")
+        build_text_index(docs, idx_path)
+    top = bm25_probe(spark, idx_path, _BM25_TERMS, k=20)
+    return top.select(F.col("id").alias("doc_id"), "n_terms_hit", "score")
+
+
 def _event_transitions_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first-order Markov transition matrix of per-user event sequences;
     # (ts, event_id) ordering makes simultaneous events deterministic
@@ -2361,7 +2397,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q14_promo_revenue": _q14_promo_revenue,
         # --- past the driver's 50-entry window: newest green row r7
-        # (or earlier with logic untouched; see COVERAGE.md)
+        # (or earlier with logic untouched; see COVERAGE.md).
+        # bm25_index_search is NEW mid-r8 (locally verified; rotates
+        # into the checked window in r9)
+        "bm25_index_search_documents": _bm25_index_search_documents,
+        "pmi_collocations_documents": _pmi_collocations_documents,
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
         "skyline_sql_lineitem": _skyline_sql_lineitem,
@@ -3029,6 +3069,27 @@ SELECT id AS doc_id, n_terms_hit, score
 FROM perdoc ORDER BY score DESC, id LIMIT 20
 """
 
+_PMI_SQL = """
+WITH tk AS (
+  SELECT doc_id, unnest(range(1, len(t)+1)) AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+),
+bg AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+f AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM p GROUP BY 1),
+s AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM p GROUP BY 1),
+n AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM p)
+SELECT w1, w2, c12,
+       round((log2(CAST(c12 AS DOUBLE)) + log2(CAST(nb AS DOUBLE)))
+             - (log2(CAST(c1 AS DOUBLE)) + log2(CAST(c2 AS DOUBLE))), 6) AS pmi
+FROM p JOIN f USING (w1) JOIN s USING (w2) CROSS JOIN n
+WHERE c12 >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+"""
+
 _TRANSITIONS_SQL = """
 WITH s AS (
   SELECT event_type AS from_type,
@@ -3054,6 +3115,9 @@ def oracle_sql() -> dict[str, str]:
         "zscore_outliers_events": _ZSCORE_SQL,
         "triangle_count_copurchase": _TRIANGLE_SQL,
         "bm25_search_documents": _BM25_SQL,
+        # index-backed access path, identical contract
+        "bm25_index_search_documents": _BM25_SQL,
+        "pmi_collocations_documents": _PMI_SQL,
         "event_transitions_markov": _TRANSITIONS_SQL,
         "skyline_twophase": sky,
         "skyline_bruteforce": sky,

@@ -177,6 +177,15 @@ EXTRA_QUERIES = [
     "image_header_check",
     "data_quality_orders",
     "entity_resolution_partnames",
+    # new in round 8
+    "linreg_lineitem",
+    "corr_lineitem",
+    "zscore_outliers_events",
+    "triangle_count_copurchase",
+    "bm25_search_documents",
+    "event_transitions_markov",
+    "bm25_index_search_documents",
+    "pmi_collocations_documents",
 ]
 
 

@@ -69,6 +69,7 @@ from skylinemapreducehadoop_spark.operators.multimodal import (
 from skylinemapreducehadoop_spark.functions.profile import profile
 from skylinemapreducehadoop_spark.functions.expect import expectations
 from skylinemapreducehadoop_spark.functions.text import (
+    pmi_collocations,
     bigram_logprob,
     build_vocab,
     encode_tokens,
@@ -87,7 +88,11 @@ from skylinemapreducehadoop_spark.operators.stats import (
     linear_fit,
     zscore_outliers,
 )
-from skylinemapreducehadoop_spark.operators.retrieval import bm25_topk
+from skylinemapreducehadoop_spark.operators.retrieval import (
+    bm25_probe,
+    bm25_topk,
+    build_text_index,
+)
 
 __all__ = [
     "skyline",
@@ -135,6 +140,9 @@ __all__ = [
     "corr_matrix",
     "zscore_outliers",
     "bm25_topk",
+    "build_text_index",
+    "bm25_probe",
+    "pmi_collocations",
     "heavy_hitters",
     "knn_graph",
     "kmeans_lloyd",

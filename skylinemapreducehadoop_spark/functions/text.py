@@ -677,3 +677,54 @@ def classifier_score(
         score.alias("score"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` collocations (adjacent word pairs) by pointwise mutual
+    information — the classic corpus-linguistics signal (Church &
+    Hanks, CL 1990) for multiword expressions; in LLM-data work it
+    surfaces boilerplate phrases and candidate merge pairs.
+
+    ``pmi = log2 P(w1,w2) / (P(w1)·P(w2))`` with all probabilities
+    estimated from the bigram stream itself (c1 = occurrences as first
+    word, c2 = as second word, N = total bigrams). Rewritten as
+    ``(log2 c12 + log2 N) − (log2 c1 + log2 c2)`` so every log2
+    argument is an INTEGER count (the repo's LM-scorer exactness rule;
+    the product form c12·N would overflow int64 at corpus scale), the
+    grouping is explicit, and round(6) lands at the libm edge. Ties
+    rank deterministically by (w1, w2). ``min_count`` suppresses the
+    unstable low-frequency tail (standard practice — PMI is maximized
+    by hapax pairs).
+
+    Shape: one bigram explode + three hash aggregates (pair, first,
+    second) + two vocabulary-sized equi-joins (shuffle_hash-pinned) +
+    TakeOrdered — no window over the data, no driver loop.
+    """
+    bg = df.select(F.explode(ngrams(text_col, 2)).alias("__bg")).select(
+        F.split(F.col("__bg"), " ")[0].alias("w1"),
+        F.split(F.col("__bg"), " ")[1].alias("w2"),
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = pairs.agg(F.sum("c12").alias("n_bigrams"))
+    pmi = F.round(
+        (F.log2(F.col("c12").cast("double")) + F.log2(F.col("n_bigrams").cast("double")))
+        - (F.log2(F.col("c1").cast("double")) + F.log2(F.col("c2").cast("double"))),
+        6,
+    )
+    return (
+        pairs.where(F.col("c12") >= min_count)
+        .join(c1.hint("shuffle_hash"), "w1")
+        .join(c2.hint("shuffle_hash"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

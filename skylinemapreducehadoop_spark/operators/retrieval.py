@@ -67,6 +67,14 @@ def bm25_topk(
         .join(dl.hint("shuffle_hash"), "id")
         .crossJoin(F.broadcast(corpus))
     )
+    return _bm25_score_topk(scored, k, k1, b)
+
+
+def _bm25_score_topk(scored: DataFrame, k: int, k1: float, b: float) -> DataFrame:
+    """Shared BM25 scoring tail over a frame with columns
+    (id, tok, tf, df_t, dl, n_docs, total_tokens) — used by both the
+    direct :func:`bm25_topk` and the index-backed :func:`bm25_probe`,
+    so the two access paths are row-for-row identical."""
     idf = F.log2((F.lit(2) * F.col("n_docs") + F.lit(2)).cast("double")) - F.log2(
         (F.lit(2) * F.col("df_t") + F.lit(1)).cast("double")
     )
@@ -102,3 +110,111 @@ def bm25_topk(
         )
     )
     return per_doc.orderBy(F.col("score").desc(), F.col("id")).limit(k)
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist an inverted index for :func:`bm25_probe`: posting lists
+    (token, id, tf) parquet-partitioned by ``pmod(hash(token),
+    n_buckets)`` — a probe for q terms scans at most q partitions'
+    directories and skips the rest at PLAN time (PartitionFilters) —
+    plus the doc-length table and the 1-row corpus stats.
+
+    Build-once / probe-many, the same lifecycle as the IVF vector
+    index (``similarity.ivf_write``): the expensive corpus pass runs
+    once; each query is then a partition-pruned scan + one doc-sized
+    equi-join. Stats are written BEFORE postings, so readers gating on
+    ``postings/_SUCCESS`` (the last artifact) never see a torn index.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    dl = tok.groupBy("id").agg(F.count("*").alias("dl"))
+    dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    dl.write.mode("overwrite").parquet(f"{path}/doclens")
+    postings = (
+        tok.groupBy("tok", "id")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("bucket", F.pmod(F.hash("tok"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/postings")
+
+
+def bm25_probe(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    k: int = 20,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 top-k against a :func:`build_text_index` index. Score math
+    is IDENTICAL to :func:`bm25_topk` (same engine-exactness rules), so
+    probe(index(df)) ≡ bm25_topk(df) row-for-row; only the access path
+    changes — the corpus is never re-tokenized, and the posting scan
+    touches only the query terms' hash buckets."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    postings = spark.read.parquet(f"{path}/postings")
+    # bucket pruning first (partition filter), then the exact term match
+    buckets = list({_bucket_of(t, n_buckets) for t in terms})
+    tf = postings.where(
+        F.col("bucket").isin(buckets) & F.col("tok").isin(terms)
+    ).select("id", "tok", "tf")
+    dl = spark.read.parquet(f"{path}/doclens")
+    corpus = spark.read.parquet(f"{path}/stats")
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl.hint("shuffle_hash"), "id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    return _bm25_score_topk(scored, k, k1, b)
+
+
+def _bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side twin of ``pmod(hash(tok), n_buckets)`` — Spark's
+    Murmur3 string hash (seed 42), reimplemented from the public
+    Murmur3_x86_32 spec so probe-time bucket ids match the build."""
+    import struct
+
+    data = term.encode("utf-8")
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = 42
+    n4 = len(data) // 4 * 4
+    for i in range(0, n4, 4):
+        (kk,) = struct.unpack_from("<i", data, i)
+        kk = (kk * c1) & 0xFFFFFFFF
+        kk = ((kk << 15) | (kk >> 17)) & 0xFFFFFFFF
+        kk = (kk * c2) & 0xFFFFFFFF
+        h ^= kk
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    # Spark processes tail bytes as SIGNED ints, one at a time
+    for i in range(n4, len(data)):
+        kk = struct.unpack_from("b", data, i)[0]
+        kk = (kk * c1) & 0xFFFFFFFF
+        kk = ((kk << 15) | (kk >> 17)) & 0xFFFFFFFF
+        kk = (kk * c2) & 0xFFFFFFFF
+        h ^= kk
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    if h >= 1 << 31:
+        h -= 1 << 32
+    # Python % on a positive modulus is already pmod
+    return h % n_buckets

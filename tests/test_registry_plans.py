@@ -35,6 +35,7 @@ SKIP_EAGER = {
     "streaming_enrich_replay",
     "streaming_rollup_replay",
     "ann_ivf_topk",  # builds/persists the IVF index
+    "bm25_index_search_documents",  # builds/persists the inverted index
     "ann_recall_ivf",
     "kmeans_embeddings",  # iterative: collects k*d centroid rows per iter
     "kmeans_blobs_check",
@@ -80,6 +81,7 @@ BNLJ_OK = {
     "q8_market_share",  # 1-row denominator
     "q14_promo_revenue",  # 1-row ratio denominators
     "bm25_search_documents",  # 1-row (n_docs, total_tokens) corpus frame
+    "pmi_collocations_documents",  # 1-row total-bigrams frame
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the
     # minhash/setsim sublinear paths — see COVERAGE.md); its nested

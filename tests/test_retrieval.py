@@ -75,3 +75,41 @@ def test_bm25_plan_is_takeordered_not_global_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucket_of_matches_spark_hash(spark):
+    # the driver-side Murmur3 twin must agree with F.hash for pruning
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.retrieval import _bucket_of
+
+    words = ["spark", "a", "ab", "abc", "abcd", "abcde", "héllo", "", "x" * 37]
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    got = {
+        r["tok"]: r["b"]
+        for r in df.select("tok", F.pmod(F.hash("tok"), F.lit(64)).alias("b")).collect()
+    }
+    for w in words:
+        assert _bucket_of(w, 64) == got[w], w
+
+
+def test_bm25_probe_equals_direct(spark, tmp_path):
+    """probe(index(df)) must equal bm25_topk(df) row-for-row, and the
+    posting scan must carry a PartitionFilters bucket prune."""
+    from skylinemapreducehadoop_spark.operators.retrieval import (
+        bm25_probe,
+        bm25_topk,
+        build_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    build_text_index(docs, idx)
+    terms = ["hash", "merge", "spark", "window"]
+    direct = bm25_topk(docs, terms, k=15).collect()
+    probed = bm25_probe(spark, idx, terms, k=15)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in direct]

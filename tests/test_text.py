@@ -286,3 +286,40 @@ def test_build_vocab_and_encode(spark):
     a = sorted(map(tuple, encode_tokens(df.repartition(7), build_vocab(df, max_size=3)).collect()))
     b = sorted(map(tuple, encode_tokens(df, build_vocab(df.repartition(5), max_size=3)).collect()))
     assert a == b
+
+
+def test_pmi_collocations_reference(spark):
+    import math
+
+    from skylinemapreducehadoop_spark.functions.text import pmi_collocations
+
+    docs = [
+        (1, "new york new york city"),
+        (2, "new york is a city"),
+        (3, "a city in new york"),
+        (4, "york new haven"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): (r["c12"], r["pmi"])
+        for r in pmi_collocations(df, min_count=2, k=10).collect()
+    }
+    # python reference over the same bigram stream
+    bgs = []
+    for _, t in docs:
+        tk = t.split()
+        bgs += list(zip(tk, tk[1:]))
+    from collections import Counter
+
+    c12 = Counter(bgs)
+    c1 = Counter(a for a, _ in bgs)
+    c2 = Counter(b for _, b in bgs)
+    n = len(bgs)
+    want = {
+        p: (c, round((math.log2(c) + math.log2(n)) - (math.log2(c1[p[0]]) + math.log2(c2[p[1]])), 6))
+        for p, c in c12.items()
+        if c >= 2
+    }
+    assert out == want
+    # 'new york' is the dominant collocation
+    assert ("new", "york") in out
