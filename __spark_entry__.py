@@ -2279,6 +2279,21 @@ def _bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(F.col("id").alias("doc_id"), "n_terms_hit", "score")
 
 
+def _bpe_merges_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed BPE tokenizer training on a planted word-frequency
+    # corpus (the Sennrich et al. ACL'16 classroom example) — the merge
+    # sequence is analytically determined (ties broken by (left,
+    # right)), so the iterative loop gets a REAL oracle row set (the
+    # pagerank_cycle_check pattern for iterative operators)
+    words = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    text = " ".join(w for w, f in words for _ in range(f))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = TX.bpe_train(df, n_merges=10)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count int"
+    )
+
+
 def _pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top collocations by PMI (sum-of-integer-arg-log2 form, so the
     # doubles are engine-exact; ties rank by pair)
@@ -2402,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into the checked window in r9)
         "bm25_index_search_documents": _bm25_index_search_documents,
         "pmi_collocations_documents": _pmi_collocations_documents,
+        "bpe_merges_check": _bpe_merges_check,
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
         "skyline_sql_lineitem": _skyline_sql_lineitem,
@@ -3069,6 +3085,18 @@ SELECT id AS doc_id, n_terms_hit, score
 FROM perdoc ORDER BY score DESC, id LIMIT 20
 """
 
+#: known-answer oracle for the iterative BPE trainer: the planted
+#: Sennrich-example corpus's merge sequence, derived analytically (and
+#: by the reference implementation in tests/test_text.py)
+_BPE_CHECK_SQL = """
+SELECT * FROM (VALUES
+  (0, 'e', 's', 9), (1, 'es', 't', 9), (2, 'est', '</w>', 9),
+  (3, 'l', 'o', 7), (4, 'lo', 'w', 7), (5, 'e', 'w', 6),
+  (6, 'ew', 'est</w>', 6), (7, 'n', 'ewest</w>', 6),
+  (8, 'low', '</w>', 5), (9, 'd', 'est</w>', 3)
+) v("rank", "left", "right", pair_count)
+"""
+
 _PMI_SQL = """
 WITH tk AS (
   SELECT doc_id, unnest(range(1, len(t)+1)) AS pos, unnest(t) AS tok
@@ -3118,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
         # index-backed access path, identical contract
         "bm25_index_search_documents": _BM25_SQL,
         "pmi_collocations_documents": _PMI_SQL,
+        "bpe_merges_check": _BPE_CHECK_SQL,
         "event_transitions_markov": _TRANSITIONS_SQL,
         "skyline_twophase": sky,
         "skyline_bruteforce": sky,

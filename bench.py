@@ -186,6 +186,7 @@ EXTRA_QUERIES = [
     "event_transitions_markov",
     "bm25_index_search_documents",
     "pmi_collocations_documents",
+    "bpe_merges_check",
 ]
 
 

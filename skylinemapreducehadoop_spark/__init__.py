@@ -69,6 +69,7 @@ from skylinemapreducehadoop_spark.operators.multimodal import (
 from skylinemapreducehadoop_spark.functions.profile import profile
 from skylinemapreducehadoop_spark.functions.expect import expectations
 from skylinemapreducehadoop_spark.functions.text import (
+    bpe_train,
     pmi_collocations,
     bigram_logprob,
     build_vocab,
@@ -143,6 +144,7 @@ __all__ = [
     "build_text_index",
     "bm25_probe",
     "pmi_collocations",
+    "bpe_train",
     "heavy_hitters",
     "knn_graph",
     "kmeans_lloyd",

@@ -728,3 +728,90 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 20,
+    end_of_word: str = "</w>",
+) -> list[tuple[int, str, str, int]]:
+    """Train byte-pair-encoding merges on a corpus (Sennrich, Haddow &
+    Birch, "Neural Machine Translation of Rare Words with Subword
+    Units", ACL 2016 — the classic tokenizer-training algorithm).
+    Returns ``[(rank, left, right, pair_count), ...]`` — the merge
+    table a tokenizer applies at encode time.
+
+    Distributed shape: BPE trains on the WORD-FREQUENCY table, not the
+    corpus — so after one corpus-sized explode + hash aggregate, every
+    iteration runs on a vocabulary-sized frame: (1) adjacent symbol
+    pairs exploded with the word's frequency as weight, ONE hash
+    aggregate, (2) the argmax pair fetched via TakeOrdered-1 (ties
+    broken by (left, right) — deterministic on any layout; the only
+    driver state is one pair per round), (3) the pair merged inside
+    every word's symbol array by a zero-UDF ``aggregate`` fold
+    (left-to-right, non-overlapping — the reference semantics),
+    localCheckpoint'ed so plan depth stays constant across rounds (the
+    kmeans/pagerank iterative discipline). Words are char-split with a
+    ``</w>`` terminator so merges never cross word boundaries.
+
+    At 100 TB the corpus pass is the only data-sized stage; the loop
+    costs n_merges shuffles of the vocabulary, which is exactly how
+    fast any exact BPE can be (each merge depends on the last).
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .where(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count("*").alias("__f"))
+        .select(
+            F.concat(
+                F.split(F.col("__w"), ""), F.array(F.lit(end_of_word))
+            ).alias("syms"),
+            "__f",
+        )
+    )
+    words = words.localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            words.select(
+                F.posexplode(F.slice("syms", 1, F.size("syms") - 1)).alias(
+                    "__p", "left"
+                ),
+                F.col("syms"),
+                F.col("__f"),
+            )
+            .select(
+                "left",
+                F.element_at("syms", F.col("__p") + 2).alias("right"),
+                "__f",
+            )
+            .groupBy("left", "right")
+            .agg(F.sum("__f").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "left", "right").limit(1).collect()
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["cnt"])
+        merges.append((rank, left, right, cnt))
+        merged_sym = left + right
+        # left-to-right non-overlapping merge as a fold: state carries
+        # the rebuilt array; when the incoming symbol completes the
+        # pair with the array's last element, replace that element
+        fold = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged_sym))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        words = words.select(fold.alias("syms"), "__f").localCheckpoint(eager=True)
+    return merges

@@ -39,6 +39,7 @@ SKIP_EAGER = {
     "ann_recall_ivf",
     "kmeans_embeddings",  # iterative: collects k*d centroid rows per iter
     "kmeans_blobs_check",
+    "bpe_merges_check",  # iterative: one TakeOrdered collect per merge
     "pagerank_dup_graph",  # iterative: localCheckpoint per round
     "pagerank_cycle_check",
     "dedup_star_clusters",  # fixed-point loop materializes per round

@@ -323,3 +323,65 @@ def test_pmi_collocations_reference(spark):
     assert out == want
     # 'new york' is the dominant collocation
     assert ("new", "york") in out
+
+
+def _bpe_ref(word_freq, n_merges, eow="</w>"):
+    """Sennrich et al.'s reference BPE on a word-frequency dict."""
+    from collections import Counter
+
+    vocab = {tuple(list(w) + [eow]): f for w, f in word_freq.items()}
+    merges = []
+    for rank in range(n_merges):
+        stats = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += f
+        if not stats:
+            break
+        # max count, ties by (left, right) ascending — the engine's rule
+        (l, r), c = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    from skylinemapreducehadoop_spark.functions.text import bpe_train
+
+    docs = [
+        (1, "low low low low low"),
+        (2, "lower lower newest newest"),
+        (3, "newest newest newest newest widest"),
+        (4, "widest widest low newest"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wf = Counter(w for _, t in docs for w in t.split())
+    want = _bpe_ref(wf, 8)
+    got = bpe_train(df, n_merges=8)
+    assert got == want
+    # the classic example learns 'est'-style units: merged symbols grow
+    assert any(len(l + r) >= 3 for _, l, r, _ in got)
+
+
+def test_bpe_train_overlapping_run_semantics(spark):
+    from skylinemapreducehadoop_spark.functions.text import bpe_train
+
+    # 'aaaa': (a,a) counted per adjacent position (3 per word, 2 words
+    # -> 6), merged left-to-right non-overlapping -> [aa, aa, </w>];
+    # later rounds follow the reference exactly (incl. the '</w>' <
+    # 'aa' tiebreak)
+    df = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    got = bpe_train(df, n_merges=3)
+    assert got[0] == (0, "a", "a", 6)
+    assert got == _bpe_ref({"aaaa": 2}, 3)
