@@ -2279,6 +2279,29 @@ def _bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(F.col("id").alias("doc_id"), "n_terms_hit", "score")
 
 
+def _clustering_coefficient_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global clustering coefficient of the co-purchase graph: exact
+    # integer triangle/wedge counts, one engine-exact final division
+    from skylinemapreducehadoop_spark.operators.graph import clustering_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    return clustering_coefficient(edges)
+
+
+def _frequent_pairs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # market-basket frequent pairs over order baskets (support + lift)
+    from skylinemapreducehadoop_spark.operators.stats import frequent_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2, k=50)
+
+
 def _bpe_merges_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed BPE tokenizer training on a planted word-frequency
     # corpus (the Sennrich et al. ACL'16 classroom example) — the merge
@@ -2418,6 +2441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search_documents": _bm25_index_search_documents,
         "pmi_collocations_documents": _pmi_collocations_documents,
         "bpe_merges_check": _bpe_merges_check,
+        "clustering_coefficient_copurchase": _clustering_coefficient_copurchase,
+        "frequent_pairs_orders": _frequent_pairs_orders,
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
         "skyline_sql_lineitem": _skyline_sql_lineitem,
@@ -3085,6 +3110,45 @@ SELECT id AS doc_id, n_terms_hit, score
 FROM perdoc ORDER BY score DESC, id LIMIT 20
 """
 
+_CLUSTERING_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e ab JOIN e bc ON ab.b = bc.a
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) GROUP BY 1
+),
+w AS (SELECT CAST(sum(d*(d-1))//2 AS BIGINT) AS n_wedges FROM deg)
+SELECT n_triangles, n_wedges,
+       round(3 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE), 9) AS coefficient
+FROM tri CROSS JOIN w
+"""
+
+_FREQ_PAIRS_SQL = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+ic AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+p AS (
+  SELECT l.i AS item_a, r.i AS item_b, CAST(count(*) AS BIGINT) AS support
+  FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT item_a, item_b, support,
+       round(CAST(support * n_baskets AS DOUBLE)
+             / CAST(ca.c * cb.c AS DOUBLE), 9) AS lift
+FROM p JOIN ic ca ON ca.i = p.item_a JOIN ic cb ON cb.i = p.item_b
+CROSS JOIN nb
+ORDER BY support DESC, item_a, item_b LIMIT 50
+"""
+
 #: known-answer oracle for the iterative BPE trainer: the planted
 #: Sennrich-example corpus's merge sequence, derived analytically (and
 #: by the reference implementation in tests/test_text.py)
@@ -3147,6 +3211,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_index_search_documents": _BM25_SQL,
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
+        "clustering_coefficient_copurchase": _CLUSTERING_SQL,
+        "frequent_pairs_orders": _FREQ_PAIRS_SQL,
         "event_transitions_markov": _TRANSITIONS_SQL,
         "skyline_twophase": sky,
         "skyline_bruteforce": sky,

@@ -187,6 +187,8 @@ EXTRA_QUERIES = [
     "bm25_index_search_documents",
     "pmi_collocations_documents",
     "bpe_merges_check",
+    "clustering_coefficient_copurchase",
+    "frequent_pairs_orders",
 ]
 
 

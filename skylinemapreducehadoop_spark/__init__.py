@@ -56,7 +56,11 @@ from skylinemapreducehadoop_spark.operators.dedup import (
     segment_dedup,
 )
 from skylinemapreducehadoop_spark.operators.fuzzy import fuzzy_join_ed1
-from skylinemapreducehadoop_spark.operators.graph import pagerank, triangle_count
+from skylinemapreducehadoop_spark.operators.graph import (
+    clustering_coefficient,
+    pagerank,
+    triangle_count,
+)
 from skylinemapreducehadoop_spark.operators.sketches import heavy_hitters
 from skylinemapreducehadoop_spark.operators.similarity import (
     kmeans_lloyd,
@@ -86,6 +90,7 @@ from skylinemapreducehadoop_spark.session import get_session
 from skylinemapreducehadoop_spark.sql import skyline_sql
 from skylinemapreducehadoop_spark.operators.stats import (
     corr_matrix,
+    frequent_pairs,
     linear_fit,
     zscore_outliers,
 )
@@ -136,6 +141,8 @@ __all__ = [
     "fuzzy_join_ed1",
     "pagerank",
     "triangle_count",
+    "clustering_coefficient",
+    "frequent_pairs",
     "event_transitions",
     "linear_fit",
     "corr_matrix",

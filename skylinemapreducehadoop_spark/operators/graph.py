@@ -143,3 +143,44 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         "left_semi",
     )
     return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global clustering coefficient of the undirected graph:
+    ``3 * triangles / wedges`` where wedges = Σ_v d(v)·(d(v)−1)/2.
+    Returns one row (n_triangles, n_wedges, coefficient) — coefficient
+    NULL for a wedge-free graph.
+
+    Reuses :func:`triangle_count`'s degree-ordered closure for the
+    numerator; the wedge count is one more aggregate over the same
+    degree table. Both sides are exact integers, so the single final
+    division is engine-exact (rounded at 9 for hashability).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropna()
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2)).cast("long").alias("n_wedges")
+    )
+    tri = triangle_count(und, "a", "b")
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.lit(3) * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+            9,
+        ).alias("coefficient"),
+    )

@@ -199,3 +199,59 @@ def zscore_outliers(
         )
         .select(group_col, "n", "n_outliers")
     )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 10,
+    k: int = 50,
+) -> DataFrame:
+    """Market-basket frequent-pair mining with lift: the top-``k``
+    unordered item pairs co-occurring in at least ``min_support``
+    baskets, ranked by support (ties by pair). Returns
+    (item_a, item_b, support, lift) — the association-rule primer
+    (Agrawal & Srikant's Apriori at the pair level, the part that
+    matters at scale: longer itemsets prune from these).
+
+    Shape: distinct (basket, item) → self-equi-join on basket with
+    item_a < item_b (never a cartesian — co-occurrence is bounded by
+    basket size), one pair aggregate, per-item basket counts joined
+    back (shuffle_hash — item counts are catalog-sized, not always
+    broadcastable), basket total as a 1-row broadcast. Lift =
+    (support·N) / (c_a·c_b) computed as one float division of exact
+    integer products, rounded — engine-exact. Skewed mega-baskets are
+    the known hazard: cap or salt upstream if a basket can exceed
+    ~10^4 items (quadratic in basket size, the same bound as every
+    pairwise miner).
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = bi.select("b").distinct().agg(F.count(F.lit(1)).alias("n_baskets"))
+    item_cnt = bi.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    l, r = bi.alias("l"), bi.alias("r")
+    pairs = (
+        l.join(r.hint("shuffle_hash"), "b")
+        .where(F.col("l.i") < F.col("r.i"))
+        .groupBy(F.col("l.i").alias("item_a"), F.col("r.i").alias("item_b"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    ca = item_cnt.select(F.col("i").alias("item_a"), F.col("c").alias("__ca"))
+    cb = item_cnt.select(F.col("i").alias("item_b"), F.col("c").alias("__cb"))
+    lift = F.round(
+        (F.col("support") * F.col("n_baskets")).cast("double")
+        / (F.col("__ca") * F.col("__cb")).cast("double"),
+        9,
+    )
+    return (
+        pairs.join(ca.hint("shuffle_hash"), "item_a")
+        .join(cb.hint("shuffle_hash"), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select("item_a", "item_b", "support", lift.alias("lift"))
+        .orderBy(F.col("support").desc(), "item_a", "item_b")
+        .limit(k)
+    )

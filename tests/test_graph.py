@@ -87,3 +87,19 @@ def test_triangle_count_matches_brute_force(spark):
     )
     df = spark.createDataFrame(list(und), "src long, dst long")
     assert triangle_count(df).collect()[0]["n_triangles"] == want
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from skylinemapreducehadoop_spark.operators.graph import clustering_coefficient
+
+    # K4: 4 triangles, wedges = 4 * C(3,2) = 12, coefficient = 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "src long, dst long"
+    )
+    row = clustering_coefficient(k4).collect()[0]
+    assert (row["n_triangles"], row["n_wedges"], row["coefficient"]) == (4, 12, 1.0)
+
+    # star K1,4: wedges = C(4,2) = 6, no triangles -> 0.0
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
+    row = clustering_coefficient(star).collect()[0]
+    assert (row["n_triangles"], row["n_wedges"], row["coefficient"]) == (0, 6, 0.0)

@@ -83,6 +83,8 @@ BNLJ_OK = {
     "q14_promo_revenue",  # 1-row ratio denominators
     "bm25_search_documents",  # 1-row (n_docs, total_tokens) corpus frame
     "pmi_collocations_documents",  # 1-row total-bigrams frame
+    "clustering_coefficient_copurchase",  # 1-row wedge-count frame
+    "frequent_pairs_orders",  # 1-row basket-count frame
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the
     # minhash/setsim sublinear paths — see COVERAGE.md); its nested

@@ -90,3 +90,28 @@ def test_zscore_outliers_matches_numpy(spark):
     mu, sd = q.mean(), q.std()
     want = int(((np.abs(q - mu) > 3 * sd)).sum())
     assert row["n_outliers"] == want and row["n"] == 2000
+
+
+def test_frequent_pairs_support_and_lift(spark):
+    from skylinemapreducehadoop_spark.operators.stats import frequent_pairs
+
+    # baskets: {a,b,c}, {a,b}, {a,b,d}, {c,d} -> (a,b) support 3
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"), (3, "d"),
+        (4, "c"), (4, "d"),
+        (4, "d"),  # duplicate line in a basket must not inflate support
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): (r["support"], r["lift"])
+        for r in frequent_pairs(df, "basket", "item", min_support=1, k=10).collect()
+    }
+    assert out[("a", "b")][0] == 3
+    # lift(a,b) = support * n_baskets / (c_a * c_b) = 3*4/(3*3)
+    assert out[("a", "b")][1] == round(3 * 4 / 9, 9)
+    assert out[("c", "d")][0] == 1
+    # min_support filters
+    out2 = frequent_pairs(df, "basket", "item", min_support=3, k=10).collect()
+    assert len(out2) == 1 and out2[0]["item_a"] == "a"
