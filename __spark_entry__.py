@@ -1992,6 +1992,36 @@ def _streaming_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_moments_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stateful EXACT running moments replay (8th driver-checked
+    # streaming entry): per-type (n, Σq, Σq²) on the integer grid —
+    # state is three integers, the fold is exact, so the FINAL state
+    # equals the batch aggregate no matter how the stream is batched.
+    # Big sums ride as decimal strings (Σq² exceeds int64 at scale);
+    # update mode emits one row per key per batch, the max-n row per
+    # key is the final state.
+    from skylinemapreducehadoop_spark.streaming.incremental import (
+        streaming_group_moments,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tmp = _replay_dir(spark, ev, "stream_moments_replay_")
+    stream = spark.readStream.schema("event_type string, value double").parquet(
+        tmp + "/src"
+    )
+    out = streaming_group_moments(stream)
+    res = _run_replay(out, tmp, mode="update")
+    final = res.groupBy("key").agg(
+        F.max(F.struct("n", "s", "sxx")).alias("__f")
+    )
+    return final.select(
+        F.col("key").alias("event_type"),
+        F.col("__f.n").alias("n"),
+        F.col("__f.s").alias("sum_q"),
+        F.col("__f.sxx").alias("sumsq_q"),
+    ).orderBy("event_type")
+
+
 def _streaming_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-static enrichment replay (6th driver-checked streaming
     # entry): the fact stream joins a broadcast dim table map-side per
@@ -2443,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_check": _bpe_merges_check,
         "clustering_coefficient_copurchase": _clustering_coefficient_copurchase,
         "frequent_pairs_orders": _frequent_pairs_orders,
+        "streaming_moments_replay": _streaming_moments_replay,
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
         "skyline_sql_lineitem": _skyline_sql_lineitem,
@@ -3110,6 +3141,20 @@ SELECT id AS doc_id, n_terms_hit, score
 FROM perdoc ORDER BY score DESC, id LIMIT 20
 """
 
+#: streaming exact-moments twin: the same integer grid (round =
+#: half-away-from-zero on both engines), sums as strings because
+#: sum(q^2) exceeds int64
+_STREAM_MOMENTS_SQL = """
+WITH q AS (
+  SELECT event_type, CAST(round(value * 1000000) AS HUGEINT) AS x
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS VARCHAR) AS sum_q,
+       CAST(sum(x*x) AS VARCHAR) AS sumsq_q
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
 _CLUSTERING_SQL = """
 WITH e AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -3213,6 +3258,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges_check": _BPE_CHECK_SQL,
         "clustering_coefficient_copurchase": _CLUSTERING_SQL,
         "frequent_pairs_orders": _FREQ_PAIRS_SQL,
+        "streaming_moments_replay": _STREAM_MOMENTS_SQL,
         "event_transitions_markov": _TRANSITIONS_SQL,
         "skyline_twophase": sky,
         "skyline_bruteforce": sky,

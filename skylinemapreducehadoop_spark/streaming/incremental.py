@@ -219,3 +219,73 @@ def incremental_skyline_foreachbatch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_group_moments(
+    stream: DataFrame,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Stateful EXACT running moments per key over a stream
+    (``applyInPandasWithState``): state = (n, Σq, Σq²) where q =
+    round(value·scale) — the same integer grid as the batch
+    ``operators.stats`` family, so the final state after any replay
+    equals the batch aggregate EXACTLY regardless of batch boundaries
+    or arrival order (integer addition is associative-commutative; a
+    float running sum would drift with the fold order).
+
+    State per key is three integers — bounded forever, no watermark
+    needed. The big sums are carried as DECIMAL STRINGS in the state
+    and output schema (Σq² exceeds int64 at corpus scale; Python ints
+    are arbitrary-precision, so the fold itself never rounds). Emits
+    the updated (key, n, s, sxx) after every batch in update mode —
+    the final row per key (max n) is the exact corpus moment set, from
+    which mean/variance/z-scores derive engine-exactly.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("sxx", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("sxx", T.StringType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s, sxx = state.get
+            s, sxx = int(s), int(sxx)
+        else:
+            n, s, sxx = 0, 0, 0
+        for pdf in pdfs:
+            v = pdf[value_col].dropna().to_numpy(dtype=np.float64)
+            if len(v) == 0:
+                continue
+            # HALF_UP (away from zero), matching batch F.round / DuckDB
+            # round — np.rint would round half-to-even
+            q = (np.sign(v) * np.floor(np.abs(v) * scale + 0.5)).astype(object)
+            n += len(q)
+            s += int(sum(int(x) for x in q))
+            sxx += int(sum(int(x) * int(x) for x in q))
+        state.update((n, str(s), str(sxx)))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n": [n], "s": [str(s)], "sxx": [str(sxx)]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

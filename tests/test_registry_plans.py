@@ -34,6 +34,7 @@ SKIP_EAGER = {
     "streaming_session_replay",
     "streaming_enrich_replay",
     "streaming_rollup_replay",
+    "streaming_moments_replay",
     "ann_ivf_topk",  # builds/persists the IVF index
     "bm25_index_search_documents",  # builds/persists the inverted index
     "ann_recall_ivf",

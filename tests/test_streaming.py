@@ -301,3 +301,61 @@ def test_interval_join_streams_rejects_bad_bounds(spark):
         interval_join_streams(df, df, on="user_id", lower_seconds=10, upper_seconds=5)
     with pytest.raises(ValueError):
         interval_join_streams(df, df, on="user_id", lower_seconds=-1)
+
+
+def test_streaming_group_moments_exact_and_batch_invariant(spark, tmp_path):
+    """The final (n, Σq, Σq²) state is EXACTLY the batch aggregate and
+    identical whether the data arrives as one file or three (integer
+    folds are order/batching-invariant; a float running sum is not)."""
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.streaming.incremental import (
+        streaming_group_moments,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_type", "value", "event_id"
+    )
+
+    def run(n_files):
+        src = tmp_path / f"src{n_files}"
+        for b in range(n_files):
+            ev.where(F.col("event_id") % n_files == b).select(
+                "event_type", "value"
+            ).write.mode("append").parquet(str(src))
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            streaming_group_moments(stream)
+            .writeStream.format("memory")
+            .queryName(f"mom{n_files}")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck{n_files}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.table(f"mom{n_files}").collect()
+        final = {}
+        for r in rows:
+            if r["key"] not in final or r["n"] > final[r["key"]][0]:
+                final[r["key"]] = (r["n"], int(r["s"]), int(r["sxx"]))
+        return final
+
+    one, three = run(1), run(3)
+    assert one == three and len(one) > 0
+    # exact batch twin computed in python
+    import math
+
+    want = {}
+    for r in ev.collect():
+        if r["value"] is None:
+            continue
+        q_ = int(math.floor(abs(r["value"]) * 1_000_000 + 0.5))
+        q_ = q_ if r["value"] >= 0 else -q_
+        n, s, sxx = want.get(r["event_type"], (0, 0, 0))
+        want[r["event_type"]] = (n + 1, s + q_, sxx + q_ * q_)
+    assert one == want
