@@ -2309,6 +2309,35 @@ def _bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(F.col("id").alias("doc_id"), "n_terms_hit", "score")
 
 
+def _table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot reconciliation: orders vs a deterministically perturbed
+    # copy (drop every 97th key, bump totalprice on every 31st, add
+    # shifted-key rows for every 53rd) — the diff summary must account
+    # for every key exactly
+    from skylinemapreducehadoop_spark.operators.diff import table_diff_summary
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    newer = (
+        o.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 53 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return table_diff_summary(o, newer, ["o_orderkey"])
+
+
 def _clustering_coefficient_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global clustering coefficient of the co-purchase graph: exact
     # integer triangle/wedge counts, one engine-exact final division
@@ -2474,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient_copurchase": _clustering_coefficient_copurchase,
         "frequent_pairs_orders": _frequent_pairs_orders,
         "streaming_moments_replay": _streaming_moments_replay,
+        "table_diff_orders": _table_diff_orders,
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
         "skyline_sql_lineitem": _skyline_sql_lineitem,
@@ -3141,6 +3171,30 @@ SELECT id AS doc_id, n_terms_hit, score
 FROM perdoc ORDER BY score DESC, id LIMIT 20
 """
 
+_TABLE_DIFF_SQL = """
+WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+newer AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 31 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM o WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+  FROM o WHERE o_orderkey % 53 = 0
+),
+j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+         CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+              THEN 'changed' ELSE 'unchanged' END AS status
+  FROM o a FULL OUTER JOIN newer b USING (o_orderkey)
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY 1 ORDER BY 1
+"""
+
 #: streaming exact-moments twin: the same integer grid (round =
 #: half-away-from-zero on both engines), sums as strings because
 #: sum(q^2) exceeds int64
@@ -3259,6 +3313,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient_copurchase": _CLUSTERING_SQL,
         "frequent_pairs_orders": _FREQ_PAIRS_SQL,
         "streaming_moments_replay": _STREAM_MOMENTS_SQL,
+        "table_diff_orders": _TABLE_DIFF_SQL,
         "event_transitions_markov": _TRANSITIONS_SQL,
         "skyline_twophase": sky,
         "skyline_bruteforce": sky,

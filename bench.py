@@ -189,6 +189,7 @@ EXTRA_QUERIES = [
     "bpe_merges_check",
     "clustering_coefficient_copurchase",
     "frequent_pairs_orders",
+    "table_diff_orders",
 ]
 
 

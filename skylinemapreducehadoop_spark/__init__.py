@@ -85,7 +85,11 @@ from skylinemapreducehadoop_spark.functions.text import (
 )
 from skylinemapreducehadoop_spark.sources.tables import load_table, load_tables
 from skylinemapreducehadoop_spark.sources.gsod import read_gsod
-from skylinemapreducehadoop_spark.sources.merge import upsert_partitioned
+from skylinemapreducehadoop_spark.sources.merge import (
+    delete_partitioned,
+    upsert_partitioned,
+)
+from skylinemapreducehadoop_spark.operators.diff import table_diff, table_diff_summary
 from skylinemapreducehadoop_spark.session import get_session
 from skylinemapreducehadoop_spark.sql import skyline_sql
 from skylinemapreducehadoop_spark.operators.stats import (
@@ -143,6 +147,9 @@ __all__ = [
     "triangle_count",
     "clustering_coefficient",
     "frequent_pairs",
+    "table_diff",
+    "table_diff_summary",
+    "delete_partitioned",
     "event_transitions",
     "linear_fit",
     "corr_matrix",

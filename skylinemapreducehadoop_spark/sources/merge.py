@@ -131,3 +131,79 @@ def upsert_partitioned(
         .parquet(target_path)
     )
     return len(parts)
+
+
+def delete_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    *,
+    max_touched_partitions: int = 10_000,
+) -> int:
+    """Partition-pruned DELETE from partitioned parquet: remove every
+    row whose ``key_cols`` match a row of ``keys``, rewriting ONLY the
+    partitions that actually contain matching keys (the right-to-be-
+    forgotten / retention-purge primitive). Returns the number of
+    partitions rewritten.
+
+    Unlike :func:`upsert_partitioned`, the touched-partition set is
+    not knowable from the deletes alone — it comes from a column-
+    pruned scan of the table's (key, partition) projection semi-joined
+    against the keys (parquet reads just those columns; the data
+    columns are never touched in the discovery pass). Partitions with
+    no matches keep their files byte-identical; a matching partition is
+    rewritten via anti-join and dynamic partition overwrite. A
+    partition whose EVERY row is deleted gets its directory removed
+    explicitly — dynamic overwrite only replaces partitions present in
+    the written data, so an emptied partition would otherwise keep its
+    stale files. An empty key set is a no-op returning 0.
+    """
+    kc = list(key_cols)
+    if not kc:
+        raise ValueError("key_cols must be non-empty")
+    full = spark.read.parquet(target_path)
+    touched_rows = (
+        full.select(*kc, partition_col)
+        .join(keys.select(*kc).dropDuplicates(kc), kc, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .limit(max_touched_partitions + 1)
+        .collect()
+    )
+    if len(touched_rows) > max_touched_partitions:
+        raise ValueError(
+            f"delete touches more than max_touched_partitions="
+            f"{max_touched_partitions} partitions; use a full rewrite"
+        )
+    parts = [r[0] for r in touched_rows]
+    if not parts:
+        return 0
+    remaining = (
+        full.where(F.col(partition_col).isin(parts))
+        .join(keys.select(*kc).dropDuplicates(kc), kc, "left_anti")
+        # the write overwrites the very files this plan reads
+        .localCheckpoint(eager=True)
+    )
+    (
+        remaining.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
+    # fully-emptied partitions are absent from `remaining`, so dynamic
+    # overwrite left their old files in place — drop those directories
+    surviving = {r[0] for r in remaining.select(partition_col).distinct().collect()}
+    emptied = [p for p in parts if p not in surviving]
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for p in emptied:
+            hp = jvm.org.apache.hadoop.fs.Path(
+                f"{target_path}/{partition_col}={p}"
+            )
+            fs = hp.getFileSystem(conf)
+            if fs.exists(hp):
+                fs.delete(hp, True)
+    return len(parts)

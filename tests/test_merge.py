@@ -109,3 +109,32 @@ def test_upsert_detects_cross_partition_key_move(spark, tmp_path):
         upsert_partitioned(spark, path, moved, ["id"], "part", check_key_moves=True)
     # without the flag the documented precondition applies (no raise)
     upsert_partitioned(spark, path, moved, ["id"], "part")
+
+
+def test_delete_partitioned_prunes_and_removes_emptied_partition(spark, tmp_path):
+    from skylinemapreducehadoop_spark.sources.merge import delete_partitioned
+
+    path = str(tmp_path / "tbl_del")
+    _build_table(spark, path)
+    before = _part_files(path)
+
+    # delete two keys from part=1 and ALL keys of part=3
+    keys = spark.createDataFrame(
+        [(1, 3), (1, 7)] + [(3, i) for i in range(10)], "part int, id int"
+    )
+    touched = delete_partitioned(spark, path, keys, ["part", "id"], "part")
+    assert touched == 2
+
+    after_df = spark.read.parquet(path)
+    got = {(r["part"], r["id"]) for r in after_df.collect()}
+    assert (1, 3) not in got and (1, 7) not in got
+    assert not any(p == 3 for p, _ in got)  # whole partition gone
+    assert len(got) == 50 - 2 - 10
+    # untouched partitions byte-identical; emptied directory removed
+    after = _part_files(path)
+    for d in ("part=0", "part=2", "part=4"):
+        assert after[d] == before[d], d
+    assert "part=3" not in after
+    # empty key set is a no-op
+    none = spark.createDataFrame([], "part int, id int")
+    assert delete_partitioned(spark, path, none, ["part", "id"], "part") == 0
