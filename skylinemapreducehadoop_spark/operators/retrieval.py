@@ -135,7 +135,9 @@ def build_text_index(
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
     dl = tok.groupBy("id").agg(F.count("*").alias("dl"))
     dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.lit(n_buckets).alias("n_buckets"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
     dl.write.mode("overwrite").parquet(f"{path}/doclens")
     postings = (
@@ -154,24 +156,51 @@ def bm25_probe(
     *,
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """BM25 top-k against a :func:`build_text_index` index. Score math
     is IDENTICAL to :func:`bm25_topk` (same engine-exactness rules), so
     probe(index(df)) ≡ bm25_topk(df) row-for-row; only the access path
     changes — the corpus is never re-tokenized, and the posting scan
-    touches only the query terms' hash buckets."""
+    touches only the query terms' hash buckets.
+
+    ``n_buckets`` is read back from the index's stats (written at build
+    time), so a probe can never prune with the wrong modulus; the
+    explicit parameter exists only for pre-``n_buckets``-column indexes.
+    Bucket ids for the query terms are computed by the ENGINE's own
+    ``pmod(hash(tok), n_buckets)`` expression on a |terms|-row local
+    frame — the same expression the build partitioned by — so there is
+    no driver-side hash reimplementation that could silently drift and
+    prune to an empty bucket.
+    """
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
     postings = spark.read.parquet(f"{path}/postings")
-    # bucket pruning first (partition filter), then the exact term match
-    buckets = list({_bucket_of(t, n_buckets) for t in terms})
+    stats = spark.read.parquet(f"{path}/stats")
+    if n_buckets is None:
+        if "n_buckets" not in stats.columns:
+            raise ValueError(
+                "index stats carry no n_buckets column (pre-upgrade index); "
+                "pass n_buckets= explicitly, matching the build"
+            )
+        n_buckets = stats.select("n_buckets").first()[0]
+    # bucket pruning first (partition filter), then the exact term match;
+    # bucket ids come from the same engine expression as the build
+    term_df = spark.createDataFrame([(t,) for t in terms], "tok string")
+    buckets = sorted(
+        {
+            r["b"]
+            for r in term_df.select(
+                F.pmod(F.hash("tok"), F.lit(n_buckets)).alias("b")
+            ).collect()
+        }
+    )
     tf = postings.where(
         F.col("bucket").isin(buckets) & F.col("tok").isin(terms)
     ).select("id", "tok", "tf")
     dl = spark.read.parquet(f"{path}/doclens")
-    corpus = spark.read.parquet(f"{path}/stats")
+    corpus = stats.select("n_docs", "total_tokens")
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         tf.join(F.broadcast(dfreq), "tok")
@@ -179,42 +208,3 @@ def bm25_probe(
         .crossJoin(F.broadcast(corpus))
     )
     return _bm25_score_topk(scored, k, k1, b)
-
-
-def _bucket_of(term: str, n_buckets: int) -> int:
-    """Driver-side twin of ``pmod(hash(tok), n_buckets)`` — Spark's
-    Murmur3 string hash (seed 42), reimplemented from the public
-    Murmur3_x86_32 spec so probe-time bucket ids match the build."""
-    import struct
-
-    data = term.encode("utf-8")
-    c1, c2 = 0xCC9E2D51, 0x1B873593
-    h = 42
-    n4 = len(data) // 4 * 4
-    for i in range(0, n4, 4):
-        (kk,) = struct.unpack_from("<i", data, i)
-        kk = (kk * c1) & 0xFFFFFFFF
-        kk = ((kk << 15) | (kk >> 17)) & 0xFFFFFFFF
-        kk = (kk * c2) & 0xFFFFFFFF
-        h ^= kk
-        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
-        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
-    # Spark processes tail bytes as SIGNED ints, one at a time
-    for i in range(n4, len(data)):
-        kk = struct.unpack_from("b", data, i)[0]
-        kk = (kk * c1) & 0xFFFFFFFF
-        kk = ((kk << 15) | (kk >> 17)) & 0xFFFFFFFF
-        kk = (kk * c2) & 0xFFFFFFFF
-        h ^= kk
-        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
-        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
-    h ^= len(data)
-    h ^= h >> 16
-    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
-    h ^= h >> 13
-    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
-    h ^= h >> 16
-    if h >= 1 << 31:
-        h -= 1 << 32
-    # Python % on a positive modulus is already pmod
-    return h % n_buckets

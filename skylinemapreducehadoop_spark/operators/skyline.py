@@ -320,15 +320,22 @@ def _blocked_merge(local: DataFrame, dim_signs: list[tuple[str, float]], blocked
     different source partitions. Strict dominance keeps all ties, same
     as the kernel.
 
-    Row-id stability: ``monotonically_increasing_id`` is a pure function
-    of (partition index, row position), so on top of the persisted
-    candidates it is identical across the dominated-ids job and the
-    final anti-join. Even under cache eviction the recompute is
-    deterministic end-to-end — parquet splits are fixed, round-robin
-    ``repartition`` local-sorts for determinism (SPARK-23207), and the
-    skyline kernel is order-stable — so no eager ``localCheckpoint``
-    pin is needed (the per-call checkpoint+count was a 6x wall-clock
-    overhead at sf0.1; see PLANS.md §15).
+    Row-id stability: the id is ``md5(to_json(struct(*row)))`` — a pure
+    function of the row's CONTENT, so it is identical across the
+    dominated-ids job and the final anti-join no matter how a lost
+    partition is recomputed, even when the upstream lineage contains a
+    shuffle or aggregate with nondeterministic within-partition row
+    order (positional ids like ``monotonically_increasing_id`` diverge
+    exactly there). Duplicate rows collapse onto one id, which is
+    CORRECT here: dominance is a function of the dimension values alone,
+    so identical rows share dominated-fate — either every copy is
+    dominated or none is — and an identical opponent never strictly
+    dominates (ties are kept, same as the kernel). 128-bit md5 makes
+    cross-row collisions a non-issue at any candidate count; ``to_json``
+    includes field names, so two different rows can only serialize
+    equal if they ARE equal. The persist() below is purely a perf pin
+    (no eager ``localCheckpoint`` — that was a 6x wall-clock overhead
+    at sf0.1; see PLANS.md §15); correctness no longer leans on it.
     """
     d = len(dim_signs)
     spark = local.sparkSession
@@ -338,7 +345,9 @@ def _blocked_merge(local: DataFrame, dim_signs: list[tuple[str, float]], blocked
     if n_cand == 0:
         return local
     n_blocks = max(1, -(-n_cand // blocked_rows))
-    tagged = local.withColumn("__rid", F.monotonically_increasing_id())
+    tagged = local.withColumn(
+        "__rid", F.md5(F.to_json(F.struct(*[F.col(c) for c in local.columns])))
+    )
 
     sexprs = [
         (F.col(c).cast("double") * F.lit(s)).alias(f"__s{k}")
@@ -357,7 +366,7 @@ def _blocked_merge(local: DataFrame, dim_signs: list[tuple[str, float]], blocked
 
     def dominated_ids(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty or right.empty:
-            return pd.DataFrame({"__rid": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"__rid": pd.Series([], dtype="object")})
         lv = left[scols].to_numpy(dtype=np.float64)
         rv = right[scols].to_numpy(dtype=np.float64)
         out = np.zeros(len(lv), dtype=bool)
@@ -373,7 +382,7 @@ def _blocked_merge(local: DataFrame, dim_signs: list[tuple[str, float]], blocked
     dominated = (
         cand_side.groupBy("__blk", "__opp")
         .cogroup(opp_side.groupBy("__cand_blk", "__blk"))
-        .applyInPandas(lambda l, r: dominated_ids(l, r), "__rid long")
+        .applyInPandas(lambda l, r: dominated_ids(l, r), "__rid string")
         .distinct()
     )
     return tagged.join(dominated, "__rid", "left_anti").drop("__rid")

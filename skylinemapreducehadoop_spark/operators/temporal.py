@@ -299,7 +299,23 @@ def event_transitions(
     ride on a window over the pair aggregate, which is tiny (|types|²),
     so no second pass over the data. ``prob`` is one float division on
     exact integer counts, rounded — engine-exact.
+
+    The DEFAULT tiebreak column (``event_id``) is applied only when the
+    frame actually has it — frames without one still work, with the
+    caveat that simultaneous events (equal ``ts`` within a group)
+    sequence in an unspecified order; pass an explicit ``tiebreak_col``
+    for full determinism. An explicitly-passed column that is absent
+    raises immediately with a clear message.
     """
+    if tiebreak_col is not None and tiebreak_col not in df.columns:
+        if tiebreak_col == "event_id":  # the default: degrade gracefully
+            tiebreak_col = None
+        else:
+            raise ValueError(
+                f"tiebreak_col {tiebreak_col!r} is not a column of the input "
+                f"frame (columns: {df.columns}); pass tiebreak_col=None to "
+                f"order by ts only"
+            )
     order = [F.col(ts_col)]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col))

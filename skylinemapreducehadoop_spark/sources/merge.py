@@ -1,4 +1,5 @@
-"""Partition-pruned MERGE (upsert) into partitioned parquet.
+"""Partition-pruned MERGE (upsert) / DELETE into partitioned parquet
+with a crash-consistent stage-and-promote commit protocol.
 
 Plain parquet has no transaction log, so a naive upsert rewrites the
 whole table. This primitive implements the pattern every lakehouse
@@ -8,27 +9,236 @@ partition-aligned updates:
 1. project the DISTINCT partition values present in the updates (a
    driver collect bounded by the update batch's partition spread,
    never the table);
-2. read ONLY those partitions of the target (the ``isin`` filter is a
+2. read ONLY those partitions of the target (the pruning filter is a
    plan-time PartitionFilter — untouched directories are never even
    listed);
 3. anti-join out the keys being replaced, union the updates;
-4. dynamic-partition-overwrite exactly the affected partitions —
-   untouched partition FILES are left byte-identical on disk
-   (asserted by mtime in tests).
+4. write the merged partitions to a STAGING directory inside the
+   table root (underscore-prefixed, so readers ignore it), then
+   atomically publish a commit MARKER and promote each staged
+   partition directory into place by rename. Untouched partition
+   FILES are left byte-identical on disk (asserted by mtime in
+   tests).
 
-At 100 TB this means an upsert costs O(touched partitions), not
-O(table). The merged frame is localCheckpoint'ed before the write
-because the job both reads and overwrites the same location (with a
-table format you would commit a new snapshot instead; the pruning and
-merge plan are identical).
+Crash consistency (the commit protocol):
+
+- The marker (``_skymr_commit_<txid>.json``) is written via
+  create-temp + rename, so it is either fully present or absent.
+- A crash BEFORE the marker leaves the table untouched (the staging
+  directory is invisible to readers and is garbage-collected by
+  :func:`recover_partitioned` as a rollback).
+- A crash AFTER the marker is rolled FORWARD by
+  :func:`recover_partitioned`: promotion is idempotent — a staged
+  partition still present in staging has provably not been renamed
+  yet (rename removes its source), so recovery deletes the stale
+  target directory and renames; partitions already promoted are
+  skipped; delete-only directories (partitions emptied by a DELETE)
+  are removed idempotently. After recovery the table is entirely old
+  or entirely new, never mixed. Both entry points auto-run recovery
+  first, so an earlier crashed writer is healed before new work.
+- Partition DIRECTORY names are never reconstructed from values:
+  staged names come from listing what Spark's own writer produced,
+  and to-delete names from listing the files the pruned scan actually
+  read (``input_file_name()``), so Hive percent-escaping, NULL
+  partitions (``__HIVE_DEFAULT_PARTITION__``) and type serialization
+  are always exactly the writer's own.
+
+The per-directory rename is atomic on HDFS and POSIX filesystems. On
+an object store without atomic rename (S3) this degrades to
+copy+delete — there you want a real table format; the pruning and
+merge PLAN here are identical to what those formats execute.
+
+At 100 TB an upsert costs O(touched partitions), not O(table), and a
+crashed writer costs one recovery scan of the table root listing.
 """
 
 from __future__ import annotations
 
+import json
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_MARKER_PREFIX = "_skymr_commit_"
+_STAGING_PREFIX = "_skymr_staging_"
+
+# test-only fault injection: callable(site: str) that raises to simulate
+# a crash at a protocol boundary ("post_staging", "post_marker",
+# "mid_promote"). Never set outside tests.
+_FAULT_INJECTOR = None
+
+
+def _maybe_crash(site: str) -> None:
+    if _FAULT_INJECTOR is not None:
+        _FAULT_INJECTOR(site)
+
+
+# ---------------------------------------------------------------------------
+# Hadoop FS helpers (FS-agnostic: local, HDFS, anything with a Hadoop
+# FileSystem implementation)
+
+
+def _hpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _fs(spark: SparkSession, path: str):
+    hp = _hpath(spark, path)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()), hp
+
+
+def _write_file_atomic(spark: SparkSession, path: str, data: bytes) -> None:
+    """Create-temp + rename so the file is either fully present or
+    absent — the marker's atomicity hinges on this."""
+    fs, hp = _fs(spark, path)
+    tmp = _hpath(spark, f"{path}.tmp{uuid.uuid4().hex[:8]}")
+    out = fs.create(tmp, True)
+    out.write(bytearray(data))
+    out.close()
+    if fs.exists(hp):
+        fs.delete(hp, False)
+    if not fs.rename(tmp, hp):
+        raise IOError(f"rename {tmp} -> {hp} failed")
+
+
+def _read_file(spark: SparkSession, path: str) -> bytes:
+    fs, hp = _fs(spark, path)
+    stream = fs.open(hp)
+    try:
+        return bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _list_names(spark: SparkSession, path: str) -> list[tuple[str, bool]]:
+    """(name, is_dir) for the direct children of ``path`` (empty if the
+    path does not exist)."""
+    fs, hp = _fs(spark, path)
+    if not fs.exists(hp):
+        return []
+    return [
+        (st.getPath().getName(), st.isDirectory()) for st in fs.listStatus(hp)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# commit protocol
+
+
+def _roll_forward(
+    spark: SparkSession, target_path: str, staging_name: str, delete_dirs: list[str]
+) -> None:
+    """Idempotently complete a commit: promote every partition directory
+    still in staging (delete stale target dir, rename staged one in),
+    remove delete-only directories, then clean up the staging root. Safe
+    to re-run from any crash point after the marker exists."""
+    fs, _ = _fs(spark, target_path)
+    staging_path = f"{target_path}/{staging_name}"
+    for name, is_dir in _list_names(spark, staging_path):
+        if not is_dir:
+            continue  # _SUCCESS etc.
+        _maybe_crash("mid_promote")
+        src = _hpath(spark, f"{staging_path}/{name}")
+        dest = _hpath(spark, f"{target_path}/{name}")
+        if fs.exists(dest):
+            fs.delete(dest, True)
+        if not fs.rename(src, dest):
+            raise IOError(f"promote rename {src} -> {dest} failed")
+    for name in delete_dirs:
+        p = _hpath(spark, f"{target_path}/{name}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    sp = _hpath(spark, staging_path)
+    if fs.exists(sp):
+        fs.delete(sp, True)
+
+
+def recover_partitioned(spark: SparkSession, target_path: str) -> str:
+    """Heal a crashed :func:`upsert_partitioned` / :func:`delete_partitioned`:
+    roll FORWARD any commit whose marker exists (the staged data is
+    complete — markers are only written after the staging ``_SUCCESS``),
+    roll BACK (delete) any orphan staging directory with no marker.
+    Returns ``"none"``, ``"rolled_forward"`` or ``"rolled_back"``. Both
+    entry points call this automatically before doing new work."""
+    fs, hp = _fs(spark, target_path)
+    if not fs.exists(hp):
+        return "none"
+    names = _list_names(spark, target_path)
+    markers = [n for n, d in names if n.startswith(_MARKER_PREFIX) and not d]
+    stagings = {n for n, d in names if n.startswith(_STAGING_PREFIX) and d}
+    acted = "none"
+    referenced: set[str] = set()
+    for m in markers:
+        meta = json.loads(_read_file(spark, f"{target_path}/{m}").decode())
+        referenced.add(meta["staging"])
+        _roll_forward(spark, target_path, meta["staging"], meta["delete_dirs"])
+        fs.delete(_hpath(spark, f"{target_path}/{m}"), False)
+        acted = "rolled_forward"
+    for s in stagings - referenced:
+        fs.delete(_hpath(spark, f"{target_path}/{s}"), True)
+        if acted == "none":
+            acted = "rolled_back"
+    return acted
+
+
+def _commit(
+    spark: SparkSession, target_path: str, staging_name: str, delete_dirs: list[str]
+) -> None:
+    """Publish the marker (atomic), then roll the commit forward and
+    remove the marker. From the marker's existence on, the commit is
+    durable: any crash is completed by :func:`recover_partitioned`."""
+    txid = staging_name[len(_STAGING_PREFIX) :]
+    marker_path = f"{target_path}/{_MARKER_PREFIX}{txid}.json"
+    _write_file_atomic(
+        spark,
+        marker_path,
+        json.dumps({"staging": staging_name, "delete_dirs": delete_dirs}).encode(),
+    )
+    _maybe_crash("post_marker")
+    _roll_forward(spark, target_path, staging_name, delete_dirs)
+    fs, _ = _fs(spark, target_path)
+    fs.delete(_hpath(spark, marker_path), False)
+
+
+def _touched_dir_names(df: DataFrame) -> list[str]:
+    """Basenames of the partition directories the (pruned) frame's scan
+    actually reads — the writer's own on-disk names, so no value->path
+    serialization/escaping is ever reimplemented here."""
+    from urllib.parse import unquote
+
+    dirs = (
+        df.select(
+            F.regexp_replace(F.input_file_name(), "/[^/]*$", "").alias("d")
+        )
+        .distinct()
+        .collect()
+    )
+    # input_file_name() returns a URI — one unquote recovers the
+    # on-disk basename (Hive's own %-escapes are themselves URI-encoded
+    # in the URI form, so they survive the decode intact)
+    names = {unquote(r["d"].rstrip("/").rsplit("/", 1)[-1]) for r in dirs if r["d"]}
+    # only hive-style `col=value` directories are ever promotion/delete
+    # targets — a bare file at the table root must never map the root
+    # itself into the delete list
+    return sorted(n for n in names if "=" in n)
+
+
+def _partition_filter(partition_col: str, parts: list):
+    """``isin`` with correct NULL semantics: a None in ``parts`` must
+    match NULL partition rows (plain ``isin`` never matches NULL — that
+    would silently drop or orphan the ``__HIVE_DEFAULT_PARTITION__``
+    directory's rows)."""
+    non_null = [p for p in parts if p is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(p is None for p in parts):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
+
+
+# ---------------------------------------------------------------------------
+# public entry points
 
 
 def upsert_partitioned(
@@ -45,7 +255,10 @@ def upsert_partitioned(
     table at ``target_path``: rows whose ``key_cols`` match (within the
     touched partitions — see the precondition below) are replaced, new
     keys are inserted, and only partitions present in the updates are
-    read or rewritten. A first upsert into a not-yet-existing
+    read or rewritten — via the module's stage-and-promote commit
+    protocol, so a crash at any point leaves the table entirely old or
+    entirely new (see module docstring and
+    :func:`recover_partitioned`). A first upsert into a not-yet-existing
     ``target_path`` creates the table (a plain partitioned write of the
     updates). Returns the number of touched partitions.
 
@@ -67,6 +280,7 @@ def upsert_partitioned(
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
+    recover_partitioned(spark, target_path)
     try:
         full = spark.read.parquet(target_path)
     except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
@@ -93,6 +307,8 @@ def upsert_partitioned(
             f"{max_touched_partitions} partitions; use a full rewrite"
         )
     parts = [r[0] for r in parts_rows]
+    if not parts:
+        return 0
     if check_key_moves:
         moved = (
             full.select(*keys, F.col(partition_col).alias("__old_part"))
@@ -101,7 +317,7 @@ def upsert_partitioned(
                 .dropDuplicates(keys),
                 keys,
             )
-            .where(F.col("__old_part") != F.col("__new_part"))
+            .where(~F.col("__old_part").eqNullSafe(F.col("__new_part")))
             .limit(1)
             .collect()
         )
@@ -114,22 +330,21 @@ def upsert_partitioned(
                 f"(delete-then-insert across partitions is not expressible as "
                 f"a partition-pruned upsert)"
             )
-    existing = full.where(F.col(partition_col).isin(parts))
-    merged = (
-        existing.join(
-            updates.select(*keys).dropDuplicates(keys), keys, "left_anti"
-        )
-        .unionByName(updates.select(*existing.columns))
-        # break the read-from lineage: the write overwrites the very
-        # files this plan reads
-        .localCheckpoint(eager=True)
-    )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(target_path)
-    )
+    existing = full.where(_partition_filter(partition_col, parts))
+    merged = existing.join(
+        updates.select(*keys).dropDuplicates(keys), keys, "left_anti"
+    ).unionByName(updates.select(*existing.columns))
+    # stage: the plan reads the OLD partition files, which stay in place
+    # until promotion, so no lineage-breaking checkpoint is needed
+    staging_name = f"{_STAGING_PREFIX}{uuid.uuid4().hex[:12]}"
+    merged.write.partitionBy(partition_col).parquet(f"{target_path}/{staging_name}")
+    _maybe_crash("post_staging")
+    # every touched partition has >=1 update row, so staging covers each
+    # one; old dirs with no staged replacement (a writer-escaping
+    # mismatch would be the only way) are deleted explicitly
+    staged = {n for n, d in _list_names(spark, f"{target_path}/{staging_name}") if d}
+    delete_dirs = [d for d in _touched_dir_names(existing) if d not in staged]
+    _commit(spark, target_path, staging_name, delete_dirs)
     return len(parts)
 
 
@@ -145,24 +360,25 @@ def delete_partitioned(
     """Partition-pruned DELETE from partitioned parquet: remove every
     row whose ``key_cols`` match a row of ``keys``, rewriting ONLY the
     partitions that actually contain matching keys (the right-to-be-
-    forgotten / retention-purge primitive). Returns the number of
-    partitions rewritten.
+    forgotten / retention-purge primitive), via the stage-and-promote
+    commit protocol (crash -> entirely old or entirely new; see module
+    docstring). Returns the number of partitions rewritten.
 
     Unlike :func:`upsert_partitioned`, the touched-partition set is
     not knowable from the deletes alone — it comes from a column-
     pruned scan of the table's (key, partition) projection semi-joined
     against the keys (parquet reads just those columns; the data
     columns are never touched in the discovery pass). Partitions with
-    no matches keep their files byte-identical; a matching partition is
-    rewritten via anti-join and dynamic partition overwrite. A
-    partition whose EVERY row is deleted gets its directory removed
-    explicitly — dynamic overwrite only replaces partitions present in
-    the written data, so an emptied partition would otherwise keep its
-    stale files. An empty key set is a no-op returning 0.
+    no matches keep their files byte-identical. A partition whose EVERY
+    row is deleted has no staged replacement; its directory — the one
+    the scan actually read, by name, never a reconstructed
+    ``col=value`` string — is removed at promote time (delete-only list
+    in the commit marker). An empty key set is a no-op returning 0.
     """
     kc = list(key_cols)
     if not kc:
         raise ValueError("key_cols must be non-empty")
+    recover_partitioned(spark, target_path)
     full = spark.read.parquet(target_path)
     touched_rows = (
         full.select(*kc, partition_col)
@@ -180,30 +396,29 @@ def delete_partitioned(
     parts = [r[0] for r in touched_rows]
     if not parts:
         return 0
-    remaining = (
-        full.where(F.col(partition_col).isin(parts))
-        .join(keys.select(*kc).dropDuplicates(kc), kc, "left_anti")
-        # the write overwrites the very files this plan reads
-        .localCheckpoint(eager=True)
-    )
-    (
-        remaining.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(target_path)
-    )
-    # fully-emptied partitions are absent from `remaining`, so dynamic
-    # overwrite left their old files in place — drop those directories
-    surviving = {r[0] for r in remaining.select(partition_col).distinct().collect()}
-    emptied = [p for p in parts if p not in surviving]
-    if emptied:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        for p in emptied:
-            hp = jvm.org.apache.hadoop.fs.Path(
-                f"{target_path}/{partition_col}={p}"
-            )
-            fs = hp.getFileSystem(conf)
-            if fs.exists(hp):
-                fs.delete(hp, True)
+    touched = full.where(_partition_filter(partition_col, parts))
+    remaining = touched.join(keys.select(*kc).dropDuplicates(kc), kc, "left_anti")
+    staging_name = f"{_STAGING_PREFIX}{uuid.uuid4().hex[:12]}"
+    remaining.write.partitionBy(partition_col).parquet(f"{target_path}/{staging_name}")
+    _maybe_crash("post_staging")
+    # fully-emptied partitions are absent from staging: their on-disk
+    # directory names come from the files the pruned scan actually read
+    old_dirs = _touched_dir_names(touched)
+    staged = {
+        n
+        for n, d in _list_names(spark, f"{target_path}/{staging_name}")
+        if d and "=" in n
+    }
+    if not staged <= set(old_dirs):
+        # a staged directory with no matching on-disk original would be
+        # promoted ALONGSIDE the stale one (writer-escaping mismatch) —
+        # refuse before the marker, leaving the table untouched
+        raise IOError(
+            f"delete_partitioned: staged partition directories "
+            f"{sorted(staged - set(old_dirs))} have no matching scanned "
+            f"directory among {old_dirs}; aborting before promote "
+            f"(table left unchanged)"
+        )
+    delete_dirs = [d for d in old_dirs if d not in staged]
+    _commit(spark, target_path, staging_name, delete_dirs)
     return len(parts)

@@ -138,3 +138,149 @@ def test_delete_partitioned_prunes_and_removes_emptied_partition(spark, tmp_path
     # empty key set is a no-op
     none = spark.createDataFrame([], "part int, id int")
     assert delete_partitioned(spark, path, none, ["part", "id"], "part") == 0
+
+
+def test_delete_removes_emptied_partition_with_escaped_value(spark, tmp_path):
+    """The emptied-partition directory is found by LISTING (the actual
+    writer-escaped name), not by reconstructing `col=value` from the
+    Python value — values with ':', '%', '=' and a NULL partition all
+    get their stale directories removed."""
+    from skylinemapreducehadoop_spark.sources.merge import delete_partitioned
+
+    path = str(tmp_path / "tbl_esc")
+    rows = [
+        ("a:b", 1, "x"),
+        ("a:b", 2, "y"),
+        ("p%20q", 3, "z"),
+        ("k=v", 4, "w"),
+        (None, 5, "n"),
+        ("plain", 6, "p"),
+    ]
+    df = spark.createDataFrame(rows, "part string, id int, val string")
+    df.write.partitionBy("part").parquet(path)
+    # the writer percent-escapes these — reconstructing f"part={value}"
+    # would MISS every one of them
+    dirs = {d for d in os.listdir(path) if d.startswith("part=")}
+    assert "part=a%3Ab" in dirs and "part=__HIVE_DEFAULT_PARTITION__" in dirs
+
+    # empty a:b and the NULL partition entirely; trim p%20q
+    keys = spark.createDataFrame(
+        [("a:b", 1), ("a:b", 2), (None, 5), ("p%20q", 3)], "part string, id int"
+    )
+    # NULL keys never equi-join: delete NULL-partition rows via id only
+    touched = delete_partitioned(spark, path, keys.select("id"), ["id"], "part")
+    assert touched == 3
+    after = spark.read.parquet(path)
+    got = {(r["part"], r["id"]) for r in after.collect()}
+    assert got == {("k=v", 4), ("plain", 6)}
+    dirs_after = {d for d in os.listdir(path) if d.startswith("part=")}
+    assert "part=a%3Ab" not in dirs_after
+    assert "part=__HIVE_DEFAULT_PARTITION__" not in dirs_after
+    assert "part=p%2520q" not in dirs_after  # fully emptied too (id=3 was its only row)
+
+
+def test_upsert_preserves_null_partition_rows(spark, tmp_path):
+    # plain isin() never matches NULL — the NULL partition's retained
+    # rows must survive an upsert that touches that partition
+    path = str(tmp_path / "tbl_null")
+    rows = [(None, 1, "keep"), (None, 2, "old"), ("a", 3, "a3")]
+    spark.createDataFrame(rows, "part string, id int, val string").write.partitionBy(
+        "part"
+    ).parquet(path)
+    updates = spark.createDataFrame([(None, 2, "NEW")], "part string, id int, val string")
+    assert upsert_partitioned(spark, path, updates, ["id"], "part") == 1
+    got = {(r["part"], r["id"]): r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {(None, 1): "keep", (None, 2): "NEW", ("a", 3): "a3"}
+
+
+def _snapshot(spark, path):
+    return {
+        (r["part"], r["id"]): r["val"] for r in spark.read.parquet(path).collect()
+    }
+
+
+@pytest.mark.parametrize("site", ["post_staging", "post_marker", "mid_promote"])
+def test_crash_consistency_upsert(spark, tmp_path, site, monkeypatch):
+    """A crash at ANY protocol point leaves the table entirely old
+    (before the marker) or entirely new after recovery (marker on) —
+    never mixed."""
+    from skylinemapreducehadoop_spark.sources import merge as merge_mod
+    from skylinemapreducehadoop_spark.sources.merge import recover_partitioned
+
+    path = str(tmp_path / f"tbl_crash_{site}")
+    _build_table(spark, path)
+    old = _snapshot(spark, path)
+
+    updates = spark.createDataFrame(
+        [(1, 3, "UPDATED"), (2, 0, "UPDATED2"), (1, 99, "NEW")],
+        "part int, id int, val string",
+    )
+
+    calls = {"n": 0}
+
+    def injector(s):
+        if s == site:
+            calls["n"] += 1
+            # mid_promote fires once per staged dir: crash on the 2nd,
+            # leaving one partition promoted and one not
+            if site != "mid_promote" or calls["n"] == 2:
+                raise RuntimeError(f"injected crash at {s}")
+
+    monkeypatch.setattr(merge_mod, "_FAULT_INJECTOR", injector)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_partitioned(spark, path, updates, ["part", "id"], "part")
+    monkeypatch.setattr(merge_mod, "_FAULT_INJECTOR", None)
+
+    status = recover_partitioned(spark, path)
+    got = _snapshot(spark, path)
+    if site == "post_staging":
+        # crash before the marker: rolled back, table is the OLD state
+        assert status == "rolled_back"
+        assert got == old
+    else:
+        # marker was durable: rolled forward, table is the NEW state
+        assert status == "rolled_forward"
+        new = dict(old)
+        new[(1, 3)] = "UPDATED"
+        new[(2, 0)] = "UPDATED2"
+        new[(1, 99)] = "NEW"
+        assert got == new
+    # no protocol litter left behind
+    litter = [
+        d for d in os.listdir(path) if d.startswith(("_skymr_commit_", "_skymr_staging_"))
+    ]
+    assert litter == []
+    # and a re-run of recovery is a no-op
+    assert recover_partitioned(spark, path) == "none"
+
+
+def test_crash_consistency_delete_emptied_partition(spark, tmp_path, monkeypatch):
+    # crash after the marker, before the delete-only dir removal: the
+    # emptied partition must still disappear on recovery
+    from skylinemapreducehadoop_spark.sources import merge as merge_mod
+    from skylinemapreducehadoop_spark.sources.merge import (
+        delete_partitioned,
+        recover_partitioned,
+    )
+
+    path = str(tmp_path / "tbl_crash_del")
+    _build_table(spark, path)
+    keys = spark.createDataFrame(
+        [(3, i) for i in range(10)] + [(1, 0)], "part int, id int"
+    )
+
+    def injector(s):
+        if s == "post_marker":
+            raise RuntimeError("injected crash at post_marker")
+
+    monkeypatch.setattr(merge_mod, "_FAULT_INJECTOR", injector)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        delete_partitioned(spark, path, keys, ["part", "id"], "part")
+    monkeypatch.setattr(merge_mod, "_FAULT_INJECTOR", None)
+
+    assert recover_partitioned(spark, path) == "rolled_forward"
+    got = {(r["part"], r["id"]) for r in spark.read.parquet(path).collect()}
+    assert not any(p == 3 for p, _ in got)
+    assert (1, 0) not in got
+    assert len(got) == 50 - 10 - 1
+    assert "part=3" not in os.listdir(path)

@@ -77,20 +77,28 @@ def test_bm25_plan_is_takeordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_bucket_of_matches_spark_hash(spark):
-    # the driver-side Murmur3 twin must agree with F.hash for pruning
-    from pyspark.sql import functions as F
+def test_probe_reads_n_buckets_from_stats(spark, tmp_path):
+    # an index built with a non-default modulus must probe correctly
+    # WITHOUT the caller restating n_buckets — it is read from stats, so
+    # a build/probe modulus mismatch (silently-empty buckets) cannot
+    # happen
+    from skylinemapreducehadoop_spark.operators.retrieval import (
+        bm25_probe,
+        bm25_topk,
+        build_text_index,
+    )
 
-    from skylinemapreducehadoop_spark.operators.retrieval import _bucket_of
-
-    words = ["spark", "a", "ab", "abc", "abcd", "abcde", "héllo", "", "x" * 37]
-    df = spark.createDataFrame([(w,) for w in words], "tok string")
-    got = {
-        r["tok"]: r["b"]
-        for r in df.select("tok", F.pmod(F.hash("tok"), F.lit(64)).alias("b")).collect()
+    docs = {
+        1: "spark shuffle join hash join hash",
+        2: "hash table scan filter",
+        3: "join merge sort spark",
     }
-    for w in words:
-        assert _bucket_of(w, 64) == got[w], w
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    idx = str(tmp_path / "idx7")
+    build_text_index(df, idx, n_buckets=7)
+    direct = bm25_topk(df, ["spark", "hash"], k=5).collect()
+    probed = bm25_probe(spark, idx, ["spark", "hash"], k=5).collect()
+    assert [tuple(r) for r in probed] == [tuple(r) for r in direct]
 
 
 def test_bm25_probe_equals_direct(spark, tmp_path):

@@ -148,6 +148,36 @@ def test_blocked_merge_matches_bruteforce(spark):
     assert got == want
 
 
+def test_blocked_merge_shuffle_rooted_input_and_full_duplicates(spark):
+    """Regression for the row-id stability hazard: the blocked merge's
+    row id is content-derived (md5 of the row), so an input whose
+    lineage contains a SHUFFLE/aggregate (nondeterministic
+    within-partition row order on recompute) is still merged correctly,
+    and FULL duplicate rows (identical in every column) share
+    dominated-fate: all copies of a non-dominated duplicate survive,
+    all copies of a dominated one go."""
+    from pyspark.sql import functions as F
+
+    rows = [(i % 40, float(i % 20), float(19 - i % 20)) for i in range(400)]
+    base = spark.createDataFrame(rows, "k int, x double, y double")
+    # shuffle-rooted, duplicate-bearing input: the aggregate output
+    # order within a partition is not a stable function of position
+    agg = (
+        base.groupBy("k", "x", "y")
+        .agg(F.count("*").alias("copies"))
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.lit(2))))
+        .drop("copy")  # 2 identical rows per (k, x, y) — full duplicates
+    )
+    dims = [("x", "min"), ("y", "min")]
+    got = sorted(map(tuple, skyline(agg, dims, merge="blocked", blocked_rows=30).collect()))
+    want = sorted(map(tuple, skyline(agg, dims, strategy="bruteforce").collect()))
+    assert got == want
+    # every surviving duplicate kept BOTH copies
+    from collections import Counter
+
+    assert all(c == 2 for c in Counter(got).values())
+
+
 def test_strategies_agree(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     dims = [("l_extendedprice", "min"), ("l_discount", "min"), ("l_quantity", "max")]
