@@ -2403,7 +2403,8 @@ def _bm25_index_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp = f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
         fp = "nofp"
-    tag = hashlib.md5(f"{sf_dir}|{fp}|text_index".encode()).hexdigest()[:10]
+    # v2: stats carry n_buckets (probe reads the modulus back)
+    tag = hashlib.md5(f"{sf_dir}|{fp}|text_index_v2".encode()).hexdigest()[:10]
     idx_path = os.path.join(tempfile.gettempdir(), f"text_index_{tag}")
     if not os.path.exists(os.path.join(idx_path, "postings", "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents")
@@ -2421,82 +2422,96 @@ def _event_transitions_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(ev).orderBy("from_type", "to_type")
 
 
+def _tfidf_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-3 TF-IDF keywords per document (keyword extraction / doc
+    # tagging); integer-arg log2 + round(6) + rank-on-rounded-score =
+    # the repo's engine-exact scoring rules, so the oracle is exact
+    from skylinemapreducehadoop_spark.functions.text import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        tfidf_keywords(docs, k=3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _max_concurrency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sweep-line peak concurrency per event type (capacity planning):
+    # each event opens an interval of (1 + event_id % 5) minutes;
+    # end-exclusive overlap, exact integer microsecond arithmetic
+    from skylinemapreducehadoop_spark.operators.temporal import interval_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("start_us"),
+        (
+            F.unix_micros("ts")
+            + F.lit(60_000_000) * (F.lit(1) + F.col("event_id") % 5)
+        ).alias("end_us"),
+    )
+    return interval_concurrency(iv, by="event_type").orderBy("event_type")
+
+
+def _incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # steady-state ingestion dedup: the batch (doc_id % 10 == 0) is
+    # cleaned against the standing corpus (the rest) + its own internal
+    # duplicates; only 16-byte md5 keys ever shuffle
+    from skylinemapreducehadoop_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    return incremental_dedup(corpus, batch).select("doc_id").orderBy("doc_id")
+
+
+def _frame_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame-sampling plumbing with a REAL oracle: WAV payloads have a
+    # closed-form byte length (44 + 2*n_samples), so the every-3rd-
+    # frame fan-out and each frame's byte count are analytically
+    # derivable from doc_id alone — any drift in the synthesizer, the
+    # stride explode or the binary substring breaks the hash
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit("wav").alias("__k"),
+        (1 + F.col("doc_id") % 64).cast("int").alias("__w"),
+        F.lit(1).cast("int").alias("__h"),
+        (1 + (F.col("doc_id") % 97) * 16).cast("int").alias("__n"),
+    )
+    media = synthesize_media_column(docs, "__k", "__w", "__h", wav_samples_col="__n")
+    frames = sample_frames(media, every_n=3)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").alias("frame_len"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
-    # 50 entries only. Round-8 window (rotation log in COVERAGE.md):
-    # (a) the 6 queries NEW in r8 (engine-exact stats family, triangle
-    # counting, BM25 retrieval, Markov transitions); (b) queries whose
-    # OPERATOR code changed in r8 (blocked-merge laziness, segment-dedup
-    # empty-doc contract, IVF index caching); (c) the 13 mid-r7 entries
-    # that had never had a driver row; (d) the 19 r5-green plain-SQL
-    # shapes deferred two rounds (all freshness debt retired this
-    # round); (e) the 8 oldest r6-green rows. kmeans_embeddings and
-    # pagerank_dup_graph (rows-only by declared design) sit BELOW the
-    # line; their hash-green known-answer siblings pagerank_cycle_check
-    # / kmeans_blobs_check are in the window, so the checked window is
-    # 50/50 oracle-hashed. Positions 51+ are hash-green in r7 (or
-    # earlier, logic untouched since, re-verified locally with
-    # tools/check_contract.py before r8 shipped).
+    # 50 entries only. Round-9 window (rotation log + staleness table
+    # in COVERAGE.md): (a) the 7 mid-r8 entries that never had a driver
+    # row (the r8 verdict's task 1); (b) the 4 queries NEW in r9
+    # (TF-IDF keywords, sweep-line concurrency, incremental corpus
+    # dedup, frame-sample fan-out check); (c) the operator materially
+    # changed in r9 (blocked merge's content-derived row id); (d) one
+    # hash-green oracle sibling per approximate/iterative FAMILY (ANN
+    # -> ann_recall_ivf; sketches -> approx_distinct_check; iterative
+    # -> kmeans_blobs_check + pagerank_cycle_check); (e) the ENTIRE
+    # r5/r6-green backlog (34 rows) — after this round no registry
+    # entry's last green row is older than r7, i.e. max staleness 2
+    # rounds. ann_recall_lsh (r7) and approx_percentile_check (r8)
+    # rotate below the line to make room; their raw twins' families
+    # keep in-window siblings per (d). Positions 51+ are hash-green in
+    # r7/r8 with operator logic untouched since.
     return {
-        # (a) new in round 8
-        "linreg_lineitem": _linreg_lineitem,
-        "corr_lineitem": _corr_lineitem,
-        "zscore_outliers_events": _zscore_outliers_events,
-        "triangle_count_copurchase": _triangle_count_copurchase,
-        "bm25_search_documents": _bm25_search_documents,
-        "event_transitions_markov": _event_transitions_markov,
-        # (b) r8-touched operators
-        "skyline_blocked": _sky_blocked,
-        "segment_dedup_documents": _segment_dedup_documents,
-        "segment_dedup_shifted": _segment_dedup_shifted,
-        "ann_recall_ivf": _ann_recall_ivf,
-        # (c) mid-r7, never driver-checked until now
-        "approx_distinct_check": _approx_distinct_check,
-        "approx_percentile_check": _approx_percentile_check,
-        "pagerank_cycle_check": _pagerank_cycle_check,
-        "kmeans_blobs_check": _kmeans_blobs_check,
-        "streaming_session_replay": _streaming_session_replay,
-        "bigram_logprob_documents": _bigram_logprob_documents,
-        "image_header_check": _image_header_check,
-        "data_quality_orders": _data_quality_orders,
-        "streaming_enrich_replay": _streaming_enrich_replay,
-        "encode_documents": _encode_documents,
-        "streaming_rollup_replay": _streaming_rollup_replay,
-        "entity_resolution_partnames": _entity_resolution_partnames,
-        "decontaminate_fuzzy_documents": _decontaminate_fuzzy_documents,
-        # (d) deferred r5-green SQL shapes (freshness debt retired)
-        "pivot_user_events": _pivot_user_events,
-        "percentile_value_by_type": _percentile_value_by_type,
-        "cube_events": _cube_events,
-        "set_ops_customers": _set_ops_customers,
-        "rollup_orders": _rollup_orders,
-        "anti_join_customers": _anti_join_customers,
-        "q10_returned_items": _q10_returned_items,
-        "q1_pricing_summary": _q1_pricing,
-        "join_nation_revenue": _join_nation_revenue,
-        "q8_market_share": _q8_market_share,
-        "q9_profit_by_nation": _q9_profit_by_nation,
-        "q11_important_brands": _q11_important_brands,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q15_top_supplier": _q15_top_supplier,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "q4_priority_exists": _q4_priority_exists,
-        "q7_volume_shipping": _q7_volume_shipping,
-        "q12_priority_by_linestatus": _q12_priority_by_linestatus,
-        # (e) oldest r6-green rows
-        "knn_graph_sample": _knn_graph_sample,
-        "q21_waiting_orders": _q21_waiting_orders,
-        "q20_excess_suppliers": _q20_excess_suppliers,
-        "streaming_dedup_replay": _streaming_dedup_replay,
-        "streaming_skyline_replay": _streaming_skyline_replay,
-        "streaming_interval_join_replay": _streaming_interval_join_replay,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q14_promo_revenue": _q14_promo_revenue,
-        # --- past the driver's 50-entry window: newest green row r7
-        # (or earlier with logic untouched; see COVERAGE.md).
-        # bm25_index_search is NEW mid-r8 (locally verified; rotates
-        # into the checked window in r9)
+        # (a) rotated in: never driver-checked (added mid-r8)
         "bm25_index_search_documents": _bm25_index_search_documents,
         "pmi_collocations_documents": _pmi_collocations_documents,
         "bpe_merges_check": _bpe_merges_check,
@@ -2504,6 +2519,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs_orders": _frequent_pairs_orders,
         "streaming_moments_replay": _streaming_moments_replay,
         "table_diff_orders": _table_diff_orders,
+        # (b) new in round 9
+        "tfidf_keywords_documents": _tfidf_keywords_documents,
+        "max_concurrency_events": _max_concurrency_events,
+        "incremental_dedup_documents": _incremental_dedup_documents,
+        "frame_sample_check": _frame_sample_check,
+        # (c) r9-touched operator (content-hash row id in blocked merge)
+        "skyline_blocked": _sky_blocked,
+        # (d) approximate/iterative families' oracle siblings
+        "ann_recall_ivf": _ann_recall_ivf,
+        "approx_distinct_check": _approx_distinct_check,
+        "kmeans_blobs_check": _kmeans_blobs_check,
+        "pagerank_cycle_check": _pagerank_cycle_check,
+        # (e) the full r5/r6-green backlog (34 rows)
+        "distinct_users_by_type": _distinct_users_by_type,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "q5_local_supplier": _q5_local_supplier,
+        "skyline_twophase": _sky("twophase"),
+        "skyline_quadtree": _sky("quadtree"),
+        "skyline_grouped": _sky_grouped,
+        "skyline_join_priority": _sky_join_priority,
+        "skyline_gsod_9dim": _sky_gsod_9dim,
+        "lang_id_documents": _lang_id,
+        "dedup_minhash_documents": _dedup_minhash,
+        "reverse_skyline_part": _reverse_skyline_part,
+        "repetition_stats_documents": _repetition_stats,
+        "redact_pii_documents": _redact_pii,
+        "dedup_clusters_documents": _dedup_clusters,
+        "jsonl_roundtrip_documents": _jsonl_roundtrip,
+        "ngram_dup_stats_documents": _ngram_dup_stats,
+        "hash_split_documents": _hash_split_documents,
+        "term_doc_freq_topk": _term_doc_freq_topk,
+        "sample_documents_hash": _sample_documents_hash,
+        "reservoir_documents": _reservoir_documents,
+        "semi_join_customers": _semi_join_customers,
+        "above_avg_orders": _above_avg_orders,
+        "token_bpe_documents": _token_bpe_documents,
+        "explode_tokens_topk": _explode_tokens_topk,
+        "string_funcs_documents": _string_funcs_documents,
+        "curate_corpus": _curate_corpus,
+        "decontaminate_documents": _decontaminate_documents,
+        "topk_batch_similarity": _topk_batch_similarity,
+        "setsim_join_documents": _setsim_join_documents,
+        "embedding_near_dup": _embedding_near_dup,
+        "q16_supplier_cnt": _q16_supplier_cnt,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_sales_opportunity": _q22_sales_opportunity,
+        # --- past the driver's 50-entry window ---
+        # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
         "skyline_sql_lineitem": _skyline_sql_lineitem,
@@ -2513,13 +2577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_histogram_events": _equidepth_histogram_events,
         "events_daily_rollup": _events_daily_rollup,
         "gapfill_events_hourly": _gapfill_events_hourly,
-        "kmeans_embeddings": _kmeans_embeddings,
         "scd2_user_events": _scd2_user_events,
         "fuzzy_pairs_partnames": _fuzzy_pairs_partnames,
         "trailing_hour_events": _trailing_hour_events,
         "cohort_retention_users": _cohort_retention_users,
         "top_paths_users": _top_paths_users,
-        "pagerank_dup_graph": _pagerank_dup_graph,
         "heavy_hitters_tokens": _heavy_hitters_tokens,
         "dedup_star_clusters": _dedup_star_clusters,
         "semantic_dedup_embeddings": _semantic_dedup_embeddings,
@@ -2551,44 +2613,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": _asof_join_events,
         "skyline_kband_events": _sky_kband_events,
         "window_analytics_orders": _window_analytics_orders,
+        # r8-green (operator logic untouched in r9):
+        "linreg_lineitem": _linreg_lineitem,
+        "corr_lineitem": _corr_lineitem,
+        "zscore_outliers_events": _zscore_outliers_events,
+        "triangle_count_copurchase": _triangle_count_copurchase,
+        "bm25_search_documents": _bm25_search_documents,
+        "event_transitions_markov": _event_transitions_markov,
+        "segment_dedup_documents": _segment_dedup_documents,
+        "segment_dedup_shifted": _segment_dedup_shifted,
+        "approx_percentile_check": _approx_percentile_check,
+        "streaming_session_replay": _streaming_session_replay,
+        "bigram_logprob_documents": _bigram_logprob_documents,
+        "image_header_check": _image_header_check,
+        "data_quality_orders": _data_quality_orders,
+        "streaming_enrich_replay": _streaming_enrich_replay,
+        "encode_documents": _encode_documents,
+        "streaming_rollup_replay": _streaming_rollup_replay,
+        "entity_resolution_partnames": _entity_resolution_partnames,
+        "decontaminate_fuzzy_documents": _decontaminate_fuzzy_documents,
+        "pivot_user_events": _pivot_user_events,
+        "percentile_value_by_type": _percentile_value_by_type,
+        "cube_events": _cube_events,
+        "set_ops_customers": _set_ops_customers,
+        "rollup_orders": _rollup_orders,
+        "anti_join_customers": _anti_join_customers,
+        "q10_returned_items": _q10_returned_items,
+        "q1_pricing_summary": _q1_pricing,
+        "join_nation_revenue": _join_nation_revenue,
+        "q8_market_share": _q8_market_share,
+        "q9_profit_by_nation": _q9_profit_by_nation,
+        "q11_important_brands": _q11_important_brands,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q4_priority_exists": _q4_priority_exists,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q12_priority_by_linestatus": _q12_priority_by_linestatus,
+        "knn_graph_sample": _knn_graph_sample,
+        "q21_waiting_orders": _q21_waiting_orders,
+        "q20_excess_suppliers": _q20_excess_suppliers,
+        "streaming_dedup_replay": _streaming_dedup_replay,
+        "streaming_skyline_replay": _streaming_skyline_replay,
+        "streaming_interval_join_replay": _streaming_interval_join_replay,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q14_promo_revenue": _q14_promo_revenue,
+        # rows-only by declared design (hash-green derived/known-answer
+        # siblings: recall bounds / sketch checks / fixed-point checks):
+        "kmeans_embeddings": _kmeans_embeddings,
+        "pagerank_dup_graph": _pagerank_dup_graph,
         "approx_percentile_value": _approx_percentile_value,
-        "q17_small_qty_revenue": _q17_small_qty_revenue,
-        "q18_large_orders": _q18_large_orders,
-        "q5_local_supplier": _q5_local_supplier,
-        "skyline_twophase": _sky("twophase"),
-        "skyline_quadtree": _sky("quadtree"),
-        "skyline_grouped": _sky_grouped,
-        "skyline_join_priority": _sky_join_priority,
-        "skyline_gsod_9dim": _sky_gsod_9dim,
-        "lang_id_documents": _lang_id,
-        "dedup_minhash_documents": _dedup_minhash,
-        "reverse_skyline_part": _reverse_skyline_part,
-        "repetition_stats_documents": _repetition_stats,
-        "redact_pii_documents": _redact_pii,
-        "dedup_clusters_documents": _dedup_clusters,
-        "jsonl_roundtrip_documents": _jsonl_roundtrip,
-        "ngram_dup_stats_documents": _ngram_dup_stats,
-        "hash_split_documents": _hash_split_documents,
-        "term_doc_freq_topk": _term_doc_freq_topk,
-        "sample_documents_hash": _sample_documents_hash,
-        "reservoir_documents": _reservoir_documents,
-        "semi_join_customers": _semi_join_customers,
-        "above_avg_orders": _above_avg_orders,
-        "token_bpe_documents": _token_bpe_documents,
-        "explode_tokens_topk": _explode_tokens_topk,
-        "string_funcs_documents": _string_funcs_documents,
         "approx_distinct_users": _approx_distinct_users,
-        "curate_corpus": _curate_corpus,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
-        "embedding_near_dup": _embedding_near_dup,
-        "q16_supplier_cnt": _q16_supplier_cnt,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q22_sales_opportunity": _q22_sales_opportunity,
-        "decontaminate_documents": _decontaminate_documents,
-        "topk_batch_similarity": _topk_batch_similarity,
-        "setsim_join_documents": _setsim_join_documents,
-        "distinct_users_by_type": _distinct_users_by_type,
     }
 
 
@@ -3297,9 +3375,95 @@ FROM p ORDER BY from_type, to_type
 """
 
 
+_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, t AS token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents WHERE text IS NOT NULL) WHERE t <> ''
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE text IS NOT NULL),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf * (log2(n_docs + 1) - log2(df_t)), 6) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS rank,
+         score
+  FROM scored
+)
+SELECT doc_id, token, rank, score FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+_MAX_CONCURRENCY_SQL = """
+WITH iv AS (
+  SELECT event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + 60000000 * (1 + event_id % 5) AS e
+  FROM events
+),
+d AS (
+  SELECT event_type, s AS t, 1 AS d FROM iv WHERE e > s
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS d FROM iv WHERE e > s
+),
+r AS (
+  SELECT event_type,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM d
+)
+SELECT event_type, CAST(max(run) AS BIGINT) AS max_concurrent
+FROM r GROUP BY 1 ORDER BY event_type
+"""
+
+_INCREMENTAL_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT md5(text) AS h FROM documents
+  WHERE doc_id % 10 <> 0 AND text IS NOT NULL
+),
+batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+fresh AS (
+  SELECT doc_id, h FROM batch b
+  WHERE b.h IS NULL OR NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         CASE WHEN h IS NULL THEN 1
+              ELSE row_number() OVER (PARTITION BY h ORDER BY doc_id) END AS rn
+  FROM fresh
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+# WAV payload length is closed-form (44-byte RIFF/fmt preamble + 2
+# bytes per 16-bit sample), so the frame fan-out and per-frame byte
+# counts are derivable from doc_id with no binary in the oracle at all
+_FRAME_SAMPLE_SQL = """
+WITH p AS (
+  SELECT doc_id, 44 + 2 * (1 + (doc_id % 97) * 16) AS len FROM documents
+),
+f AS (
+  SELECT doc_id, len,
+         unnest(range(0, CAST(ceil(len / 64.0) AS BIGINT), 3)) AS frame_idx
+  FROM p
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(64, len - frame_idx * 64) AS INT) AS frame_len
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sky = _sky_oracle()
     return {
+        # round-9 additions
+        "tfidf_keywords_documents": _TFIDF_SQL,
+        "max_concurrency_events": _MAX_CONCURRENCY_SQL,
+        "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
+        "frame_sample_check": _FRAME_SAMPLE_SQL,
         # round-8 additions
         "linreg_lineitem": _LINREG_SQL,
         "corr_lineitem": _CORR_SQL,

@@ -730,12 +730,139 @@ def pmi_collocations(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the classic keyword-
+    extraction / document-tagging primitive. Returns
+    ``(id, token, rank, score)`` with rank 1..k per document.
+
+    Engine-exactness (the repo's LM-scorer rules): score =
+    ``round(tf * (log2(N + 1) - log2(df_t)), 6)`` with BOTH log2
+    arguments integers (N = corpus size, df_t = containing-doc count),
+    so any engine computes bit-identical doubles; ranking compares the
+    ROUNDED score with ties by token ascending.
+
+    Plan shape for 100 TB: one corpus explode + (doc, token) hash
+    aggregate (map-side combined); document frequencies are a
+    vocabulary-sized aggregate OVER that tf table (no second corpus
+    pass), joined back shuffle_hash-pinned (vocabulary is data-sized —
+    never broadcast); the per-document top-k is one window rank
+    partitioned by document — no global sort anywhere.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(id_col).distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * (
+            F.log2((F.col("n_docs") + F.lit(1)).cast("double"))
+            - F.log2(F.col("df_t").cast("double"))
+        ),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), "token")
+    return (
+        tf.join(dfreq.hint("shuffle_hash"), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("id", "token", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "token", "rank", "score")
+    )
+
+
+def _bpe_train_local(
+    vocab: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """In-process BPE merge loop over a collected word-frequency table —
+    byte-for-byte the same semantics as the distributed loop (adjacent
+    positions counted with overlap, argmax ties by (left, right)
+    ascending, left-to-right non-overlapping merge).
+
+    Pair counts update INCREMENTALLY: each merge touches only the words
+    that actually contain the chosen pair (classic subword-nmt
+    trainer), with a lazy-invalidation heap for the argmax, so a
+    realistic 32k-merge budget runs in seconds instead of scheduling
+    two Spark jobs per merge (~10^5 jobs of pure scheduler overhead).
+    """
+    import heapq
+    from collections import Counter
+
+    words: list[list[str]] = [list(syms) for syms, _ in vocab]
+    freqs: list[int] = [int(f) for _, f in vocab]
+    stats: Counter = Counter()
+    index: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for pair in zip(syms, syms[1:]):
+            stats[pair] += f
+            index.setdefault(pair, set()).add(i)
+    # heap entries are (-count, pair); stale entries are discarded on
+    # pop by checking the live count — ties break by pair ascending,
+    # identical to the engine's orderBy(cnt desc, left, right)
+    heap = [(-c, p) for p, c in stats.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, pair = heap[0]
+            live = stats.get(pair, 0)
+            if live <= 0 or -negc != live:
+                heapq.heappop(heap)
+                continue
+            best = (pair, live)
+            break
+        if best is None:
+            break
+        (left, right), cnt = best
+        merges.append((rank, left, right, cnt))
+        merged_sym = left + right
+        for i in sorted(index.pop((left, right), ())):
+            syms = words[i]
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged_sym
+                else:
+                    out.append(s)
+            if out == syms:
+                continue  # stale index entry — pair no longer present
+            f = freqs[i]
+            delta = Counter(zip(out, out[1:]))
+            delta.subtract(Counter(zip(syms, syms[1:])))
+            words[i] = out
+            for pair, d in delta.items():
+                if d == 0:
+                    continue
+                stats[pair] += d * f
+                if stats[pair] <= 0:
+                    del stats[pair]
+                    continue
+                index.setdefault(pair, set()).add(i)
+                heapq.heappush(heap, (-stats[pair], pair))
+        stats.pop((left, right), None)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     *,
     text_col: str = "text",
     n_merges: int = 20,
     end_of_word: str = "</w>",
+    local_vocab_budget: int = 2_000_000,
 ) -> list[tuple[int, str, str, int]]:
     """Train byte-pair-encoding merges on a corpus (Sennrich, Haddow &
     Birch, "Neural Machine Translation of Rare Words with Subword
@@ -745,20 +872,30 @@ def bpe_train(
 
     Distributed shape: BPE trains on the WORD-FREQUENCY table, not the
     corpus — so after one corpus-sized explode + hash aggregate, every
-    iteration runs on a vocabulary-sized frame: (1) adjacent symbol
-    pairs exploded with the word's frequency as weight, ONE hash
-    aggregate, (2) the argmax pair fetched via TakeOrdered-1 (ties
-    broken by (left, right) — deterministic on any layout; the only
-    driver state is one pair per round), (3) the pair merged inside
-    every word's symbol array by a zero-UDF ``aggregate`` fold
-    (left-to-right, non-overlapping — the reference semantics),
-    localCheckpoint'ed so plan depth stays constant across rounds (the
-    kmeans/pagerank iterative discipline). Words are char-split with a
-    ``</w>`` terminator so merges never cross word boundaries.
+    iteration runs on a vocabulary-sized frame. The vocabulary is
+    ~10^6 rows at ANY corpus scale (word types, not tokens), so when it
+    fits ``local_vocab_budget`` rows it is collected ONCE and the merge
+    loop runs in-process with incremental pair counts
+    (:func:`_bpe_train_local`) — a realistic 32k-merge budget is
+    seconds of driver CPU, versus 2 scheduled Spark jobs per merge
+    (~10^5 jobs) for the distributed loop. Both paths produce
+    IDENTICAL merges (same counting, argmax and tie rules).
 
-    At 100 TB the corpus pass is the only data-sized stage; the loop
-    costs n_merges shuffles of the vocabulary, which is exactly how
-    fast any exact BPE can be (each merge depends on the last).
+    Distributed overflow path (vocabulary above the budget): (1)
+    adjacent symbol pairs exploded with the word's frequency as
+    weight, ONE hash aggregate, (2) the argmax pair fetched via
+    TakeOrdered-1 (ties broken by (left, right) — deterministic on any
+    layout; the only driver state is one pair per round), (3) the pair
+    merged inside every word's symbol array by a zero-UDF
+    ``aggregate`` fold (left-to-right, non-overlapping — the reference
+    semantics), localCheckpoint'ed so plan depth stays constant across
+    rounds (the kmeans/pagerank iterative discipline). Words are
+    char-split with a ``</w>`` terminator so merges never cross word
+    boundaries.
+
+    At 100 TB the corpus pass is the only data-sized stage either way;
+    the local path then costs one vocabulary collect, the distributed
+    path n_merges vocabulary shuffles.
     """
     words = (
         df.select(F.explode(tokens(text_col)).alias("__w"))
@@ -773,6 +910,10 @@ def bpe_train(
         )
     )
     words = words.localCheckpoint(eager=True)
+
+    if words.count() <= local_vocab_budget:
+        vocab = [(r["syms"], r["__f"]) for r in words.collect()]
+        return _bpe_train_local(vocab, n_merges)
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):

@@ -273,24 +273,31 @@ def synthesize_media_column(
     height_col: str,
     *,
     out_col: str = "media",
+    wav_samples_col: str | None = None,
 ) -> DataFrame:
     """Mixed-format fixture: per row build a real PNG/GIF/BMP/JPEG
     (dims from width/height) or WAV (sample rate = width * 100)
-    according to ``kind_col`` in {'png','gif','bmp','jpeg','wav'}."""
+    according to ``kind_col`` in {'png','gif','bmp','jpeg','wav'}.
+    ``wav_samples_col`` optionally sets the WAV data-chunk length in
+    16-bit samples per row (payload size = 44 + 2*n exactly — a
+    closed-form size the frame-sampling oracle can model); default 8.
+    """
     makers = {"png": make_png, "gif": make_gif, "bmp": make_bmp, "jpeg": make_jpeg}
 
     @F.pandas_udf(T.BinaryType())
-    def synth(ks: pd.Series, ws: pd.Series, hs: pd.Series) -> pd.Series:
+    def synth(ks: pd.Series, ws: pd.Series, hs: pd.Series, ns: pd.Series) -> pd.Series:
         out = []
-        for k, w, h in zip(ks, ws, hs):
+        for k, w, h, n in zip(ks, ws, hs, ns):
             if k == "wav":
-                out.append(make_wav(int(w) * 100))
+                out.append(make_wav(int(w) * 100, n_samples=int(n)))
             else:
                 out.append(makers[k](int(w), int(h)))
         return pd.Series(out)
 
+    n_col = F.col(wav_samples_col) if wav_samples_col else F.lit(8)
     return df.withColumn(
-        out_col, synth(F.col(kind_col), F.col(width_col), F.col(height_col))
+        out_col,
+        synth(F.col(kind_col), F.col(width_col), F.col(height_col), n_col.cast("int")),
     )
 
 

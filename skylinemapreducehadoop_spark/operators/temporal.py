@@ -278,6 +278,50 @@ def pd_timedelta(duration: str):
     return pd.Timedelta(duration)
 
 
+def interval_concurrency(
+    df: DataFrame,
+    *,
+    by: str | Sequence[str],
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Sweep-line maximum concurrency per ``by`` group: the largest
+    number of intervals simultaneously open (end-EXCLUSIVE — an
+    interval ending exactly when another starts does not overlap it).
+    The capacity-planning / peak-load primitive. Returns
+    ``(by..., max_concurrent)``.
+
+    Start/end are NUMERIC columns (e.g. ``unix_micros`` of timestamps)
+    so the sweep needs no timestamp arithmetic; empty and negative
+    intervals (end <= start) are dropped.
+
+    Plan: union (+1 at start, -1 at end) delta rows — 2n rows, no join
+    — then ONE window running-sum per group ordered by (time, delta)
+    (-1 first on ties = the end-exclusive rule) and a max aggregate.
+    One shuffle on ``by``, one per-group sort: the sweep-line
+    formulation every interval-scheduling engine reduces to, and the
+    only all-built-in O(n log n) shape — an interval self-join would be
+    O(n * max_concurrency) and skew-bound at 100 TB.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    base = df.where(F.col(end_col) > F.col(start_col))
+    deltas = base.select(
+        *keys, F.col(start_col).alias("__t"), F.lit(1).alias("__d")
+    ).unionByName(
+        base.select(*keys, F.col(end_col).alias("__t"), F.lit(-1).alias("__d"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("__run", F.sum("__d").over(w))
+        .groupBy(*keys)
+        .agg(F.max("__run").alias("max_concurrent"))
+    )
+
+
 def event_transitions(
     df: DataFrame,
     *,

@@ -348,3 +348,51 @@ def test_contamination_check_fuzzy_flags_perturbed_eval_docs(spark):
     clean = [r for i, r in out.items() if i not in (5,)]
     assert all(not r["contaminated"] for r in clean)
     assert all(r["max_eval_jaccard"] == 0.0 for r in clean)
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha"),   # already in corpus -> dropped
+            (11, "delta"),   # new -> kept
+            (12, "delta"),   # batch-internal dup -> dropped (11 wins)
+            (13, "beta"),    # already in corpus -> dropped
+            (14, None),      # NULL text never matches -> kept
+            (15, None),      # every NULL row kept (no content to equate)
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"] for r in incremental_dedup(corpus, batch).collect()
+    )
+    assert got == [11, 14, 15]
+    # corpus is never self-deduplicated: corpus rows are not output
+    assert all(g >= 10 for g in got)
+
+
+def test_incremental_dedup_only_hashes_shuffle(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"doc {i % 50}") for i in range(60)], "doc_id long, text string"
+    )
+    plan = (
+        incremental_dedup(corpus, batch)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the corpus side of the anti-join projects ONLY the md5 key —
+    # document bodies must not cross the corpus shuffle
+    import re
+
+    anti = plan[plan.find("LeftAnti") :]
+    assert "md5" in anti

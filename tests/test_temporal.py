@@ -264,3 +264,39 @@ def test_event_transitions_single_window_shuffle(spark):
     # exactly one window over the data (lead); the prob window runs on
     # the |types|^2-row aggregate, not the events
     assert plan.count("Window") >= 1 and "CartesianProduct" not in plan
+
+
+def test_interval_concurrency_known_answer(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import interval_concurrency
+
+    rows = [
+        # group "a": [0,10) [5,15) [9,12) -> 3 concurrent in [9,10)
+        ("a", 0, 10),
+        ("a", 5, 15),
+        ("a", 9, 12),
+        # end-exclusive: [0,5) and [5,10) never overlap -> max 1
+        ("b", 0, 5),
+        ("b", 5, 10),
+        # degenerate/empty intervals are dropped
+        ("c", 3, 3),
+        ("c", 7, 2),
+        ("c", 1, 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    got = {
+        r["k"]: r["max_concurrent"]
+        for r in interval_concurrency(df, by="k").collect()
+    }
+    assert got == {"a": 3, "b": 1, "c": 1}
+
+
+def test_interval_concurrency_single_shuffle_no_join(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import interval_concurrency
+
+    df = spark.createDataFrame(
+        [("a", i, i + 10) for i in range(100)], "k string, start_us long, end_us long"
+    )
+    plan = interval_concurrency(df, by="k")._jdf.queryExecution().executedPlan().toString()
+    # sweep-line: union + window + agg — no join node of any kind
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad

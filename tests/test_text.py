@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from skylinemapreducehadoop_spark.functions import text as TX
@@ -354,7 +355,8 @@ def _bpe_ref(word_freq, n_merges, eow="</w>"):
     return merges
 
 
-def test_bpe_train_matches_reference(spark):
+@pytest.mark.parametrize("budget", [2_000_000, 0])  # local path / distributed path
+def test_bpe_train_matches_reference(spark, budget):
     from collections import Counter
 
     from skylinemapreducehadoop_spark.functions.text import bpe_train
@@ -368,13 +370,14 @@ def test_bpe_train_matches_reference(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     wf = Counter(w for _, t in docs for w in t.split())
     want = _bpe_ref(wf, 8)
-    got = bpe_train(df, n_merges=8)
+    got = bpe_train(df, n_merges=8, local_vocab_budget=budget)
     assert got == want
     # the classic example learns 'est'-style units: merged symbols grow
     assert any(len(l + r) >= 3 for _, l, r, _ in got)
 
 
-def test_bpe_train_overlapping_run_semantics(spark):
+@pytest.mark.parametrize("budget", [2_000_000, 0])
+def test_bpe_train_overlapping_run_semantics(spark, budget):
     from skylinemapreducehadoop_spark.functions.text import bpe_train
 
     # 'aaaa': (a,a) counted per adjacent position (3 per word, 2 words
@@ -382,6 +385,67 @@ def test_bpe_train_overlapping_run_semantics(spark):
     # later rounds follow the reference exactly (incl. the '</w>' <
     # 'aa' tiebreak)
     df = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
-    got = bpe_train(df, n_merges=3)
+    got = bpe_train(df, n_merges=3, local_vocab_budget=budget)
     assert got[0] == (0, "a", "a", 6)
     assert got == _bpe_ref({"aaaa": 2}, 3)
+
+
+def test_bpe_train_local_deep_merge_budget_is_fast(spark):
+    # a realistic merge budget must be driver-CPU seconds, not Spark
+    # jobs: 500 merges over the sf0.001 corpus vocabulary, checked
+    # against the plain-reference trainer for exactness
+    import time
+    from collections import Counter
+
+    from skylinemapreducehadoop_spark.functions.text import bpe_train, tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t0 = time.monotonic()
+    got = bpe_train(docs, n_merges=500)
+    elapsed = time.monotonic() - t0
+    # the tiny corpus's vocabulary exhausts before 500 (every word one
+    # symbol) — the trainer and the reference must stop at the same rank
+    assert len(got) > 50
+    assert elapsed < 60, f"deep merge run took {elapsed:.1f}s"
+    wf = Counter(
+        r["w"]
+        for r in docs.select(F.explode(tokens("text")).alias("w"))
+        .where(F.col("w") != "")
+        .collect()
+    )
+    assert got == _bpe_ref(wf, 500)
+
+
+def test_tfidf_keywords_matches_reference(spark):
+    import math
+    from collections import Counter
+
+    from skylinemapreducehadoop_spark.functions.text import tfidf_keywords
+
+    docs = {
+        1: "spark shuffle join hash join hash",
+        2: "hash table scan filter",
+        3: "the quick brown fox the the",
+        4: "join join join spark",
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    toks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    dfreq = Counter(t for v in toks.values() for t in set(v))
+    want = {}
+    for i, v in toks.items():
+        scored = sorted(
+            (
+                (round(c * (math.log2(n + 1) - math.log2(dfreq[t])), 6), t)
+                for t, c in Counter(v).items()
+            ),
+            key=lambda st: (-st[0], st[1]),
+        )[:3]
+        want[i] = [(t, r + 1, s) for r, (s, t) in enumerate(scored)]
+    got = {}
+    for r in tfidf_keywords(df, k=3).collect():
+        got.setdefault(r["id"], []).append((r["token"], r["rank"], r["score"]))
+    for i in want:
+        got[i].sort(key=lambda x: x[1])
+        assert got[i] == want[i], i
