@@ -2493,6 +2493,20 @@ def _frame_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+def _duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maximal duplicated 8-gram spans (the span-level diagnostic of
+    # ACL'22 exact-substring dedup): only 128-bit gram hashes shuffle;
+    # interval merge = one per-doc window, no position self-join
+    from skylinemapreducehadoop_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        duplicate_spans(docs, n=8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-9 window (rotation log + staleness table
@@ -2567,6 +2581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_sales_opportunity": _q22_sales_opportunity,
         # --- past the driver's 50-entry window ---
+        # NEW mid-r9 (locally verified with tools/check_contract.py;
+        # rotates into the checked window in r10):
+        "duplicate_spans_documents": _duplicate_spans_documents,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3438,6 +3455,37 @@ SELECT doc_id FROM (
 ) WHERE rn = 1 ORDER BY doc_id
 """
 
+_DUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS i FROM toks),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         md5(array_to_string(tk[i:i+7], ' ')) AS h
+  FROM pos
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+              THEN 0 ELSE 1 END AS b
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM brk
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) + 7 AS INT) AS span_end,
+       CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS span_tokens
+FROM isl GROUP BY doc_id, g ORDER BY doc_id, span_start
+"""
+
 # WAV payload length is closed-form (44-byte RIFF/fmt preamble + 2
 # bytes per 16-bit sample), so the frame fan-out and per-frame byte
 # counts are derivable from doc_id with no binary in the oracle at all
@@ -3460,6 +3508,7 @@ def oracle_sql() -> dict[str, str]:
     sky = _sky_oracle()
     return {
         # round-9 additions
+        "duplicate_spans_documents": _DUP_SPANS_SQL,
         "tfidf_keywords_documents": _TFIDF_SQL,
         "max_concurrency_events": _MAX_CONCURRENCY_SQL,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,

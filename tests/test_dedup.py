@@ -396,3 +396,51 @@ def test_incremental_dedup_only_hashes_shuffle(spark):
 
     anti = plan[plan.find("LeftAnti") :]
     assert "md5" in anti
+
+
+def test_duplicate_spans_known_answer(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import duplicate_spans
+
+    boiler = "one two three four"  # repeated 4-gram across docs
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta {boiler}"),
+        (2, f"unique opening words here {boiler} tail x"),
+        (3, "totally novel content with no repeats at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, n=4).collect()
+    }
+    # doc1 tokens: boiler(0-3) alpha beta gamma delta(4-7) boiler(8-11)
+    # -> spans [0,3] and [8,11]; doc2: boiler at position 4 -> [4,7]
+    assert got == {(1, 0, 3, 4), (1, 8, 11, 4), (2, 4, 7, 4)}
+
+
+def test_duplicate_spans_merges_overlapping_and_adjacent(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import duplicate_spans
+
+    # 'a b c d e' repeated -> in a doc containing it twice back-to-back
+    # every covering 3-gram is duplicated and the covered ranges merge
+    # into one maximal span
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c d e"), (2, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, n=3).collect()
+    )
+    # every 3-gram of the repeated phrase occurs >= 2x -> full coverage
+    assert got == [(1, 0, 9), (2, 0, 4)]
+
+
+def test_duplicate_spans_short_docs_and_no_dups(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also brief"), (3, "x y z w"), (4, "p q r s")],
+        "doc_id long, text string",
+    )
+    # nothing repeats at 3-gram granularity -> empty result
+    assert duplicate_spans(df, n=3).count() == 0
