@@ -2507,6 +2507,20 @@ def _duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PSI-style distribution drift between two order snapshots over
+    # fixed equal-width price buckets; Laplace-smoothed integer counts
+    # keep every log2 argument an integer (engine-exact)
+    from skylinemapreducehadoop_spark.operators.stats import distribution_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 4 != 0)
+    cur = orders.where(F.col("o_orderkey") % 4 == 0)
+    return distribution_drift(
+        base, cur, "o_totalprice", lo=0.0, hi=600000.0, n_buckets=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-9 window (rotation log + staleness table
@@ -2584,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW mid-r9 (locally verified with tools/check_contract.py;
         # rotates into the checked window in r10):
         "duplicate_spans_documents": _duplicate_spans_documents,
+        "distribution_drift_orders": _distribution_drift_orders,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3455,6 +3470,42 @@ SELECT doc_id FROM (
 ) WHERE rn = 1 ORDER BY doc_id
 """
 
+_DRIFT_SQL = """
+WITH base AS (
+  SELECT o_totalprice AS v FROM orders
+  WHERE o_orderkey % 4 <> 0 AND o_totalprice IS NOT NULL
+),
+cur AS (
+  SELECT o_totalprice AS v FROM orders
+  WHERE o_orderkey % 4 = 0 AND o_totalprice IS NOT NULL
+),
+grid AS (SELECT unnest(range(0, 10)) AS bucket),
+bb AS (
+  SELECT CAST(least(9, greatest(0, floor((v - 0.0) / 60000.0))) AS INT) AS bucket,
+         count(*) AS n
+  FROM base GROUP BY 1
+),
+cc AS (
+  SELECT CAST(least(9, greatest(0, floor((v - 0.0) / 60000.0))) AS INT) AS bucket,
+         count(*) AS n
+  FROM cur GROUP BY 1
+),
+j AS (
+  SELECT CAST(g.bucket AS INT) AS bucket,
+         coalesce(bb.n, 0) AS n_base, coalesce(cc.n, 0) AS n_cur
+  FROM grid g LEFT JOIN bb ON bb.bucket = g.bucket
+              LEFT JOIN cc ON cc.bucket = g.bucket
+),
+t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+SELECT bucket, n_base, n_cur,
+       round(
+         ((n_base + 1) / CAST(tb + 10 AS DOUBLE)
+          - (n_cur + 1) / CAST(tc + 10 AS DOUBLE))
+         * (log2(CAST((n_base + 1) * (tc + 10) AS DOUBLE))
+            - log2(CAST((n_cur + 1) * (tb + 10) AS DOUBLE))), 6) AS psi_term
+FROM j CROSS JOIN t ORDER BY bucket
+"""
+
 _DUP_SPANS_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
@@ -3508,6 +3559,7 @@ def oracle_sql() -> dict[str, str]:
     sky = _sky_oracle()
     return {
         # round-9 additions
+        "distribution_drift_orders": _DRIFT_SQL,
         "duplicate_spans_documents": _DUP_SPANS_SQL,
         "tfidf_keywords_documents": _TFIDF_SQL,
         "max_concurrency_events": _MAX_CONCURRENCY_SQL,

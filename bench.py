@@ -81,16 +81,29 @@ PROBE_QUERIES = [
     "bpe_train_documents",
     "bm25_search_documents",  # direct path = the index BUILD's corpus shape
     "bm25_index_search_documents",  # partition-pruned probe path
+    # r9 document-pipeline additions: replicated docs make EVERY
+    # document fully duplicated, so duplicate_spans sees total span
+    # coverage and incremental_dedup sees a worst-case all-dup batch
+    "duplicate_spans_documents",
+    "incremental_dedup_documents",
+    "tfidf_keywords_documents",
+    # events now replicated too (re-keyed event_id, timestamps kept):
+    # 10x denser per-type interval overlap for the sweep line, 10x
+    # longer per-user sequences for the session window
+    "max_concurrency_events",
+    "sessionize_events",
 ]
 PROBE_REPLICAS = 10
 
 
 def _build_scale_replicas(spark, sf_dir: str, base: str, n_rep: int) -> None:
-    """Materialize n_rep-times replicated lineitem + documents tables
-    (all the probe queries need) under ``base``, once — the content is
-    deterministic, so an existing build is reused. Document ids are
-    re-keyed unique; texts repeat, planting ~n_rep² more dup pairs
-    (the adversarial shape for the near-dup path)."""
+    """Materialize n_rep-times replicated lineitem + documents + events
+    tables (all the probe queries need) under ``base``, once — the
+    content is deterministic, so an existing build is reused. Document
+    ids are re-keyed unique; texts repeat, planting ~n_rep² more dup
+    pairs (the adversarial shape for the near-dup path); event ids are
+    re-keyed with timestamps kept, so per-type interval density grows
+    10x (the sweep-line stress shape)."""
     from pyspark.sql import functions as F
 
     marker = os.path.join(base, "_BUILT")
@@ -119,6 +132,21 @@ def _build_scale_replicas(spark, sf_dir: str, base: str, n_rep: int) -> None:
         .repartition(par)
         .write.mode("overwrite")
         .parquet(os.path.join(base, "documents.parquet"))
+    )
+    # replicate from the NORMALIZED table: the raw file stores ts as
+    # TIMESTAMP(NANOS) (read as long under nanosAsLong) — writing that
+    # long back would produce a plain int64 column the loader would not
+    # recognize as a timestamp
+    from skylinemapreducehadoop_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))))
+        .withColumn("event_id", F.col("event_id") * n_rep + F.col("__r"))
+        .drop("__r")
+        .repartition(par)
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "events.parquet"))
     )
     with open(marker, "w"):
         pass
@@ -201,6 +229,12 @@ EXTRA_QUERIES = [
     "clustering_coefficient_copurchase",
     "frequent_pairs_orders",
     "table_diff_orders",
+    # new in round 9
+    "tfidf_keywords_documents",
+    "max_concurrency_events",
+    "incremental_dedup_documents",
+    "frame_sample_check",
+    "duplicate_spans_documents",
 ]
 
 
@@ -296,15 +330,21 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
 
+        # extras are primed too: a cold first run (page cache + codegen)
+        # can double a median-of-3 — measured 14.2s cold vs 5.3s warm on
+        # decontaminate_fuzzy — and cross-round extra comparisons should
+        # track plans, not cache state
         for name in EXTRA_QUERIES:
             try:
-                extra[name] = _median3(name)
+                extra[name] = _median3(name, prime=True)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
 
     scale_probe: dict = {}
     if probe_only or os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        base = "/tmp/scale_probe_%s_x%d" % (
+        # v2: replica set now includes events (a pre-v2 dir has a
+        # _BUILT marker but no events.parquet — never half-reuse it)
+        base = "/tmp/scale_probe_%s_x%d_v2" % (
             os.path.basename(sf_dir.rstrip("/")),
             PROBE_REPLICAS,
         )

@@ -166,7 +166,16 @@ def recover_partitioned(spark: SparkSession, target_path: str) -> str:
     if not fs.exists(hp):
         return "none"
     names = _list_names(spark, target_path)
-    markers = [n for n, d in names if n.startswith(_MARKER_PREFIX) and not d]
+    markers = [
+        n
+        for n, d in names
+        if n.startswith(_MARKER_PREFIX) and not d and n.endswith(".json")
+    ]
+    # an interrupted marker write leaves a `.json.tmp<hex>` file — it was
+    # never promoted (the rename IS the publish), so it is pure litter
+    for n, d in names:
+        if n.startswith(_MARKER_PREFIX) and not d and not n.endswith(".json"):
+            fs.delete(_hpath(spark, f"{target_path}/{n}"), False)
     stagings = {n for n, d in names if n.startswith(_STAGING_PREFIX) and d}
     acted = "none"
     referenced: set[str] = set()

@@ -444,3 +444,43 @@ def test_duplicate_spans_short_docs_and_no_dups(spark):
     )
     # nothing repeats at 3-gram granularity -> empty result
     assert duplicate_spans(df, n=3).count() == 0
+
+
+def test_duplicate_spans_randomized_vs_bruteforce(spark):
+    import random
+
+    from skylinemapreducehadoop_spark.operators.dedup import duplicate_spans
+
+    rng = random.Random(4111)
+    n = 3
+    docs = [
+        (i, " ".join(rng.choice("abcde") for _ in range(rng.randrange(2, 25))))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, n=n).collect()
+    }
+    # brute force: count every n-gram occurrence, merge covered ranges
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in docs}
+    counts = Counter(
+        " ".join(v[p : p + n]) for v in toks.values() for p in range(len(v) - n + 1)
+    )
+    want = set()
+    for i, v in toks.items():
+        hits = [
+            p for p in range(len(v) - n + 1) if counts[" ".join(v[p : p + n])] >= 2
+        ]
+        # merge rule: a hit extends the previous span when its range
+        # overlaps or is adjacent (p <= prev_end + 1)
+        spans = []
+        for p in hits:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], p + n - 1)
+            else:
+                spans.append((p, p + n - 1))
+        want.update((i, a, b) for a, b in spans)
+    assert got == want

@@ -87,6 +87,7 @@ BNLJ_OK = {
     "clustering_coefficient_copurchase",  # 1-row wedge-count frame
     "frequent_pairs_orders",  # 1-row basket-count frame
     "tfidf_keywords_documents",  # 1-row corpus-size (n_docs) frame
+    "distribution_drift_orders",  # 1-row (total_base, total_cur) frame
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the
     # minhash/setsim sublinear paths — see COVERAGE.md); its nested

@@ -115,3 +115,49 @@ def test_frequent_pairs_support_and_lift(spark):
     # min_support filters
     out2 = frequent_pairs(df, "basket", "item", min_support=3, k=10).collect()
     assert len(out2) == 1 and out2[0]["item_a"] == "a"
+
+
+def test_distribution_drift_matches_reference(spark):
+    import math
+
+    from skylinemapreducehadoop_spark.operators.stats import distribution_drift
+
+    base_vals = [5.0, 15.0, 15.0, 25.0, 25.0, 25.0, 95.0, -3.0]  # -3 clamps to b0
+    cur_vals = [5.0, 85.0, 85.0, 95.0, 95.0, 120.0]  # 120 clamps to b9
+    base = spark.createDataFrame([(v,) for v in base_vals], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_vals], "x double")
+    got = {
+        r["bucket"]: (r["n_base"], r["n_cur"], r["psi_term"])
+        for r in distribution_drift(base, cur, "x", lo=0.0, hi=100.0, n_buckets=10).collect()
+    }
+    B = 10
+    cb = [0] * B
+    cc = [0] * B
+    for v in base_vals:
+        cb[min(B - 1, max(0, int((v - 0.0) // 10.0)))] += 1
+    for v in cur_vals:
+        cc[min(B - 1, max(0, int((v - 0.0) // 10.0)))] += 1
+    tb, tc = sum(cb) + B, sum(cc) + B
+    assert set(got) == set(range(B))
+    for b in range(B):
+        p, q = (cb[b] + 1) / tb, (cc[b] + 1) / tc
+        want = round((p - q) * (math.log2((cb[b] + 1) * tc) - math.log2((cc[b] + 1) * tb)), 6)
+        assert got[b][0] == cb[b] and got[b][1] == cc[b], b
+        assert abs(got[b][2] - want) < 2e-6, (b, got[b][2], want)
+    # drifted distributions show positive total PSI; identical ones ~0
+    total = sum(t for _, _, t in got.values())
+    assert total > 0.1
+    same = distribution_drift(base, base, "x", lo=0.0, hi=100.0, n_buckets=10).collect()
+    assert all(abs(r["psi_term"]) < 1e-9 for r in same)
+
+
+def test_distribution_drift_guards(spark):
+    import pytest
+
+    from skylinemapreducehadoop_spark.operators.stats import distribution_drift
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "x", lo=0.0, hi=0.0)
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, "x", lo=0.0, hi=1.0, n_buckets=0)

@@ -300,3 +300,22 @@ def test_interval_concurrency_single_shuffle_no_join(spark):
     # sweep-line: union + window + agg — no join node of any kind
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
+
+
+def test_interval_concurrency_randomized_vs_bruteforce(spark):
+    import random
+
+    from skylinemapreducehadoop_spark.operators.temporal import interval_concurrency
+
+    rng = random.Random(907)
+    rows = []
+    for k in ("a", "b", "c"):
+        for _ in range(60):
+            s = rng.randrange(0, 50)
+            rows.append((k, s, s + rng.randrange(0, 12)))  # some empty
+    df = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    got = {r["k"]: r["max_concurrent"] for r in interval_concurrency(df, by="k").collect()}
+    for k in ("a", "b", "c"):
+        iv = [(s, e) for g, s, e in rows if g == k and e > s]
+        want = max(sum(1 for s, e in iv if s <= t < e) for t in range(0, 70))
+        assert got[k] == want, k
