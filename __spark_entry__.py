@@ -2507,6 +2507,53 @@ def _duplicate_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 9th streaming driver entry: watermarked per-hour value histograms
+    # (the streaming half of drift monitoring — windowed_histogram),
+    # replayed availableNow; the per-window PSI vs the all-time
+    # distribution is a tiny batch decoration on the histogram frame
+    # (Laplace-smoothed integer counts, integer-arg log2 — the
+    # distribution_drift exactness rules)
+    from skylinemapreducehadoop_spark.streaming.incremental import windowed_histogram
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "value")
+        .where(F.col("value").isNotNull())
+    )
+    tmp = _replay_dir(spark, ev, "stream_drift_replay_")
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(
+        tmp + "/src"
+    )
+    hist = windowed_histogram(stream, lo=0.0, hi=500.0, n_buckets=10)
+    # pin the (windows x buckets)-sized result: the PSI decoration
+    # self-joins it three ways, and a memory-sink table re-referenced
+    # in its own join trips conflicting-reference resolution
+    res = _run_replay(hist, tmp, mode="complete").localCheckpoint(eager=True)
+    total = res.groupBy("bucket").agg(F.sum("n").alias("n_all"))
+    wt = res.groupBy("window_start").agg(F.sum("n").alias("__w"))
+    gt = res.agg(F.sum("n").alias("__t"))
+    B = 10
+    p = (F.col("n") + 1).cast("double") / (F.col("__w") + B).cast("double")
+    q = (F.col("n_all") + 1).cast("double") / (F.col("__t") + B).cast("double")
+    term = (p - q) * (
+        F.log2(((F.col("n") + 1) * (F.col("__t") + B)).cast("double"))
+        - F.log2(((F.col("n_all") + 1) * (F.col("__w") + B)).cast("double"))
+    )
+    return (
+        res.join(total, "bucket")
+        .join(wt, "window_start")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            F.col("window_start").alias("hour_start"),
+            "bucket",
+            "n",
+            F.round(term, 6).alias("psi_term"),
+        )
+        .orderBy("hour_start", "bucket")
+    )
+
+
 def _distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PSI-style distribution drift between two order snapshots over
     # fixed equal-width price buckets; Laplace-smoothed integer counts
@@ -2599,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates into the checked window in r10):
         "duplicate_spans_documents": _duplicate_spans_documents,
         "distribution_drift_orders": _distribution_drift_orders,
+        "streaming_drift_replay": _streaming_drift_replay,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3506,6 +3554,26 @@ SELECT bucket, n_base, n_cur,
 FROM j CROSS JOIN t ORDER BY bucket
 """
 
+_STREAM_DRIFT_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(least(9, greatest(0, floor((value - 0.0) / 50.0))) AS INT) AS bucket,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT bucket, sum(n) AS n_all FROM h GROUP BY 1),
+wt AS (SELECT hour_start, sum(n) AS w FROM h GROUP BY 1),
+g AS (SELECT sum(n) AS t FROM h)
+SELECT h.hour_start, h.bucket, h.n,
+       round(
+         ((h.n + 1) / CAST(w + 10 AS DOUBLE)
+          - (n_all + 1) / CAST(t + 10 AS DOUBLE))
+         * (log2(CAST((h.n + 1) * (t + 10) AS DOUBLE))
+            - log2(CAST((n_all + 1) * (w + 10) AS DOUBLE))), 6) AS psi_term
+FROM h JOIN tot USING (bucket) JOIN wt USING (hour_start) CROSS JOIN g
+ORDER BY hour_start, bucket
+"""
+
 _DUP_SPANS_SQL = r"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
@@ -3561,6 +3629,7 @@ def oracle_sql() -> dict[str, str]:
         # round-9 additions
         "distribution_drift_orders": _DRIFT_SQL,
         "duplicate_spans_documents": _DUP_SPANS_SQL,
+        "streaming_drift_replay": _STREAM_DRIFT_SQL,
         "tfidf_keywords_documents": _TFIDF_SQL,
         "max_concurrency_events": _MAX_CONCURRENCY_SQL,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,

@@ -61,6 +61,44 @@ def hourly_rollup(
     )
 
 
+def windowed_histogram(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window equal-width value histogram — the
+    STREAMING half of a distribution-drift monitor (batch twin:
+    ``operators/stats.distribution_drift``): per window, exact integer
+    counts over fixed [lo, hi) buckets, out-of-range values clamped
+    into the edge buckets. All built-ins, so state (one row per
+    window x observed bucket, closed by the watermark), late-data
+    handling and partial aggregation come from the engine; a
+    downstream PSI decoration is a tiny batch join on the histogram
+    frame. Only observed (window, bucket) pairs are emitted — zero
+    buckets are the consumer's to fill if needed."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    width = (hi - lo) / n_buckets
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
+    # group by the window STRUCT (extracting .start before the agg
+    # severs watermark propagation); project start afterwards
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w").start.alias("window_start"), "bucket", "n")
+    )
+
+
 def session_rollup(
     stream: DataFrame,
     *,

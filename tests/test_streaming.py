@@ -359,3 +359,56 @@ def test_streaming_group_moments_exact_and_batch_invariant(spark, tmp_path):
         n, s, sxx = want.get(r["event_type"], (0, 0, 0))
         want[r["event_type"]] = (n + 1, s + q_, sxx + q_ * q_)
     assert one == want
+
+
+def test_windowed_histogram_stream_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.streaming.incremental import windowed_histogram
+
+    rows = []
+    for h in range(3):
+        for i in range(40):
+            rows.append((f"2024-01-01 0{h}:{i % 60:02d}:00", float((h * 37 + i * 13) % 120 - 10)))
+    df = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, value double").parquet(src)
+    out = windowed_histogram(stream, lo=0.0, hi=100.0, n_buckets=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wh_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["bucket"]): r["n"]
+        for r in spark.table("wh_test").collect()
+    }
+    b = F.least(F.lit(9), F.greatest(F.lit(0), F.floor(F.col("value") / F.lit(10.0)))).cast("int")
+    want = {
+        (r["w"], r["bucket"]): r["n"]
+        for r in df.groupBy(
+            F.date_trunc("hour", "ts").alias("w"), b.alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    # clamping: value -10 lands in bucket 0; value 110 would land in 9
+    assert all(0 <= bkt <= 9 for _, bkt in got)
+
+
+def test_windowed_histogram_rejects_bad_args(spark):
+    import pytest
+
+    from skylinemapreducehadoop_spark.streaming.incremental import windowed_histogram
+
+    df = spark.readStream.format("rate").load().selectExpr("timestamp AS ts", "CAST(value AS DOUBLE) AS value")
+    with pytest.raises(ValueError):
+        windowed_histogram(df, lo=1.0, hi=1.0)
+    with pytest.raises(ValueError):
+        windowed_histogram(df, lo=0.0, hi=1.0, n_buckets=0)
