@@ -2554,6 +2554,56 @@ def _streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quantize_check_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 embedding quantization with the reconstruction-error bound
+    # asserted per row; scale/qvec are a fixed IEEE sequence on the
+    # float32-exact doubles, so the oracle reproduces them bit-for-bit.
+    # qvec is pinned via integer signatures (sum / L1 / max) instead of
+    # the raw array — the hash comparator's row sort cannot order
+    # array cells
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.quantize_roundtrip_check(emb)
+    zero = F.lit(0).cast("long")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "scale",
+        F.aggregate("qvec", zero, lambda a, q: a + q).alias("q_sum"),
+        F.aggregate("qvec", zero, lambda a, q: a + F.abs(q)).alias("q_l1"),
+        F.array_max("qvec").alias("q_max"),
+        "err_ok",
+    ).orderBy("vec_id")
+
+
+def _quantized_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@10 of cosine ranking over RECONSTRUCTED (int8-dequantized)
+    # vectors vs the exact-cosine ranking — the derived oracle row for
+    # the compression family (the ann_recall pattern): quantization is
+    # deterministic, so both rankings and their overlap hash exactly
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    qv = _query_vec(spark, sf_dir)
+    # quantize the query driver-side with the same formula
+    amax = max(abs(float(x)) for x in qv)
+    s = amax / 127.0
+    import math
+
+    rq = (
+        [min(127, max(-127, math.floor(float(x) / s + 0.5))) * s for x in qv]
+        if s > 0
+        else [0.0 for _ in qv]
+    )
+    exact = S.cosine_topk(corpus, qv, k=10).select("vec_id")
+    recon = S._quantized(corpus, "vec_id", "embedding").select(
+        F.col("id").alias("vec_id"),
+        S.dequantize_col("qvec", "scale").alias("rvec"),
+    )
+    approx = S.cosine_topk(recon, rq, k=10, vec_col="rvec").select("vec_id")
+    both = exact.intersect(approx)
+    return both.agg(F.count(F.lit(1)).alias("n_overlap")).select(
+        "n_overlap", F.round(F.col("n_overlap") / F.lit(10.0), 6).alias("recall")
+    )
+
+
 def _distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PSI-style distribution drift between two order snapshots over
     # fixed equal-width price buckets; Laplace-smoothed integer counts
@@ -2647,6 +2697,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": _duplicate_spans_documents,
         "distribution_drift_orders": _distribution_drift_orders,
         "streaming_drift_replay": _streaming_drift_replay,
+        "quantize_check_embeddings": _quantize_check_embeddings,
+        "quantized_recall_check": _quantized_recall_check,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3554,6 +3606,71 @@ SELECT bucket, n_base, n_cur,
 FROM j CROSS JOIN t ORDER BY bucket
 """
 
+_QUANTIZE_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM base
+),
+q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(v, x -> CAST(least(127, greatest(-127,
+                     floor(x / scale + 0.5))) AS INT))
+              ELSE list_transform(v, x -> 0) END AS qvec
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qvec, q -> abs(q))) AS BIGINT) AS q_l1,
+       list_max(qvec) AS q_max,
+       list_max(list_transform(range(1, len(v) + 1),
+                i -> abs(qvec[i] * scale - v[i]))) <= scale * 0.5 + 1e-12 AS err_ok
+FROM q ORDER BY vec_id
+"""
+
+_QRECALL_SQL = """
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+qrow AS (SELECT v FROM base WHERE vec_id = 0),
+qs AS (SELECT v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM qrow),
+qrec AS (
+  SELECT CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(least(127, greatest(-127,
+                     floor(x / s + 0.5))) AS INT) * s)
+              ELSE list_transform(v, x -> 0.0) END AS rv
+  FROM qs
+),
+cs AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+  FROM base WHERE vec_id <> 0
+),
+crec AS (
+  SELECT vec_id, CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(least(127, greatest(-127,
+                     floor(x / s + 0.5))) AS INT) * s)
+              ELSE list_transform(v, x -> 0.0) END AS rv
+  FROM cs
+),
+exact10 AS (
+  SELECT b.vec_id FROM base b, qrow
+  WHERE b.vec_id <> 0
+  ORDER BY list_cosine_similarity(b.v, qrow.v) DESC, b.vec_id LIMIT 10
+),
+approx10 AS (
+  SELECT c.vec_id FROM crec c, qrec
+  ORDER BY list_cosine_similarity(c.rv, qrec.rv) DESC, c.vec_id LIMIT 10
+)
+SELECT CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) / 10.0, 6) AS recall
+FROM (SELECT vec_id FROM exact10 INTERSECT SELECT vec_id FROM approx10)
+"""
+
 _STREAM_DRIFT_SQL = """
 WITH h AS (
   SELECT date_trunc('hour', ts) AS hour_start,
@@ -3630,6 +3747,8 @@ def oracle_sql() -> dict[str, str]:
         "distribution_drift_orders": _DRIFT_SQL,
         "duplicate_spans_documents": _DUP_SPANS_SQL,
         "streaming_drift_replay": _STREAM_DRIFT_SQL,
+        "quantize_check_embeddings": _QUANTIZE_SQL,
+        "quantized_recall_check": _QRECALL_SQL,
         "tfidf_keywords_documents": _TFIDF_SQL,
         "max_concurrency_events": _MAX_CONCURRENCY_SQL,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,

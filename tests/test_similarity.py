@@ -336,3 +336,57 @@ def test_kmeans_lloyd_guards(spark):
         kmeans_lloyd(df, k=5)
     with pytest.raises(ValueError):
         kmeans_lloyd(df, k=0)
+
+
+def test_quantize_embeddings_matches_numpy_reference(spark):
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        quantize_embeddings,
+        quantize_roundtrip_check,
+    )
+
+    rng = np.random.default_rng(55)
+    vecs = [rng.normal(size=8).astype(np.float32) for _ in range(20)]
+    vecs.append(np.zeros(8, dtype=np.float32))  # zero vector edge
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: (r["scale"], r["qvec"]) for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        x = v.astype(np.float64)
+        amax = float(np.max(np.abs(x)))
+        s = amax / 127.0
+        if s > 0:
+            q = [int(min(127, max(-127, np.floor(xi / s + 0.5)))) for xi in x]
+        else:
+            q = [0] * len(x)
+        assert got[i][0] == s, i
+        assert got[i][1] == q, i
+        # reconstruction bound
+        if s > 0:
+            assert max(abs(qi * s - xi) for qi, xi in zip(q, x)) <= s / 2 + 1e-12
+    chk = quantize_roundtrip_check(df).collect()
+    assert all(r["err_ok"] for r in chk)
+
+
+def test_quantized_ranking_recall_is_high(spark):
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        _quantized,
+        cosine_topk,
+        dequantize_col,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    corpus = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(1, 200)]
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    qv = [float(x) for x in rng.normal(size=16)]
+    exact = [r["vec_id"] for r in cosine_topk(df, qv, k=10).collect()]
+    recon = _quantized(df, "vec_id", "embedding").select(
+        F.col("id").alias("vec_id"), dequantize_col("qvec", "scale").alias("rvec")
+    )
+    approx = [r["vec_id"] for r in cosine_topk(recon, qv, k=10, vec_col="rvec").collect()]
+    # int8 error is ~0.4% of range: top-10 should survive nearly intact
+    assert len(set(exact) & set(approx)) >= 8
