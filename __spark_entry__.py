@@ -2604,6 +2604,41 @@ def _quantized_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_scan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Z-order layout path driven end-to-end through the driver
+    # contract: a build-once Morton-clustered rewrite of lineitem, then
+    # a 2-D range scan whose ROWS must equal the plain table's — layout
+    # must never change results (row-group skipping itself is proven by
+    # the scan-metrics pytest). Rewrite cached on the source fingerprint.
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nofp"
+    tag = hashlib.md5(f"{sf_dir}|{fp}|zorder_v1".encode()).hexdigest()[:10]
+    zpath = os.path.join(tempfile.gettempdir(), f"zorder_lineitem_{tag}")
+    if not os.path.exists(os.path.join(zpath, "_SUCCESS")):
+        from skylinemapreducehadoop_spark.sources.layout import write_zordered
+
+        li = load_table(spark, sf_dir, "lineitem")
+        write_zordered(li, zpath, "l_extendedprice", "l_quantity", n_files=8)
+    z = spark.read.parquet(zpath)
+    return (
+        z.where(
+            (F.col("l_extendedprice") >= 20000)
+            & (F.col("l_extendedprice") < 30000)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") < 20)
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 def _distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PSI-style distribution drift between two order snapshots over
     # fixed equal-width price buckets; Laplace-smoothed integer counts
@@ -2699,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift_replay": _streaming_drift_replay,
         "quantize_check_embeddings": _quantize_check_embeddings,
         "quantized_recall_check": _quantized_recall_check,
+        "zorder_scan_check": _zorder_scan_check,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3749,6 +3785,13 @@ def oracle_sql() -> dict[str, str]:
         "streaming_drift_replay": _STREAM_DRIFT_SQL,
         "quantize_check_embeddings": _QUANTIZE_SQL,
         "quantized_recall_check": _QRECALL_SQL,
+        "zorder_scan_check": """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem
+WHERE l_extendedprice >= 20000 AND l_extendedprice < 30000
+  AND l_quantity >= 10 AND l_quantity < 20
+ORDER BY l_orderkey, l_linenumber
+""",
         "tfidf_keywords_documents": _TFIDF_SQL,
         "max_concurrency_events": _MAX_CONCURRENCY_SQL,
         "incremental_dedup_documents": _INCREMENTAL_DEDUP_SQL,
