@@ -235,6 +235,10 @@ EXTRA_QUERIES = [
     "incremental_dedup_documents",
     "frame_sample_check",
     "duplicate_spans_documents",
+    "distribution_drift_orders",
+    "quantize_check_embeddings",
+    "quantized_recall_check",
+    "zorder_scan_check",
 ]
 
 

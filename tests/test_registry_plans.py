@@ -35,6 +35,7 @@ SKIP_EAGER = {
     "streaming_enrich_replay",
     "streaming_rollup_replay",
     "streaming_moments_replay",
+    "streaming_drift_replay",
     "ann_ivf_topk",  # builds/persists the IVF index
     "bm25_index_search_documents",  # builds/persists the inverted index
     "ann_recall_ivf",
