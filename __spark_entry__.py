@@ -2639,6 +2639,47 @@ def _zorder_scan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis weighted sample (inclusion ∝ n_chars) — the
+    # importance-sampling step of corpus curation, RNG-free so the
+    # oracle draws the IDENTICAL rows from the same md5 grid
+    from skylinemapreducehadoop_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    out = weighted_sample(docs, 50, "n_chars", ["text"], tiebreak_cols=["doc_id"])
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+def _zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf's-law fit of the corpus token-frequency distribution:
+    # regress log2(freq) on log2(rank) over the top 200 ranks — slope
+    # ≈ -alpha. Pure operator COMPOSITION: tokens explode+agg, a
+    # TakeOrdered top-200 (never a global vocab sort; the rank window
+    # runs on the bounded 200-row frame), then the engine-exact
+    # decimal-moment linear_fit
+    from pyspark.sql import Window
+
+    from skylinemapreducehadoop_spark.functions.text import tokens
+    from skylinemapreducehadoop_spark.operators.stats import linear_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = tf.orderBy(F.col("cnt").desc(), "tok").limit(200)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tok"))
+    )
+    pts = ranked.select(
+        F.log2(F.col("rank").cast("double")).alias("lx"),
+        F.log2(F.col("cnt").cast("double")).alias("ly"),
+    )
+    return linear_fit(pts, "lx", "ly", x_scale=1_000_000, y_scale=1_000_000)
+
+
 def _distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PSI-style distribution drift between two order snapshots over
     # fixed equal-width price buckets; Laplace-smoothed integer counts
@@ -2735,6 +2776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_check_embeddings": _quantize_check_embeddings,
         "quantized_recall_check": _quantized_recall_check,
         "zorder_scan_check": _zorder_scan_check,
+        "weighted_sample_documents": _weighted_sample_documents,
+        "zipf_fit_tokens": _zipf_fit_tokens,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3791,6 +3834,49 @@ FROM lineitem
 WHERE l_extendedprice >= 20000 AND l_extendedprice < 30000
   AND l_quantity >= 10 AND l_quantity < 20
 ORDER BY l_orderkey, l_linenumber
+""",
+        "weighted_sample_documents": """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5(text), 1, 15))::BIGINT % 4503599627370496 + 1)
+            / 4503599627370497.0) / n_chars AS pri
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+),
+top AS (SELECT doc_id, n_chars FROM s ORDER BY pri DESC, doc_id LIMIT 50)
+SELECT doc_id, n_chars FROM top ORDER BY doc_id
+""",
+        "zipf_fit_tokens": r"""
+WITH tf AS (
+  SELECT t AS tok, count(*) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+    FROM documents WHERE text IS NOT NULL) WHERE t <> '' GROUP BY t
+),
+top AS (SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT 200),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM top),
+q AS (
+  SELECT CAST(round(log2(rank) * 1000000) AS HUGEINT) AS x,
+         CAST(round(log2(cnt) * 1000000) AS HUGEINT) AS y
+  FROM r
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+  FROM q
+),
+d AS (
+  SELECT CAST(n AS DOUBLE) AS nd, n,
+         CAST(sx AS DOUBLE) / 1000000.0 AS sx, CAST(sy AS DOUBLE) / 1000000.0 AS sy,
+         CAST(sxx AS DOUBLE) / 1000000000000.0 AS sxx,
+         CAST(sxy AS DOUBLE) / 1000000000000.0 AS sxy,
+         CAST(syy AS DOUBLE) / 1000000000000.0 AS syy
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 9) AS slope,
+       round((sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd, 9) AS intercept,
+       round(((nd*sxy - sx*sy) * (nd*sxy - sx*sy))
+             / ((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 9) AS r2
+FROM d
 """,
         "tfidf_keywords_documents": _TFIDF_SQL,
         "max_concurrency_events": _MAX_CONCURRENCY_SQL,

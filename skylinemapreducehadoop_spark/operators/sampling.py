@@ -233,3 +233,44 @@ def stratified_topk_sample(
         .where(F.col("__rn") <= k)
         .drop("__h", "__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: Sequence[str | Column],
+    *,
+    tiebreak_cols: Sequence[str | Column] = (),
+    buckets: int = 1 << 52,
+) -> DataFrame:
+    """Exact-``k`` deterministic WEIGHTED sample without replacement
+    (Efraimidis & Spirakis, "Weighted random sampling with a
+    reservoir", IPL 2006): each row draws u uniform in (0, 1] from its
+    content hash and gets priority u^(1/w); the k largest priorities
+    are the sample — inclusion probability proportional to weight at
+    each sequential draw. RNG-free and layout-independent like the
+    rest of the sampling family (importance-sample a corpus by token
+    count / quality score and get the SAME rows on any engine).
+
+    Ranking uses the monotone-equivalent ``ln(u)/w`` (descending) —
+    no pow; u is an exactly-representable rational (52-bit hash grid),
+    so both the draw and its log reproduce cross-engine. Executes as
+    TakeOrdered (per-partition heaps), never a global sort. Rows with
+    NULL or non-positive weight are excluded; pass a unique id in
+    ``tiebreak_cols`` when the key can repeat.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ties = [F.col(c) if isinstance(c, str) else c for c in tiebreak_cols]
+    u = (_hash_bucket(key_cols, buckets) + 1).cast("double") / F.lit(
+        float(buckets + 1)
+    )
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__pri", pri)
+        .orderBy(F.col("__pri").desc(), *ties)
+        .limit(k)
+        .drop("__pri")
+    )

@@ -156,3 +156,56 @@ def test_stratified_topk_exact_k_per_stratum(spark):
     small = df.where((F.col("src") != "s2") | (F.col("id") < 6))
     kept = stratified_topk_sample(small, "src", 4, ["text"])
     assert kept.where(F.col("src") == "s2").count() == 2
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from skylinemapreducehadoop_spark.operators.sampling import weighted_sample
+
+    rows = [(i, f"doc number {i} text", (i % 7) * 10 + 1) for i in range(120)]
+    rows += [(500, "zero weight", 0), (501, None, 50), (502, "negweight", -3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w int")
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            df.where(df.text.isNotNull()), 10, "w", ["text"], tiebreak_cols=["doc_id"]
+        ).collect()
+    )
+
+    B = 1 << 52
+    def pri(text, w):
+        h = int(hashlib.md5(text.encode()).hexdigest()[:15], 16) % B
+        u = (h + 1) / float(B + 1)
+        return math.log(u) / w
+
+    ref = sorted(
+        (pri(t, w), i) for i, t, w in rows if t is not None and w > 0
+    )
+    want = sorted(i for _, i in sorted(((-p, i) for p, i in ref))[:10])
+    assert got == want
+    # zero/negative-weight and NULL rows never sampled
+    assert not {500, 501, 502} & set(got)
+    # partition-invariance
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            df.where(df.text.isNotNull()).repartition(13),
+            10, "w", ["text"], tiebreak_cols=["doc_id"],
+        ).collect()
+    )
+    assert again == got
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from skylinemapreducehadoop_spark.operators.sampling import weighted_sample
+
+    # 200 light rows (w=1) + 20 heavy rows (w=1000): a k=20 sample
+    # should be dominated by heavy rows (P[heavy wins a slot] >> 1/2)
+    rows = [(i, f"light row {i}", 1) for i in range(200)]
+    rows += [(1000 + i, f"heavy row {i}", 1000) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w int")
+    got = {r["doc_id"] for r in weighted_sample(df, 20, "w", ["text"]).collect()}
+    n_heavy = sum(1 for i in got if i >= 1000)
+    assert n_heavy >= 15, n_heavy
