@@ -2533,12 +2533,14 @@ def _streaming_drift_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = res.groupBy("bucket").agg(F.sum("n").alias("n_all"))
     wt = res.groupBy("window_start").agg(F.sum("n").alias("__w"))
     gt = res.agg(F.sum("n").alias("__t"))
+    from skylinemapreducehadoop_spark.operators.stats import psi_log_term
+
     B = 10
     p = (F.col("n") + 1).cast("double") / (F.col("__w") + B).cast("double")
     q = (F.col("n_all") + 1).cast("double") / (F.col("__t") + B).cast("double")
-    term = (p - q) * (
-        F.log2(((F.col("n") + 1) * (F.col("__t") + B)).cast("double"))
-        - F.log2(((F.col("n_all") + 1) * (F.col("__w") + B)).cast("double"))
+    # sum-of-single-integer-arg log2s — no count product, no overflow
+    term = (p - q) * psi_log_term(
+        F.col("n") + 1, F.col("__t") + B, F.col("n_all") + 1, F.col("__w") + B
     )
     return (
         res.join(total, "bucket")
@@ -2592,12 +2594,17 @@ def _quantized_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         if s > 0
         else [0.0 for _ in qv]
     )
-    exact = S.cosine_topk(corpus, qv, k=10).select("vec_id")
+    # rank on ROUNDED scores (6 digits) in both engines — raw BLAS vs
+    # sequential-fold cosines can differ in final ulps, and rank
+    # membership at the k boundary must not hinge on them
+    exact = S.cosine_topk(corpus, qv, k=10, round_digits=6).select("vec_id")
     recon = S._quantized(corpus, "vec_id", "embedding").select(
         F.col("id").alias("vec_id"),
         S.dequantize_col("qvec", "scale").alias("rvec"),
     )
-    approx = S.cosine_topk(recon, rq, k=10, vec_col="rvec").select("vec_id")
+    approx = S.cosine_topk(recon, rq, k=10, vec_col="rvec", round_digits=6).select(
+        "vec_id"
+    )
     both = exact.intersect(approx)
     return both.agg(F.count(F.lit(1)).alias("n_overlap")).select(
         "n_overlap", F.round(F.col("n_overlap") / F.lit(10.0), 6).alias("recall")
@@ -3680,8 +3687,9 @@ SELECT bucket, n_base, n_cur,
        round(
          ((n_base + 1) / CAST(tb + 10 AS DOUBLE)
           - (n_cur + 1) / CAST(tc + 10 AS DOUBLE))
-         * (log2(CAST((n_base + 1) * (tc + 10) AS DOUBLE))
-            - log2(CAST((n_cur + 1) * (tb + 10) AS DOUBLE))), 6) AS psi_term
+         * (log2(CAST(n_base + 1 AS DOUBLE)) + log2(CAST(tc + 10 AS DOUBLE))
+            - log2(CAST(n_cur + 1 AS DOUBLE)) - log2(CAST(tb + 10 AS DOUBLE))),
+         6) AS psi_term
 FROM j CROSS JOIN t ORDER BY bucket
 """
 
@@ -3739,11 +3747,11 @@ crec AS (
 exact10 AS (
   SELECT b.vec_id FROM base b, qrow
   WHERE b.vec_id <> 0
-  ORDER BY list_cosine_similarity(b.v, qrow.v) DESC, b.vec_id LIMIT 10
+  ORDER BY round(list_cosine_similarity(b.v, qrow.v), 6) DESC, b.vec_id LIMIT 10
 ),
 approx10 AS (
   SELECT c.vec_id FROM crec c, qrec
-  ORDER BY list_cosine_similarity(c.rv, qrec.rv) DESC, c.vec_id LIMIT 10
+  ORDER BY round(list_cosine_similarity(c.rv, qrec.rv), 6) DESC, c.vec_id LIMIT 10
 )
 SELECT CAST(count(*) AS BIGINT) AS n_overlap,
        round(count(*) / 10.0, 6) AS recall
@@ -3764,8 +3772,9 @@ SELECT h.hour_start, h.bucket, h.n,
        round(
          ((h.n + 1) / CAST(w + 10 AS DOUBLE)
           - (n_all + 1) / CAST(t + 10 AS DOUBLE))
-         * (log2(CAST((h.n + 1) * (t + 10) AS DOUBLE))
-            - log2(CAST((n_all + 1) * (w + 10) AS DOUBLE))), 6) AS psi_term
+         * (log2(CAST(h.n + 1 AS DOUBLE)) + log2(CAST(t + 10 AS DOUBLE))
+            - log2(CAST(n_all + 1 AS DOUBLE)) - log2(CAST(w + 10 AS DOUBLE))),
+         6) AS psi_term
 FROM h JOIN tot USING (bucket) JOIN wt USING (hour_start) CROSS JOIN g
 ORDER BY hour_start, bucket
 """

@@ -65,9 +65,17 @@ def cosine_topk(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_digits: int | None = None,
 ) -> DataFrame:
-    """Exact top-k by cosine; ties broken by id for determinism."""
+    """Exact top-k by cosine; ties broken by id for determinism.
+    ``round_digits`` ranks on the ROUNDED score instead (the repo's
+    engine-exactness rule for cross-engine rank comparisons: raw
+    library cosines can differ in final ulps between BLAS and a
+    sequential fold, so an oracle comparing rank MEMBERSHIP should
+    quantize before ordering)."""
     scored = cosine_score(df, query_vec, vec_col)
+    if round_digits is not None:
+        scored = scored.withColumn("score", F.round("score", round_digits))
     return (
         scored.orderBy(F.desc("score"), F.col(id_col))
         .limit(k)

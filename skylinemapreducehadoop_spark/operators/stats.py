@@ -257,6 +257,38 @@ def frequent_pairs(
     )
 
 
+def check_bucket_args(lo: float, hi: float, n_buckets: int) -> None:
+    """Shared argument guard for the equal-width bucketing family."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+
+
+def bucket_expr(value_col: str, lo: float, hi: float, n_buckets: int):
+    """Equal-width bucket id on [lo, hi): out-of-range values clamp
+    into the edge buckets. ONE definition shared by the batch drift
+    operator and the streaming windowed histogram, so their "batch
+    twin" contract can never silently diverge."""
+    width = (hi - lo) / n_buckets
+    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
+    return F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
+
+
+def psi_log_term(c1, t_other, c_other1, t_own):
+    """The log part of a smoothed PSI term with every log2 argument a
+    single integer — ``log2(c1) + log2(t_other) - log2(c_other1) -
+    log2(t_own)`` — algebraically log2(c1*t_other / (c_other1*t_own))
+    WITHOUT the product, which would overflow int64 once both factors
+    pass ~3e9 (two ~4-billion-row snapshots: routine at 100 TB)."""
+    return (
+        F.log2(c1.cast("double"))
+        + F.log2(t_other.cast("double"))
+        - F.log2(c_other1.cast("double"))
+        - F.log2(t_own.cast("double"))
+    )
+
+
 def distribution_drift(
     base: DataFrame,
     current: DataFrame,
@@ -274,29 +306,25 @@ def distribution_drift(
     ``(bucket, n_base, n_cur, psi_term)``; total PSI = sum of terms.
 
     Engine-exactness: per-bucket counts are exact integers; Laplace
-    +1 smoothing keeps EVERY log argument a positive integer, so the
-    term is ``(p - q) * (log2((c_b+1)*(N_c+B)) - log2((c_c+1)*(N_b+B)))``
-    with p, q the smoothed proportions — a fixed sequence of IEEE ops
-    on integer-valued doubles, rounded at 6 digits (the repo's
-    LM-scorer rules; PSI here is the log2 variant, a constant ln(2)
-    factor from the textbook natural-log form). Values outside
-    [lo, hi) clamp into the edge buckets, so no row is silently
-    dropped.
+    +1 smoothing keeps EVERY log argument a positive integer, and the
+    log of the smoothed-proportion ratio is computed as a SUM of four
+    single-integer-argument log2 terms (:func:`psi_log_term` — no
+    count product, so no int64 overflow at any snapshot size) — a
+    fixed sequence of IEEE ops on integer-valued doubles, rounded at
+    6 digits (the repo's LM-scorer rules; PSI here is the log2
+    variant, a constant ln(2) factor from the textbook natural-log
+    form). Values outside [lo, hi) clamp into the edge buckets, so no
+    non-NULL row is silently dropped; NULL values are excluded.
 
     Plan: one hash aggregate per side (map-side combined) over the
     bucket id — each snapshot is scanned once, column-pruned to
     ``value_col`` — then a B-row full-outer join and the closed-form
     term. At 100 TB the only data-sized work is the two scans.
     """
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    if not hi > lo:
-        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
-    width = (hi - lo) / n_buckets
+    check_bucket_args(lo, hi, n_buckets)
 
     def bucketed(df: DataFrame, out: str) -> DataFrame:
-        b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
-        b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
+        b = bucket_expr(value_col, lo, hi, n_buckets)
         return (
             df.where(F.col(value_col).isNotNull())
             .select(b.alias("bucket"))
@@ -323,9 +351,7 @@ def distribution_drift(
     tc1 = F.col("__tc") + F.lit(n_buckets)
     p = cb1.cast("double") / tb1.cast("double")
     q = cc1.cast("double") / tc1.cast("double")
-    term = (p - q) * (
-        F.log2((cb1 * tc1).cast("double")) - F.log2((cc1 * tb1).cast("double"))
-    )
+    term = (p - q) * psi_log_term(cb1, tc1, cc1, tb1)
     return (
         joined.crossJoin(F.broadcast(totals))
         .select("bucket", "n_base", "n_cur", F.round(term, 6).alias("psi_term"))

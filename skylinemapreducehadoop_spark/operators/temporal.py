@@ -328,7 +328,7 @@ def event_transitions(
     by: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-    tiebreak_col: str | None = "event_id",
+    tiebreak_col: str | None = ...,  # ... = unset (distinct from explicit)
     prob_digits: int = 6,
 ) -> DataFrame:
     """First-order Markov transition statistics over per-entity event
@@ -348,18 +348,19 @@ def event_transitions(
     frame actually has it — frames without one still work, with the
     caveat that simultaneous events (equal ``ts`` within a group)
     sequence in an unspecified order; pass an explicit ``tiebreak_col``
-    for full determinism. An explicitly-passed column that is absent
-    raises immediately with a clear message.
+    for full determinism. An EXPLICITLY-passed column that is absent
+    raises immediately with a clear message (the unset default is the
+    ``...`` sentinel, so an explicit ``tiebreak_col="event_id"`` is a
+    hard requirement, not a preference).
     """
-    if tiebreak_col is not None and tiebreak_col not in df.columns:
-        if tiebreak_col == "event_id":  # the default: degrade gracefully
-            tiebreak_col = None
-        else:
-            raise ValueError(
-                f"tiebreak_col {tiebreak_col!r} is not a column of the input "
-                f"frame (columns: {df.columns}); pass tiebreak_col=None to "
-                f"order by ts only"
-            )
+    if tiebreak_col is ...:  # unset: use event_id when present
+        tiebreak_col = "event_id" if "event_id" in df.columns else None
+    elif tiebreak_col is not None and tiebreak_col not in df.columns:
+        raise ValueError(
+            f"tiebreak_col {tiebreak_col!r} is not a column of the input "
+            f"frame (columns: {df.columns}); pass tiebreak_col=None to "
+            f"order by ts only"
+        )
     order = [F.col(ts_col)]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col))

@@ -25,8 +25,10 @@ Crash consistency (the commit protocol):
 - The marker (``_skymr_commit_<txid>.json``) is written via
   create-temp + rename, so it is either fully present or absent.
 - A crash BEFORE the marker leaves the table untouched (the staging
-  directory is invisible to readers and is garbage-collected by
-  :func:`recover_partitioned` as a rollback).
+  directory is invisible to readers; an explicit
+  :func:`recover_partitioned` call garbage-collects it as a rollback —
+  the entry points' AUTO-recovery deliberately leaves unmarked
+  stagings alone, since one could belong to a concurrent live writer).
 - A crash AFTER the marker is rolled FORWARD by
   :func:`recover_partitioned`: promotion is idempotent — a staged
   partition still present in staging has provably not been renamed
@@ -34,8 +36,9 @@ Crash consistency (the commit protocol):
   target directory and renames; partitions already promoted are
   skipped; delete-only directories (partitions emptied by a DELETE)
   are removed idempotently. After recovery the table is entirely old
-  or entirely new, never mixed. Both entry points auto-run recovery
-  first, so an earlier crashed writer is healed before new work.
+  or entirely new, never mixed. Both entry points auto-run the
+  roll-forward-only recovery first, so an earlier crashed writer's
+  marked commit is healed before new work.
 - Partition DIRECTORY names are never reconstructed from values:
   staged names come from listing what Spark's own writer produced,
   and to-delete names from listing the files the pruned scan actually
@@ -155,13 +158,27 @@ def _roll_forward(
         fs.delete(sp, True)
 
 
-def recover_partitioned(spark: SparkSession, target_path: str) -> str:
+def recover_partitioned(
+    spark: SparkSession, target_path: str, *, gc_unmarked: bool = True
+) -> str:
     """Heal a crashed :func:`upsert_partitioned` / :func:`delete_partitioned`:
     roll FORWARD any commit whose marker exists (the staged data is
     complete — markers are only written after the staging ``_SUCCESS``),
-    roll BACK (delete) any orphan staging directory with no marker.
-    Returns ``"none"``, ``"rolled_forward"`` or ``"rolled_back"``. Both
-    entry points call this automatically before doing new work."""
+    and — when ``gc_unmarked`` — roll BACK (delete) orphan staging
+    directories with no marker. Returns ``"none"``,
+    ``"rolled_forward"`` or ``"rolled_back"``.
+
+    Both entry points auto-run this with ``gc_unmarked=False``: rolling
+    a MARKED commit forward is always safe (the marker is the point of
+    no return and promotion is idempotent), but an unmarked staging
+    directory is indistinguishable from a CONCURRENT writer mid-stage —
+    deleting it out from under that writer would turn its commit into
+    partition deletion. Unmarked leftovers are invisible to readers
+    (underscore-prefixed), cost only disk, and are cleaned by an
+    explicit administrative ``recover_partitioned(...)`` call made when
+    no writer is active. (Two writers touching the SAME partitions
+    remain last-writer-wins, exactly like dynamic partition overwrite —
+    the protocol serializes crash atomicity, not isolation.)"""
     fs, hp = _fs(spark, target_path)
     if not fs.exists(hp):
         return "none"
@@ -185,10 +202,11 @@ def recover_partitioned(spark: SparkSession, target_path: str) -> str:
         _roll_forward(spark, target_path, meta["staging"], meta["delete_dirs"])
         fs.delete(_hpath(spark, f"{target_path}/{m}"), False)
         acted = "rolled_forward"
-    for s in stagings - referenced:
-        fs.delete(_hpath(spark, f"{target_path}/{s}"), True)
-        if acted == "none":
-            acted = "rolled_back"
+    if gc_unmarked:
+        for s in stagings - referenced:
+            fs.delete(_hpath(spark, f"{target_path}/{s}"), True)
+            if acted == "none":
+                acted = "rolled_back"
     return acted
 
 
@@ -289,7 +307,7 @@ def upsert_partitioned(
     keys = list(key_cols)
     if not keys:
         raise ValueError("key_cols must be non-empty")
-    recover_partitioned(spark, target_path)
+    recover_partitioned(spark, target_path, gc_unmarked=False)
     try:
         full = spark.read.parquet(target_path)
     except Exception as exc:  # AnalysisException: PATH_NOT_FOUND
@@ -350,8 +368,19 @@ def upsert_partitioned(
     _maybe_crash("post_staging")
     # every touched partition has >=1 update row, so staging covers each
     # one; old dirs with no staged replacement (a writer-escaping
-    # mismatch would be the only way) are deleted explicitly
-    staged = {n for n, d in _list_names(spark, f"{target_path}/{staging_name}") if d}
+    # mismatch would be the only way) are deleted explicitly. The
+    # _SUCCESS gate makes delete_dirs trustworthy: if the staging
+    # directory is somehow gone or torn (e.g. an external cleanup raced
+    # this writer), abort BEFORE the marker with the table untouched —
+    # never conclude "nothing staged, delete everything"
+    staging_listing = _list_names(spark, f"{target_path}/{staging_name}")
+    if not any(n == "_SUCCESS" for n, d in staging_listing if not d):
+        raise IOError(
+            f"staging {staging_name} has no _SUCCESS after write — it was "
+            f"removed or torn externally; aborting before promote "
+            f"(table left unchanged)"
+        )
+    staged = {n for n, d in staging_listing if d}
     delete_dirs = [d for d in _touched_dir_names(existing) if d not in staged]
     _commit(spark, target_path, staging_name, delete_dirs)
     return len(parts)
@@ -387,7 +416,7 @@ def delete_partitioned(
     kc = list(key_cols)
     if not kc:
         raise ValueError("key_cols must be non-empty")
-    recover_partitioned(spark, target_path)
+    recover_partitioned(spark, target_path, gc_unmarked=False)
     full = spark.read.parquet(target_path)
     touched_rows = (
         full.select(*kc, partition_col)
@@ -413,11 +442,14 @@ def delete_partitioned(
     # fully-emptied partitions are absent from staging: their on-disk
     # directory names come from the files the pruned scan actually read
     old_dirs = _touched_dir_names(touched)
-    staged = {
-        n
-        for n, d in _list_names(spark, f"{target_path}/{staging_name}")
-        if d and "=" in n
-    }
+    staging_listing = _list_names(spark, f"{target_path}/{staging_name}")
+    if not any(n == "_SUCCESS" for n, d in staging_listing if not d):
+        raise IOError(
+            f"staging {staging_name} has no _SUCCESS after write — it was "
+            f"removed or torn externally; aborting before promote "
+            f"(table left unchanged)"
+        )
+    staged = {n for n, d in staging_listing if d and "=" in n}
     if not staged <= set(old_dirs):
         # a staged directory with no matching on-disk original would be
         # promoted ALONGSIDE the stale one (writer-escaping mismatch) —

@@ -74,25 +74,25 @@ def windowed_histogram(
 ) -> DataFrame:
     """Watermarked tumbling-window equal-width value histogram — the
     STREAMING half of a distribution-drift monitor (batch twin:
-    ``operators/stats.distribution_drift``): per window, exact integer
-    counts over fixed [lo, hi) buckets, out-of-range values clamped
-    into the edge buckets. All built-ins, so state (one row per
-    window x observed bucket, closed by the watermark), late-data
+    ``operators/stats.distribution_drift``, whose ``bucket_expr`` is
+    REUSED here so the two can never silently diverge): per window,
+    exact integer counts over fixed [lo, hi) buckets, out-of-range
+    values clamped into the edge buckets, NULL values excluded —
+    exactly the twin's row contract. All built-ins, so state (one row
+    per window x observed bucket, closed by the watermark), late-data
     handling and partial aggregation come from the engine; a
     downstream PSI decoration is a tiny batch join on the histogram
     frame. Only observed (window, bucket) pairs are emitted — zero
     buckets are the consumer's to fill if needed."""
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    if not hi > lo:
-        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
-    width = (hi - lo) / n_buckets
-    b = F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width))
-    b = F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), b)).cast("int")
+    from ..operators.stats import bucket_expr, check_bucket_args
+
+    check_bucket_args(lo, hi, n_buckets)
+    b = bucket_expr(value_col, lo, hi, n_buckets)
     # group by the window STRUCT (extracting .start before the agg
     # severs watermark propagation); project start afterwards
     return (
-        stream.withWatermark(ts_col, watermark)
+        stream.where(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), b.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w").start.alias("window_start"), "bucket", "n")

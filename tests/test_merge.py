@@ -284,3 +284,30 @@ def test_crash_consistency_delete_emptied_partition(spark, tmp_path, monkeypatch
     assert (1, 0) not in got
     assert len(got) == 50 - 10 - 1
     assert "part=3" not in os.listdir(path)
+
+
+def test_auto_recovery_leaves_concurrent_writers_staging_alone(spark, tmp_path):
+    """Entry-point auto-recovery must NOT garbage-collect an unmarked
+    staging directory — it could belong to a live concurrent writer
+    mid-stage (deleting it would turn that writer's later commit into
+    partition deletion). Only an explicit recover_partitioned() call
+    cleans unmarked leftovers."""
+    from skylinemapreducehadoop_spark.sources.merge import recover_partitioned
+
+    path = str(tmp_path / "tbl_conc")
+    _build_table(spark, path)
+    # simulate another writer mid-stage: unmarked staging with data
+    foreign = os.path.join(path, "_skymr_staging_deadbeef0000")
+    os.makedirs(os.path.join(foreign, "part=7"))
+    with open(os.path.join(foreign, "part=7", "x.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+
+    updates = spark.createDataFrame([(1, 3, "U")], "part int, id int, val string")
+    assert upsert_partitioned(spark, path, updates, ["part", "id"], "part") == 1
+    # the foreign staging survived the auto-heal...
+    assert os.path.isdir(foreign)
+    got = {(r["part"], r["id"]): r["val"] for r in spark.read.parquet(path).collect()}
+    assert got[(1, 3)] == "U" and len(got) == 50
+    # ...and the explicit administrative call rolls it back
+    assert recover_partitioned(spark, path) == "rolled_back"
+    assert not os.path.isdir(foreign)
