@@ -2376,6 +2376,25 @@ def _bpe_merges_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ENCODE half of the tokenizer (bpe_merges_check covers train):
+    # a fixed 5-merge table applied to 6 planted words — the token
+    # sequences are analytically determined (rank-order replay,
+    # left-to-right non-overlapping), so the Arrow-batched apply UDF
+    # gets a real known-answer oracle row set. Map-only at any scale
+    # (no Exchange in the plan — asserted in tests/test_bpe_encode.py).
+    table = [(0, "l", "o", 9), (1, "lo", "w", 8), (2, "e", "r", 7),
+             (3, "er", "</w>", 6), (4, "n", "e", 5)]
+    words = ["low", "lower", "lowest", "newer", "wider", "new"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    from skylinemapreducehadoop_spark.functions.text import bpe_encode
+
+    return (
+        bpe_encode(df, table, text_col="word")
+        .select("word", F.array_join("bpe_tokens", " ").alias("encoded"))
+    )
+
+
 def _pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top collocations by PMI (sum-of-integer-arg-log2 form, so the
     # doubles are engine-exact; ties rank by pair)
@@ -2785,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_scan_check": _zorder_scan_check,
         "weighted_sample_documents": _weighted_sample_documents,
         "zipf_fit_tokens": _zipf_fit_tokens,
+        "bpe_encode_check": _bpe_encode_check,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3556,6 +3576,17 @@ SELECT * FROM (VALUES
 ) v("rank", "left", "right", pair_count)
 """
 
+_BPE_ENCODE_SQL = """
+SELECT * FROM (VALUES
+  ('low', 'low </w>'),
+  ('lower', 'low er</w>'),
+  ('lowest', 'low e s t </w>'),
+  ('newer', 'ne w er</w>'),
+  ('wider', 'w i d er</w>'),
+  ('new', 'ne w </w>')
+) v(word, encoded)
+"""
+
 _PMI_SQL = """
 WITH tk AS (
   SELECT doc_id, unnest(range(1, len(t)+1)) AS pos, unnest(t) AS tok
@@ -3901,6 +3932,7 @@ FROM d
         "bm25_index_search_documents": _BM25_SQL,
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
+        "bpe_encode_check": _BPE_ENCODE_SQL,
         "clustering_coefficient_copurchase": _CLUSTERING_SQL,
         "frequent_pairs_orders": _FREQ_PAIRS_SQL,
         "streaming_moments_replay": _STREAM_MOMENTS_SQL,

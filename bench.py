@@ -239,6 +239,8 @@ EXTRA_QUERIES = [
     "quantize_check_embeddings",
     "quantized_recall_check",
     "zorder_scan_check",
+    "bpe_encode_check",
+    "bpe_encode_documents",
 ]
 
 
@@ -278,6 +280,22 @@ def _bpe_train_documents(spark, sf_dir):
     )
 
 
+def _bpe_encode_documents(spark, sf_dir):
+    """Bench-only: apply a 50-merge trained table to the whole corpus
+    (the tokenize-everything pass of a training-data pipeline; map-only
+    at any scale). The driver-checked known-answer twin is
+    `bpe_encode_check`."""
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.functions.text import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = bpe_train(docs, n_merges=50)
+    return bpe_encode(docs.select("doc_id", "text"), merges).select(
+        "doc_id", F.size("bpe_tokens").alias("n_bpe_tokens")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -286,6 +304,7 @@ def main() -> None:
     qs = entrymod.queries()
     qs["skyline_gsod_volume"] = _skyline_gsod_volume
     qs["bpe_train_documents"] = _bpe_train_documents
+    qs["bpe_encode_documents"] = _bpe_encode_documents
 
     # Warm up the session once (Python UDF worker spawn + imports, JVM
     # JIT, page cache) so timings measure queries, not cold start.

@@ -956,3 +956,95 @@ def bpe_train(
         )
         words = words.select(fold.alias("syms"), "__f").localCheckpoint(eager=True)
     return merges
+
+
+def bpe_apply_word(
+    syms: list[str], ranked: Sequence[tuple[str, str]]
+) -> list[str]:
+    """Replay a BPE merge table over one word's symbol list, in rank
+    order, merging occurrences left-to-right non-overlapping — exactly
+    :func:`bpe_train`'s fold semantics, so encoding a training word
+    reproduces the symbols the trainer ended with.
+
+    Replay-in-rank-order is equivalent to the repeatedly-merge-the-
+    lowest-ranked-present-pair formulation (the common tokenizer-
+    library shape): a merge only creates adjacencies involving its own
+    output symbol (neighbors are untouched), and that output symbol
+    first participates in merges of HIGHER rank, so a lower-ranked
+    pair can never (re)appear after its rank has been replayed. The
+    equivalence is property-tested against an independent
+    lowest-rank-first implementation in tests/test_bpe_encode.py.
+    """
+    for left, right in ranked:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: Sequence[tuple],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Encode a corpus with a trained BPE merge table (the encode half
+    of the Sennrich, Haddow & Birch ACL'16 tokenizer; :func:`bpe_train`
+    produces the table). Adds ``out_col`` — ``array<string>`` of
+    subword symbols per document, word boundaries marked by the
+    ``end_of_word`` terminator symbol.
+
+    Accepts merge rows in either ``(rank, left, right, pair_count)``
+    form (bpe_train's output) or bare ``(left, right)`` pairs; rows
+    are replayed in rank order.
+
+    Distributed shape: the merge table is tokenizer-sized (32-50k
+    entries at a realistic vocabulary) — it ships once per task inside
+    the serialized UDF closure, never through a shuffle. Encoding is
+    row-local, so the operator is map-only at ANY corpus scale: no
+    exchange appears in the plan. The Python boundary is one
+    Arrow-batched pandas UDF (tokenizer state machines are not
+    expressible as JVM columns without materializing n_merges chained
+    passes over the corpus); within each batch, words are memoized —
+    under a Zipfian corpus a handful of word types dominates the token
+    stream, so per-batch cost is ~distinct-words x merges, not
+    tokens x merges.
+    """
+    ranked: list[tuple[str, str]] = []
+    for row in merges:
+        t = tuple(row)
+        if len(t) >= 3:
+            ranked.append((int(t[0]), str(t[1]), str(t[2])))
+        else:
+            ranked.append((len(ranked), str(t[0]), str(t[1])))
+    pairs = [(lft, r) for _, lft, r in sorted(ranked, key=lambda m: m[0])]
+    eow = end_of_word
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _encode(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            hit = memo.get(w)
+            if hit is None:
+                hit = memo[w] = bpe_apply_word(list(w) + [eow], pairs)
+            return hit
+
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append(None)
+                continue
+            toks: list[str] = []
+            for w in txt.split():
+                toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _encode(F.col(text_col)))
