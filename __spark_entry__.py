@@ -611,6 +611,31 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _audio_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the audio DECODE tier end-to-end: build a real 16-bit PCM WAV
+    # per document whose waveform is a closed-form function of doc_id,
+    # then extract count/rate/peak/mean/RMS back through the Arrow-
+    # batched RIFF-walk decoder. The oracle recomputes every field
+    # from doc_id without seeing bytes (the image_header_check pattern
+    # for the audio family) — exact integer accumulation with one
+    # double division, so the hash match is bit-level.
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        audio_features,
+        synthesize_pcm_wav_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = audio_features(synthesize_pcm_wav_column(docs, "doc_id"))
+    return out.select(
+        "doc_id",
+        F.col("audio.n_samples").alias("n_samples"),
+        F.col("audio.sample_rate").alias("sample_rate"),
+        F.col("audio.peak_abs").alias("peak_abs"),
+        F.round("audio.mean_amp", 6).alias("mean_amp"),
+        F.round("audio.rms", 6).alias("rms"),
+    )
+
+
 def _set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
@@ -2805,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": _weighted_sample_documents,
         "zipf_fit_tokens": _zipf_fit_tokens,
         "bpe_encode_check": _bpe_encode_check,
+        "audio_features_check": _audio_features_check,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3933,6 +3959,26 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "audio_features_check": """
+WITH s AS (
+  SELECT doc_id, unnest(range(0, 16 + doc_id % 17)) AS i FROM documents
+),
+v AS (
+  SELECT doc_id, i, (doc_id * 31 + i * 7) % 2001 - 1000 AS x FROM s
+),
+a AS (
+  SELECT doc_id, count(*) AS n, sum(x * x) AS ss, sum(x) AS sm,
+         max(abs(x)) AS pk
+  FROM v GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_samples,
+       CAST((1 + doc_id % 32) * 100 AS INT) AS sample_rate,
+       CAST(pk AS INT) AS peak_abs,
+       round(CAST(sm AS DOUBLE) / n, 6) AS mean_amp,
+       round(sqrt(CAST(ss AS DOUBLE) / n), 6) AS rms
+FROM a
+""",
         "clustering_coefficient_copurchase": _CLUSTERING_SQL,
         "frequent_pairs_orders": _FREQ_PAIRS_SQL,
         "streaming_moments_replay": _STREAM_MOMENTS_SQL,

@@ -241,6 +241,7 @@ EXTRA_QUERIES = [
     "zorder_scan_check",
     "bpe_encode_check",
     "bpe_encode_documents",
+    "audio_features_check",
 ]
 
 

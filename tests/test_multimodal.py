@@ -276,3 +276,62 @@ def test_wav_header_and_mixed_synth(spark):
         | ((F.col("k") == "wav") & (F.col("sample_rate") != F.col("w") * 100))
     ).count()
     assert bad == 0
+
+
+def test_wav_stats_pure_decode_edges():
+    import struct
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _wav_stats,
+        make_wav,
+    )
+
+    # known waveform
+    assert _wav_stats(make_wav(4400, samples=[100, -100, 50])) == (
+        3, 4400, 100, 50 / 3, (22500 / 3) ** 0.5,
+    )
+    # zero-length data chunk
+    assert _wav_stats(make_wav(8000, n_samples=0)) == (0, 8000, 0, 0.0, 0.0)
+    # not RIFF / truncated / None
+    assert _wav_stats(b"nope") == (None,) * 5
+    assert _wav_stats(None) == (None,) * 5
+    # stereo (n_channels=2) refused: rebuild fmt with 2 channels
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x01\x00\x02\x00"
+    )
+    stereo = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _wav_stats(stereo) == (None,) * 5
+    # unknown chunk between fmt and data is skipped (generic RIFF walk)
+    fmt1 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt1)) + fmt1
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"  # odd size -> pad byte
+        + b"data" + struct.pack("<I", 2) + struct.pack("<h", -7)
+    )
+    weird = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _wav_stats(weird) == (1, 8000, 7, -7.0, 7.0)
+
+
+def test_audio_features_spark_matches_closed_form_and_is_map_only(spark):
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        audio_features,
+        synthesize_pcm_wav_column,
+    )
+
+    df = spark.range(40).select(F.col("id").alias("doc_id"))
+    out = audio_features(synthesize_pcm_wav_column(df, "doc_id"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for r in out.select("doc_id", "audio.*").collect():
+        k = r["doc_id"]
+        n = 16 + k % 17
+        xs = [(k * 31 + i * 7) % 2001 - 1000 for i in range(n)]
+        assert r["n_samples"] == n
+        assert r["sample_rate"] == (1 + k % 32) * 100
+        assert r["peak_abs"] == max(abs(x) for x in xs)
+        assert r["mean_amp"] == sum(xs) / n
+        assert r["rms"] == (sum(x * x for x in xs) / n) ** 0.5
