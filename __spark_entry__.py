@@ -611,6 +611,22 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust (median/MAD) outlier counts per order priority, decided in
+    # exact long arithmetic (26980*d2 > 70000*mad_x4 — the modified
+    # z-score with every division cleared); medians are exact half-grid
+    # points so med_x2/mad_x4 are exact longs, never float-rounded
+    from skylinemapreducehadoop_spark.operators.stats import mad_outliers
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return mad_outliers(orders, "cents", "o_orderpriority").orderBy(
+        "o_orderpriority"
+    )
+
+
 def _audio_features_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the audio DECODE tier end-to-end: build a real 16-bit PCM WAV
     # per document whose waveform is a closed-form function of doc_id,
@@ -2831,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit_tokens": _zipf_fit_tokens,
         "bpe_encode_check": _bpe_encode_check,
         "audio_features_check": _audio_features_check,
+        "mad_outliers_orders": _mad_outliers_orders,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3959,6 +3976,33 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "mad_outliers_orders": """
+WITH x AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+m AS (
+  SELECT g, CAST(2 * quantile_cont(xc, 0.5) AS BIGINT) AS med_x2
+  FROM x GROUP BY g
+),
+d AS (
+  SELECT x.g, CAST(abs(2 * xc - med_x2) AS BIGINT) AS d2, med_x2
+  FROM x JOIN m USING (g)
+),
+mm AS (
+  SELECT g, CAST(2 * quantile_cont(d2, 0.5) AS BIGINT) AS mad_x4
+  FROM d GROUP BY g
+)
+SELECT d.g AS o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CASE WHEN 26980 * d2 > 70000 * mad_x4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       max(med_x2) AS med_x2,
+       max(mad_x4) AS mad_x4
+FROM d JOIN mm USING (g)
+GROUP BY d.g
+""",
         "audio_features_check": """
 WITH s AS (
   SELECT doc_id, unnest(range(0, 16 + doc_id % 17)) AS i FROM documents

@@ -242,6 +242,7 @@ EXTRA_QUERIES = [
     "bpe_encode_check",
     "bpe_encode_documents",
     "audio_features_check",
+    "mad_outliers_orders",
 ]
 
 

@@ -357,3 +357,70 @@ def distribution_drift(
         .select("bucket", "n_base", "n_cur", F.round(term, 6).alias("psi_term"))
         .orderBy("bucket")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    z_num: int = 7,
+    z_den: int = 2,
+) -> DataFrame:
+    """Per-group robust outlier counts via the median / MAD modified
+    z-score (Iglewicz & Hoaglin 1993: ``M = 0.6745*(x-med)/MAD``,
+    flag ``|M| > 3.5``). Returns
+    (group, n, n_outliers, med_x2, mad_x4).
+
+    ``value_col`` must already be on an integer grid (pass e.g.
+    ``CAST(price*100 AS LONG)`` cents). Then the median is an exact
+    half-integer (linear interpolation between two grid points) and
+    the MAD an exact quarter-integer, so ``med_x2 = 2*median`` and
+    ``mad_x4 = 4*MAD`` are exact longs and the outlier decision is
+    rearranged to clear every division:
+
+        0.6745 * |x-med| / MAD > z_num/z_den
+        <=>  6745 * 2 * z_den * d2  >  z_num * 10000 * mad_x4
+
+    with ``d2 = |2x - 2*med|`` — all long arithmetic, so the boundary
+    can never flip with ulp noise (a float MAD filter cannot be an
+    oracle contract; cf. ``zscore_outliers``).
+
+    Execution shape: exact percentiles are sort-based aggregates whose
+    per-group state is the DISTINCT-value multiset — bounded for
+    quantized business values (prices, counts), not for raw doubles;
+    at true 100 TB cardinality swap ``percentile`` for
+    ``approx_percentile`` and drop the oracle claim. Two passes over
+    the scan (median, then deviation median), each a map-side-combined
+    aggregate; the per-group med/MAD tables are broadcast back, so the
+    data itself is shuffled zero times beyond aggregate partials.
+    """
+    x = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    base = df.where(x.isNotNull()).select(g.alias("__g"), x.alias("__x"))
+    med = base.groupBy("__g").agg(
+        (F.percentile("__x", F.lit(0.5)) * 2).cast("long").alias("med_x2")
+    )
+    dev = base.join(F.broadcast(med), "__g").select(
+        "__g",
+        "med_x2",
+        F.abs(2 * F.col("__x") - F.col("med_x2")).alias("__d2"),
+    )
+    mad = dev.groupBy("__g").agg(
+        (F.percentile("__d2", F.lit(0.5)) * 2).cast("long").alias("mad_x4")
+    )
+    flag = (
+        F.lit(6745 * 2 * z_den) * F.col("__d2")
+        > F.lit(z_num * 10000) * F.col("mad_x4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "__g")
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(flag.cast("long")).alias("n_outliers"),
+            F.max("med_x2").alias("med_x2"),
+            F.max("mad_x4").alias("mad_x4"),
+        )
+        .select(F.col("__g").alias(group_col), "n", "n_outliers", "med_x2", "mad_x4")
+    )

@@ -161,3 +161,50 @@ def test_distribution_drift_guards(spark):
         distribution_drift(df, df, "x", lo=0.0, hi=0.0)
     with pytest.raises(ValueError):
         distribution_drift(df, df, "x", lo=0.0, hi=1.0, n_buckets=0)
+
+
+def test_mad_outliers_matches_brute_force_and_boundary(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.stats import mad_outliers
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("a", "b"):
+        vals = rng.integers(-500, 500, size=101).tolist()
+        vals += [100000, -100000]  # planted gross outliers
+        rows += [(g, int(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r for r in mad_outliers(df, "x", "g").collect()}
+
+    for g in ("a", "b"):
+        xs = np.array([v for gg, v in rows if gg == g], dtype=np.int64)
+        med = float(np.percentile(xs, 50))  # linear interpolation
+        d = np.abs(xs - med)
+        mad = float(np.percentile(d, 50))
+        expect = int(((0.6745 * d / mad) > 3.5).sum())
+        r = got[g]
+        assert r["n"] == len(xs)
+        assert r["med_x2"] == int(round(2 * med))
+        assert r["mad_x4"] == int(round(4 * mad))
+        assert r["n_outliers"] == expect
+
+
+def test_mad_outliers_exact_boundary_does_not_flag(spark):
+    # construct a value EXACTLY at the threshold: with med=0, MAD=1,
+    # |x| = 3.5/0.6745 is irrational on the grid — instead scale so the
+    # comparison lands exactly equal: 26980*d2 == 70000*mad_x4 must NOT
+    # flag (strict >). med=0, MAD=1 -> mad_x4=4, rhs=280000; d2=2|x|,
+    # so |x| = 280000/(2*26980) is non-integer -> use mad_x4 grid:
+    # values {-1,0,1} repeated give MAD=1; x=5 gives d2=10,
+    # lhs=269800 < 280000 (inside); x=6 -> d2=12, lhs=323760 > (flag).
+    from skylinemapreducehadoop_spark.operators.stats import mad_outliers
+
+    base = [(-1,), (0,), (1,)] * 5
+    df = spark.createDataFrame(
+        [("g", v) for (v,) in base] + [("g", 5), ("g", 6)], "g string, x long"
+    )
+    r = mad_outliers(df, "x", "g").collect()[0]
+    assert r["med_x2"] == 0 and r["mad_x4"] == 4
+    assert r["n_outliers"] == 1  # only x=6; x=5 is inside the fence
