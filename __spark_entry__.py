@@ -611,6 +611,25 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-type autocorrelation of the daily event-count series at lags
+    # 1-3: gap-aware self-join pairing on day arithmetic, six exact
+    # decimal moments, one closed-form float correlation per (type,
+    # lag) — the time-series sibling of corr_lineitem
+    from skylinemapreducehadoop_spark.operators.stats import autocorrelation
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).alias("t"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return autocorrelation(daily, "event_type", "t", "c").orderBy(
+        "event_type", "lag"
+    )
+
+
 def _mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # robust (median/MAD) outlier counts per order priority, decided in
     # exact long arithmetic (26980*d2 > 70000*mad_x4 — the modified
@@ -2848,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_check": _bpe_encode_check,
         "audio_features_check": _audio_features_check,
         "mad_outliers_orders": _mad_outliers_orders,
+        "autocorr_events": _autocorr_events,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3976,6 +3996,39 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "autocorr_events": """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', ts::DATE) AS t,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type, l.lag, a.c AS xa, b.c AS xb
+  FROM daily a
+  JOIN (VALUES (1), (2), (3)) l(lag) ON TRUE
+  JOIN daily b
+    ON b.event_type = a.event_type AND b.t + l.lag = a.t
+),
+m AS (
+  SELECT event_type, lag,
+         count(*) AS n_pairs,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(xa AS HUGEINT)) AS sa,
+         sum(CAST(xb AS HUGEINT)) AS sb,
+         sum(CAST(xa AS HUGEINT) * xb) AS sab,
+         sum(CAST(xa AS HUGEINT) * xa) AS saa,
+         sum(CAST(xb AS HUGEINT) * xb) AS sbb
+  FROM p GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       CASE WHEN (n * saa - sa * sa) > 0 AND (n * sbb - sb * sb) > 0
+            THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+                       / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                              * CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+       END AS acf
+FROM m
+""",
         "mad_outliers_orders": """
 WITH x AS (
   SELECT o_orderpriority AS g,

@@ -243,6 +243,7 @@ EXTRA_QUERIES = [
     "bpe_encode_documents",
     "audio_features_check",
     "mad_outliers_orders",
+    "autocorr_events",
 ]
 
 

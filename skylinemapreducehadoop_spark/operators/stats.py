@@ -424,3 +424,69 @@ def mad_outliers(
         )
         .select(F.col("__g").alias(group_col), "n", "n_outliers", "med_x2", "mad_x4")
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    *,
+    lags: Sequence[int] = (1, 2, 3),
+) -> DataFrame:
+    """Per-key autocorrelation of an integer-valued series at the given
+    lags: Pearson r between ``(x_t, x_{t-L})`` over all t where BOTH
+    exist (gap-aware — pairing is by ``t`` arithmetic via a self-join,
+    not by row offset, so missing periods drop pairs instead of
+    silently pairing across gaps). Returns (key, lag, n_pairs, acf).
+
+    ``t_col`` must be an integer period index (e.g. days since epoch)
+    and ``value_col`` integer-valued (counts, quantized grid) — all six
+    moments accumulate as exact decimal(38,0), so the only float math
+    is the one closed-form correlation per (key, lag), identical on any
+    engine (the ``corr_matrix`` discipline). Zero-variance series
+    yield NULL acf.
+
+    Execution shape: the input is the already-aggregated series frame
+    (keys x periods — series-sized, not corpus-sized). The lag fan-out
+    is an explode (|lags| copies) followed by ONE equi-join on
+    (key, t) and one hash aggregate on (key, lag); at 100 TB the raw
+    data is reduced to this frame by the upstream groupBy, so the join
+    never sees event-level rows.
+    """
+    k, t, x = F.col(key_col), F.col(t_col), F.col(value_col)
+    a = df.select(k.alias("__k"), t.alias("__t"), x.cast("long").alias("__xa"))
+    lag_arr = F.array([F.lit(int(l)) for l in lags])
+    b = (
+        df.select(k.alias("__k"), t.alias("__t0"), x.cast("long").alias("__xb"))
+        .withColumn("lag", F.explode(lag_arr))
+        .withColumn("__t", F.col("__t0") + F.col("lag"))
+    )
+    pairs = a.join(b, ["__k", "__t"])
+    xa = F.col("__xa").cast(_DEC)
+    xb = F.col("__xb").cast(_DEC)
+    m = pairs.groupBy("__k", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count(F.lit(1)).cast(_DEC).alias("__n"),
+        F.sum(xa).alias("__sa"),
+        F.sum(xb).alias("__sb"),
+        F.sum((xa * xb).cast(_DEC)).alias("__sab"),
+        F.sum((xa * xa).cast(_DEC)).alias("__saa"),
+        F.sum((xb * xb).cast(_DEC)).alias("__sbb"),
+    )
+    num = (F.col("__n") * F.col("__sab") - F.col("__sa") * F.col("__sb")).cast(
+        "double"
+    )
+    va = (F.col("__n") * F.col("__saa") - F.col("__sa") * F.col("__sa")).cast(
+        "double"
+    )
+    vb = (F.col("__n") * F.col("__sbb") - F.col("__sb") * F.col("__sb")).cast(
+        "double"
+    )
+    acf = F.when((va > 0) & (vb > 0), num / F.sqrt(va * vb))
+    return m.select(
+        F.col("__k").alias(key_col),
+        "lag",
+        "n_pairs",
+        F.round(acf, 6).alias("acf"),
+    )

@@ -208,3 +208,33 @@ def test_mad_outliers_exact_boundary_does_not_flag(spark):
     r = mad_outliers(df, "x", "g").collect()[0]
     assert r["med_x2"] == 0 and r["mad_x4"] == 4
     assert r["n_outliers"] == 1  # only x=6; x=5 is inside the fence
+
+
+def test_autocorrelation_matches_numpy_and_is_gap_aware(spark):
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.stats import autocorrelation
+
+    # series with a hole at t=5: pairs spanning the hole must drop
+    ts = [0, 1, 2, 3, 4, 6, 7, 8, 9, 10]
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    rows = [("k", t, x) for t, x in zip(ts, xs)] + [("flat", t, 7) for t in range(6)]
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    got = {
+        (r["k"], r["lag"]): r
+        for r in autocorrelation(df, "k", "t", "x", lags=(1, 2)).collect()
+    }
+
+    by_t = dict(zip(ts, xs))
+    for lag in (1, 2):
+        pairs = [(by_t[t], by_t[t - lag]) for t in ts if t - lag in by_t]
+        a = np.array([p[0] for p in pairs], dtype=float)
+        b = np.array([p[1] for p in pairs], dtype=float)
+        r = got[("k", lag)]
+        assert r["n_pairs"] == len(pairs)
+        assert abs(r["acf"] - float(np.corrcoef(a, b)[0, 1])) < 1e-6
+    # the hole drops exactly one lag-1 pair (t=5 missing kills 5->6 and 4->5)
+    assert got[("k", 1)]["n_pairs"] == 8
+    # constant series: zero variance -> NULL acf, pairs still counted
+    assert got[("flat", 1)]["acf"] is None
+    assert got[("flat", 1)]["n_pairs"] == 5
