@@ -611,6 +611,21 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _golden_records_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # survivorship over synthetic duplicate clusters (custkey % 500):
+    # per field the most-voted non-NULL value, ties to the smallest —
+    # the canonical-record half of entity resolution, one stack + one
+    # agg + one bounded window + explicit-values pivot
+    from skylinemapreducehadoop_spark.operators.dedup import golden_records
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 500).alias("cluster"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    return golden_records(cust, "cluster", ["c_mktsegment", "c_nationkey"])
+
+
 def _autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type autocorrelation of the daily event-count series at lags
     # 1-3: gap-aware self-join pairing on day arithmetic, six exact
@@ -2868,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_check": _audio_features_check,
         "mad_outliers_orders": _mad_outliers_orders,
         "autocorr_events": _autocorr_events,
+        "golden_records_customers": _golden_records_customers,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -3996,6 +4012,34 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "golden_records_customers": """
+WITH src AS (
+  SELECT c_custkey % 500 AS cluster,
+         c_mktsegment,
+         CAST(c_nationkey AS VARCHAR) AS c_nationkey
+  FROM customer
+),
+s AS (
+  SELECT cluster, 'c_mktsegment' AS field, c_mktsegment AS value
+  FROM src WHERE c_mktsegment IS NOT NULL
+  UNION ALL
+  SELECT cluster, 'c_nationkey', c_nationkey
+  FROM src WHERE c_nationkey IS NOT NULL
+),
+c AS (
+  SELECT cluster, field, value, count(*) AS votes FROM s GROUP BY 1, 2, 3
+),
+b AS (
+  SELECT cluster, field, value,
+         row_number() OVER (PARTITION BY cluster, field
+                            ORDER BY votes DESC, value) AS rn
+  FROM c
+)
+SELECT cluster,
+       max(CASE WHEN field = 'c_mktsegment' THEN value END) AS c_mktsegment,
+       max(CASE WHEN field = 'c_nationkey' THEN value END) AS c_nationkey
+FROM b WHERE rn = 1 GROUP BY cluster
+""",
         "autocorr_events": """
 WITH daily AS (
   SELECT event_type,

@@ -244,6 +244,7 @@ EXTRA_QUERIES = [
     "audio_features_check",
     "mad_outliers_orders",
     "autocorr_events",
+    "golden_records_customers",
 ]
 
 

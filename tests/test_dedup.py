@@ -484,3 +484,29 @@ def test_duplicate_spans_randomized_vs_bruteforce(spark):
                 spans.append((p, p + n - 1))
         want.update((i, a, b) for a, b in spans)
     assert got == want
+
+
+def test_golden_records_survivorship(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import golden_records
+
+    rows = [
+        # cluster 1: city vote 2-1; phone has a NULL that must not vote
+        (1, "Springfield", "555-1"),
+        (1, "Springfield", None),
+        (1, "Shelbyville", "555-2"),
+        # cluster 2: 1-1 tie on city -> smallest value wins
+        (2, "Bville", "111"),
+        (2, "Aville", "222"),
+        # cluster 3: field entirely NULL -> NULL in the golden record
+        (3, None, "9"),
+    ]
+    df = spark.createDataFrame(rows, "cluster long, city string, phone string")
+    got = {r["cluster"]: r for r in golden_records(df, "cluster", ["city", "phone"]).collect()}
+    assert got[1]["city"] == "Springfield"
+    assert got[1]["phone"] == "555-1"  # 1-1 tie between 555-1/555-2 -> smallest
+    assert got[2]["city"] == "Aville"
+    assert got[3]["city"] is None and got[3]["phone"] == "9"
+    import pytest
+
+    with pytest.raises(ValueError):
+        golden_records(df, "cluster", [])
