@@ -611,6 +611,39 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _incremental_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maintained daily rollup under an upsert batch: every 97th order
+    # gets +1000 cents, every 194th ALSO moves one day forward (the
+    # cross-bucket case). The incremental path re-aggregates ONLY
+    # touched days and splices into the previous rollup; the oracle is
+    # a FULL recompute of the merged table — the maintenance law
+    # checked end-to-end (operators/rollup.py)
+    from skylinemapreducehadoop_spark.operators.rollup import (
+        incremental_rollup_update,
+        rollup_table,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    batch = base.where(F.col("k") % 97 == 0).select(
+        "k",
+        F.when(
+            F.col("k") % 194 == 0,
+            F.date_format(F.date_add(F.to_date("day"), 1), "yyyy-MM-dd"),
+        )
+        .otherwise(F.col("day"))
+        .alias("day"),
+        (F.col("cents") + 1000).alias("cents"),
+    )
+    prev = rollup_table(base, "day", ["cents"])
+    return incremental_rollup_update(
+        prev, base, batch, key_cols=["k"], bucket_col="day", sum_cols=["cents"]
+    ).orderBy("day")
+
+
 def _golden_records_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivorship over synthetic duplicate clusters (custkey % 500):
     # per field the most-voted non-NULL value, ties to the smallest —
@@ -2884,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_orders": _mad_outliers_orders,
         "autocorr_events": _autocorr_events,
         "golden_records_customers": _golden_records_customers,
+        "incremental_rollup_check": _incremental_rollup_check,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -4012,6 +4046,28 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "incremental_rollup_check": """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+batch AS (
+  SELECT k,
+         CASE WHEN k % 194 = 0
+              THEN strftime(CAST(day AS DATE) + 1, '%Y-%m-%d')
+              ELSE day END AS day,
+         cents + 1000 AS cents
+  FROM base WHERE k % 97 = 0
+),
+merged AS (
+  SELECT * FROM base WHERE k NOT IN (SELECT k FROM batch)
+  UNION ALL SELECT * FROM batch
+)
+SELECT day, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM merged GROUP BY day
+""",
         "golden_records_customers": """
 WITH src AS (
   SELECT c_custkey % 500 AS cluster,

@@ -245,6 +245,7 @@ EXTRA_QUERIES = [
     "mad_outliers_orders",
     "autocorr_events",
     "golden_records_customers",
+    "incremental_rollup_check",
 ]
 
 
