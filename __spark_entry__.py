@@ -611,6 +611,88 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _streaming_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the lakehouse maintenance loop as the 10th streaming driver entry:
+    # CDC-style upsert batches arrive as a file stream; every micro-batch
+    # (maxFilesPerTrigger=1 -> three real batches) runs foreachBatch =
+    # crash-consistent partitioned upsert of the BASE table
+    # (sources/merge.py) + incremental splice of the maintained daily
+    # ROLLUP (operators/rollup.py), rollup first (it needs the
+    # pre-upsert base). Batches carry disjoint key sets, so the final
+    # state is replay-order-independent; the oracle is a full recompute
+    # of the fully-merged table — stream == batch, end to end through
+    # BOTH maintenance primitives.
+    import os
+    import tempfile
+
+    from skylinemapreducehadoop_spark.operators.rollup import (
+        incremental_rollup_update,
+        rollup_table,
+    )
+    from skylinemapreducehadoop_spark.sources.merge import upsert_partitioned
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1995)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_maint_replay_")
+    base_path = os.path.join(tmp, "base")
+    rollup_path = os.path.join(tmp, "rollup")
+    src = os.path.join(tmp, "src")
+    with_month = orders.withColumn("month", F.substring("day", 1, 7))
+    with_month.write.partitionBy("month").parquet(base_path)
+    rollup_table(orders, "day", ["cents"]).write.parquet(rollup_path)
+    for i in range(3):
+        (
+            orders.where(
+                (F.col("k") % 97 == 0) & (F.expr("(k div 97) % 3") == i)
+            )
+            .select("k", "day", (F.col("cents") + 1000 * (i + 1)).alias("cents"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.localCheckpoint(eager=True)
+        base = spark.read.parquet(base_path).select("k", "day", "cents")
+        prev = spark.read.parquet(rollup_path)
+        new_rollup = incremental_rollup_update(
+            prev, base, batch, key_cols=["k"], bucket_col="day", sum_cols=["cents"]
+        ).localCheckpoint(eager=True)  # materialize BEFORE overwriting the path it reads
+        upsert_partitioned(
+            spark,
+            base_path,
+            batch.withColumn("month", F.substring("day", 1, 7)),
+            ["k"],
+            "month",
+        )
+        new_rollup.write.mode("overwrite").parquet(rollup_path)
+
+    stream = (
+        spark.readStream.schema("k long, day string, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(rollup_path)
+        .select("day", "n_rows", "sum_cents")
+        .orderBy("day")
+    )
+
+
 def _incremental_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maintained daily rollup under an upsert batch: every 97th order
     # gets +1000 cents, every 194th ALSO moves one day forward (the
@@ -2918,6 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_events": _autocorr_events,
         "golden_records_customers": _golden_records_customers,
         "incremental_rollup_check": _incremental_rollup_check,
+        "streaming_maintenance_replay": _streaming_maintenance_replay,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -4046,6 +4129,23 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "streaming_maintenance_replay": """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE year(o_orderdate) = 1995
+),
+merged AS (
+  SELECT k, day,
+         CASE WHEN k % 97 = 0
+              THEN cents + 1000 * (1 + (k // 97) % 3)
+              ELSE cents END AS cents
+  FROM base
+)
+SELECT day, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM merged GROUP BY day
+""",
         "incremental_rollup_check": """
 WITH base AS (
   SELECT o_orderkey AS k,
