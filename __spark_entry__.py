@@ -611,6 +611,35 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _kmv_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable distinct-sketch COLUMNS: per-(type, day) KMV sketches
+    # folded into per-type totals without rescanning the fact table —
+    # the daily-rollup-with-sketches pattern. k=65536 exceeds the
+    # distinct-user cardinality at every driver sf, so the estimator is
+    # in its exact regime and the folded answer equals COUNT(DISTINCT)
+    # (collision probability ~d^2/2^65 — negligible); past k the same
+    # column degrades to the (k-1)/u_k estimator (accuracy pytest).
+    from skylinemapreducehadoop_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    K = 65536
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    daily = kmv_sketch(ev, ["event_type", "day"], "user_id", k=K)
+    merged = kmv_merge(daily, ["event_type"], k=K)
+    return merged.select(
+        "event_type",
+        F.col("n_merged").alias("n_days"),
+        kmv_estimate("kmv", k=K).cast("long").alias("distinct_users"),
+    ).orderBy("event_type")
+
+
 def _streaming_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the lakehouse maintenance loop as the 10th streaming driver entry:
     # CDC-style upsert batches arrive as a file stream; every micro-batch
@@ -3001,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records_customers": _golden_records_customers,
         "incremental_rollup_check": _incremental_rollup_check,
         "streaming_maintenance_replay": _streaming_maintenance_replay,
+        "kmv_rollup_check": _kmv_rollup_check,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -4129,6 +4159,14 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "kmv_rollup_check": """
+SELECT event_type,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY event_type
+""",
         "streaming_maintenance_replay": """
 WITH base AS (
   SELECT o_orderkey AS k,

@@ -246,6 +246,7 @@ EXTRA_QUERIES = [
     "autocorr_events",
     "golden_records_customers",
     "incremental_rollup_check",
+    "kmv_rollup_check",
 ]
 
 

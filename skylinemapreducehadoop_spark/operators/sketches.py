@@ -119,3 +119,77 @@ def heavy_hitters(
         .where(F.col("cnt") >= F.ceil(F.lit(threshold_ratio) * F.col("n_total")))
         .select("value", "cnt")
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    *,
+    k: int = 1024,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) distinct sketch: the k smallest
+    distinct ``xxhash64(value)`` as a sorted long array column ``kmv``
+    (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 — the classic
+    mergeable distinct-count summary). Unlike the engine's built-in
+    HLL (``approx_count_distinct``), the sketch is a PLAIN COLUMN:
+    persist it in a daily rollup table and :func:`kmv_merge` folds
+    days into months/years without touching raw data — the mergeable-
+    sketch-column pattern a maintained 100 TB rollup needs.
+
+    Execution: one distinct on (group, hash) — 8-byte hashes shuffle,
+    never values — then bottom-k in two levels: per shuffle-partition
+    slices (state <= that partition's distinct share) merged by one
+    per-group fold (state <= k x partials). Below k distinct values
+    the sketch IS the distinct hash set and the estimator is exact
+    (collision probability ~d^2/2^65); past k it is the classic
+    (k-1)/u_k estimator with ~1/sqrt(k) relative error.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.xxhash64(value_col).alias("__h"))
+        .distinct()
+    )
+    part = h.groupBy(*group_cols, F.spark_partition_id().alias("__p")).agg(
+        F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__partial")
+    )
+    return part.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__partial"))), 1, k
+        ).alias("kmv")
+    )
+
+
+def kmv_merge(
+    df: DataFrame,
+    group_cols: "list[str]",
+    *,
+    sketch_col: str = "kmv",
+    k: int = 1024,
+) -> DataFrame:
+    """Fold KMV sketches upward (day -> month -> total): union the
+    hash sets, keep the k smallest. ``n_merged`` counts the input
+    sketches. Pure JVM array algebra — merging a year of daily rollup
+    rows never rescans the fact table."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_merged"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(sketch_col)))),
+            1,
+            k,
+        ).alias(sketch_col),
+    )
+
+
+def kmv_estimate(sketch_col, *, k: int = 1024):
+    """Distinct-count estimate column from a KMV sketch: exact size
+    when the sketch holds fewer than k hashes (every distinct hash is
+    present), else (k-1)/u_k with u_k the k-th smallest hash mapped to
+    (0,1). Returns a double column."""
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    u_k = (F.element_at(c, k).cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+    return F.when(F.size(c) < k, F.size(c).cast("double")).otherwise(
+        F.lit(float(k - 1)) / u_k
+    )

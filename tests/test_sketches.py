@@ -173,3 +173,65 @@ def test_heavy_hitters_null_semantics(spark):
     got = {r["value"]: r["cnt"] for r in heavy_hitters(df, "v", threshold_ratio=0.5).collect()}
     # n_nonnull = 42 -> threshold ceil(21) = 21: only "a" qualifies
     assert got == {"a": 40}
+
+
+def test_kmv_exact_regime_and_merge_law(spark):
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    # 3 groups x overlapping members; k far above distinct -> exact
+    rows = [("g1", "d1", f"u{i}") for i in range(40)]
+    rows += [("g1", "d2", f"u{i}") for i in range(20, 70)]  # 30 overlap
+    rows += [("g2", "d1", "solo")]
+    df = spark.createDataFrame(rows, "g string, day string, u string")
+    daily = kmv_sketch(df, ["g", "day"], "u", k=256)
+    merged = kmv_merge(daily, ["g"], k=256).withColumn(
+        "est", kmv_estimate("kmv", k=256)
+    )
+    got = {r["g"]: r for r in merged.collect()}
+    assert got["g1"]["n_merged"] == 2 and got["g1"]["est"] == 70.0
+    assert got["g2"]["est"] == 1.0
+    # merge(day sketches) == sketch(all rows): same hash set below k
+    direct = {
+        r["g"]: sorted(r["kmv"])
+        for r in kmv_sketch(df, ["g"], "u", k=256).collect()
+    }
+    assert sorted(got["g1"]["kmv"]) == direct["g1"]
+    # partitioning invariance (the mergeable-summary law)
+    rep = kmv_sketch(df.repartition(13), ["g"], "u", k=256).collect()
+    assert {r["g"]: sorted(r["kmv"]) for r in rep} == direct
+
+
+def test_kmv_estimator_accuracy_past_k(spark):
+    from skylinemapreducehadoop_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    n = 50_000
+    df = spark.range(n).selectExpr("'g' AS g", "CAST(id AS STRING) AS u")
+    est = (
+        kmv_sketch(df, ["g"], "u", k=1024)
+        .select(kmv_estimate("kmv", k=1024).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est - n) / n < 0.1  # ~1/sqrt(1024) ≈ 3% expected
+
+
+def test_kmv_guards_and_nulls(spark):
+    import pytest
+
+    from skylinemapreducehadoop_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "a")], "g string, u string"
+    )
+    out = kmv_sketch(df, ["g"], "u", k=16).collect()[0]
+    assert len(out["kmv"]) == 1  # NULLs never hash in; dups collapse
+    with pytest.raises(ValueError):
+        kmv_sketch(df, ["g"], "u", k=1)
