@@ -611,6 +611,31 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _fd_check_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # functional-dependency profiling: custkey->nationkey must hold
+    # (key), nationkey->mktsegment must not (25 nations x 5 segments);
+    # one column-pruned aggregate pass per dependency, no joins
+    from skylinemapreducehadoop_spark.operators.stats import fd_check
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fd_check(
+        cust,
+        [("c_custkey", "c_nationkey"), ("c_nationkey", "c_mktsegment")],
+    ).orderBy("dependency")
+
+
+def _mutual_information_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact MI (bits) between event type and calendar day-of-month:
+    # integer-arg log2 terms summed by ascending sorted fold — the
+    # information-theoretic profiling sibling of pmi_collocations
+    from skylinemapreducehadoop_spark.operators.stats import mutual_information
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").alias("dom")
+    )
+    return mutual_information(ev, "event_type", "dom")
+
+
 def _kmv_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable distinct-sketch COLUMNS: per-(type, day) KMV sketches
     # folded into per-type totals without rescanning the fact table —
@@ -3031,6 +3056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup_check": _incremental_rollup_check,
         "streaming_maintenance_replay": _streaming_maintenance_replay,
         "kmv_rollup_check": _kmv_rollup_check,
+        "fd_check_customer": _fd_check_customer,
+        "mutual_information_events": _mutual_information_events,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -4159,6 +4186,43 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "fd_check_customer": """
+SELECT 'c_custkey->c_nationkey' AS dependency,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(sum(greatest(cd - 1, 0)) AS BIGINT) AS extra_values
+FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS cd
+      FROM customer GROUP BY c_custkey)
+UNION ALL
+SELECT 'c_nationkey->c_mktsegment',
+       count(*),
+       CAST(sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(greatest(cd - 1, 0)) AS BIGINT)
+FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS cd
+      FROM customer GROUP BY c_nationkey)
+""",
+        "mutual_information_events": """
+WITH base AS (
+  SELECT event_type AS a, day(ts) AS b FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cxy FROM base GROUP BY 1, 2),
+ca AS (SELECT a, CAST(sum(cxy) AS BIGINT) AS c1 FROM cells GROUP BY 1),
+cb AS (SELECT b, CAST(sum(cxy) AS BIGINT) AS c2 FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n, count(*) AS n_cells FROM cells),
+terms AS (
+  SELECT n, n_cells,
+         CAST(cxy AS DOUBLE) * (log2(CAST(cxy AS DOUBLE))
+                                + log2(CAST(n AS DOUBLE))
+                                - log2(CAST(c1 AS DOUBLE))
+                                - log2(CAST(c2 AS DOUBLE))) AS term
+  FROM cells JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN tot
+)
+SELECT n AS n_rows, n_cells,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(term))),
+                         (x, y) -> x + y) / CAST(n AS DOUBLE), 6) AS mi_bits
+FROM terms GROUP BY n, n_cells
+""",
         "kmv_rollup_check": """
 SELECT event_type,
        count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,

@@ -247,6 +247,8 @@ EXTRA_QUERIES = [
     "golden_records_customers",
     "incremental_rollup_check",
     "kmv_rollup_check",
+    "fd_check_customer",
+    "mutual_information_events",
 ]
 
 

@@ -490,3 +490,93 @@ def autocorrelation(
         "n_pairs",
         F.round(acf, 6).alias("acf"),
     )
+
+
+def fd_check(
+    df: DataFrame, deps: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency conformance profiling: for each candidate
+    ``lhs -> rhs``, does lhs determine rhs? Returns one row per
+    dependency: ``n_groups`` (distinct lhs values, NULL its own group),
+    ``n_violating`` (lhs groups with >1 distinct non-NULL rhs) and
+    ``extra_values`` (Σ distinct-rhs-per-group − 1 — the repair
+    distance: how many rhs values would have to change for the FD to
+    hold). ``n_violating = 0`` ⇔ the dependency holds.
+
+    Each dependency is ONE column-pruned map-side-combined aggregate
+    over (lhs, rhs) followed by a lhs-group rollup — no joins, no
+    windows; candidate sets over a wide table cost one pass per
+    dependency on two columns each. The profiling workhorse behind
+    key discovery and denormalization audits.
+    """
+    if not deps:
+        raise ValueError("deps must be non-empty")
+    outs = []
+    for lhs, rhs in deps:
+        per_group = df.groupBy(lhs).agg(
+            F.count_distinct(F.col(rhs)).alias("__cd")
+        )
+        outs.append(
+            per_group.agg(
+                F.lit(f"{lhs}->{rhs}").alias("dependency"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum((F.col("__cd") > 1).cast("long")).alias("n_violating"),
+                F.sum(
+                    F.greatest(F.col("__cd") - 1, F.lit(0))
+                ).alias("extra_values"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Exact mutual information (bits) between two CATEGORICAL columns:
+    ``MI = Σ_xy (c_xy/N) · log2(c_xy·N / (c_x·c_y))`` over rows where
+    both are non-NULL. Returns one row: (n_rows, n_cells, mi_bits).
+
+    Engine-exactness discipline: every log2 argument is an INTEGER
+    count (four separate logs, each double-exact below 2^53), and the
+    Σ over cells is a sequential fold over the ascending-sorted term
+    list (the ``unigram_logprob`` trick) — bit-identical on any engine
+    and any layout, then rounded for hashability.
+
+    Shape: one (a,b) hash aggregate over the scan, two marginal
+    rollups OF THE CELL TABLE (no second scan), broadcast joins back,
+    and one driver-sized sorted fold — the cell table is |a|x|b|,
+    which for categorical profiling fits one task by definition; this
+    is not an estimator for continuous columns.
+    """
+    base = df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    cells = base.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("__cxy"))
+    ca = cells.groupBy(a_col).agg(F.sum("__cxy").alias("__ca"))
+    cb = cells.groupBy(b_col).agg(F.sum("__cxy").alias("__cb"))
+    tot = cells.agg(
+        F.sum("__cxy").alias("__N"), F.count(F.lit(1)).alias("n_cells")
+    )
+    term = (
+        F.col("__cxy").cast("double")
+        * (
+            F.log2(F.col("__cxy").cast("double"))
+            + F.log2(F.col("__N").cast("double"))
+            - F.log2(F.col("__ca").cast("double"))
+            - F.log2(F.col("__cb").cast("double"))
+        )
+    ).alias("__term")
+    joined = (
+        cells.join(F.broadcast(ca), a_col)
+        .join(F.broadcast(cb), b_col)
+        .crossJoin(F.broadcast(tot))
+        .select("__N", "n_cells", term)
+    )
+    folded = joined.groupBy("__N", "n_cells").agg(
+        F.sort_array(F.collect_list("__term")).alias("__ts")
+    )
+    fold = F.aggregate("__ts", F.lit(0.0), lambda acc, t: acc + t)
+    return folded.select(
+        F.col("__N").alias("n_rows"),
+        "n_cells",
+        F.round(fold / F.col("__N").cast("double"), 6).alias("mi_bits"),
+    )

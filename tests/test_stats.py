@@ -238,3 +238,50 @@ def test_autocorrelation_matches_numpy_and_is_gap_aware(spark):
     # constant series: zero variance -> NULL acf, pairs still counted
     assert got[("flat", 1)]["acf"] is None
     assert got[("flat", 1)]["n_pairs"] == 5
+
+
+def test_fd_check_holds_violates_and_nulls(spark):
+    import pytest
+
+    from skylinemapreducehadoop_spark.operators.stats import fd_check
+
+    rows = [
+        (1, "x", "p"), (1, "x", "p"),       # key 1 consistent
+        (2, "y", "p"), (2, "z", "p"),       # k->v violated (2 values)
+        (3, None, "p"),                      # NULL rhs never counts
+        (None, "w", "q"),                    # NULL lhs is its own group
+    ]
+    df = spark.createDataFrame(rows, "k int, v string, w string")
+    out = {r["dependency"]: r for r in fd_check(df, [("k", "v"), ("k", "w")]).collect()}
+    r = out["k->v"]
+    assert r["n_groups"] == 4  # 1, 2, 3, NULL
+    assert r["n_violating"] == 1 and r["extra_values"] == 1
+    assert out["k->w"]["n_violating"] == 0  # w constant per k
+    with pytest.raises(ValueError):
+        fd_check(df, [])
+
+
+def test_mutual_information_reference_and_independence(spark):
+    import math
+
+    from skylinemapreducehadoop_spark.operators.stats import mutual_information
+
+    # perfectly dependent: MI == H(X)
+    rows = [("a", "1")] * 30 + [("b", "2")] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = mutual_information(df, "x", "y").collect()[0]
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert r["n_rows"] == 40 and r["n_cells"] == 2
+    assert abs(r["mi_bits"] - h) < 1e-6
+    # independent uniform: MI == 0 exactly (balanced cells)
+    rows2 = [(a, b) for a in "ab" for b in "cd" for _ in range(5)]
+    r2 = mutual_information(
+        spark.createDataFrame(rows2, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert abs(r2["mi_bits"]) < 1e-9
+    # NULLs in either column are excluded from N
+    rows3 = rows + [(None, "1"), ("a", None)]
+    r3 = mutual_information(
+        spark.createDataFrame(rows3, "x string, y string"), "x", "y"
+    ).collect()[0]
+    assert r3["n_rows"] == 40
