@@ -611,6 +611,40 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the RESIZE step of the multimodal pipeline end-to-end with no
+    # codec library: per document a real gray8 PNG with closed-form
+    # pixels (pixel(x,y) = (k + 7x + 13y) % 256), stdlib-decoded
+    # (zlib inflate + full RFC 2083 unfiltering), nearest-resized to
+    # 8x6 with the exact floor mapping src = (dst*src_extent)//dst,
+    # re-encoded, then decoded BACK by image_pixel_stats — the oracle
+    # recomputes the sampled pixel grid arithmetically from doc_id, so
+    # encoder, decoder, unfilter and resize mapping are all on the hash
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_pixel_stats,
+        resize_images,
+        synthesize_gray_png_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    resized = resize_images(
+        synthesize_gray_png_column(docs, "doc_id"), 8, 6, decoder="stdlib"
+    )
+    return image_pixel_stats(resized.select("doc_id", "media"))
+
+
+def _novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-document trigram novelty (share of grams occurring in no
+    # other document) — the self-corpus complement of the
+    # decontamination probe; grams shuffle as 64-bit hashes, the
+    # oracle compares on raw gram strings (collision-free at test
+    # scale by construction)
+    from skylinemapreducehadoop_spark.operators.dedup import novelty_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_score(docs, k=3)
+
+
 def _fd_check_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functional-dependency profiling: custkey->nationkey must hold
     # (key), nationkey->mktsegment must not (25 nations x 5 segments);
@@ -3058,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_rollup_check": _kmv_rollup_check,
         "fd_check_customer": _fd_check_customer,
         "mutual_information_events": _mutual_information_events,
+        "novelty_documents": _novelty_documents,
+        "resize_check": _resize_check,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -4186,6 +4222,48 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "resize_check": """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 16 AS sw, 1 + doc_id % 12 AS sh FROM documents
+),
+px AS (
+  SELECT doc_id,
+         (doc_id + 7 * ((ox * sw) // 8) + 13 * ((oy * sh) // 6)) % 256 AS v
+  FROM d, range(0, 8) r1(ox), range(0, 6) r2(oy)
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(6 AS INTEGER) AS height,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(min(v) AS INTEGER) AS pixel_min,
+       CAST(max(v) AS INTEGER) AS pixel_max
+FROM px GROUP BY doc_id
+""",
+        "novelty_documents": """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, CASE WHEN len(t) >= 3
+      THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                          FOR i IN range(1, len(t) - 1)])
+      ELSE CAST([] AS VARCHAR[]) END AS gs
+  FROM tok
+),
+e AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+dfr AS (SELECT gr, count(*) AS d FROM e GROUP BY gr),
+per AS (
+  SELECT doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM e JOIN dfr USING (gr) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(n_unique, 0) AS n_unique,
+       CAST(coalesce(n_unique, 0) AS DOUBLE)
+         / greatest(coalesce(n_grams, 0), 1) AS novelty
+FROM tok t LEFT JOIN per USING (doc_id)
+""",
         "fd_check_customer": """
 SELECT 'c_custkey->c_nationkey' AS dependency,
        count(*) AS n_groups,

@@ -249,6 +249,8 @@ EXTRA_QUERIES = [
     "kmv_rollup_check",
     "fd_check_customer",
     "mutual_information_events",
+    "novelty_documents",
+    "resize_check",
 ]
 
 

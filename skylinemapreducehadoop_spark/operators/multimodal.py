@@ -172,11 +172,14 @@ def decode_media(
     return df.select(*id_cols, media_col).mapInPandas(decode, out_schema)
 
 
-def make_png(width: int, height: int) -> bytes:
+def make_png(
+    width: int, height: int, pixels: bytes | None = None
+) -> bytes:
     """Build a VALID minimal grayscale PNG (public format: RFC 2083) —
-    signature, IHDR, one zlib IDAT of zero scanlines, IEND, real CRCs.
-    Pure stdlib (struct + zlib), so the repo can exercise genuine
-    image-format byte parsing without any codec library."""
+    signature, IHDR, one zlib IDAT of filter-0 scanlines, IEND, real
+    CRCs. ``pixels`` is row-major gray8 (width*height bytes; default
+    all-zero). Pure stdlib (struct + zlib), so the repo can exercise
+    genuine image-format byte parsing without any codec library."""
     import struct
     import zlib
 
@@ -188,8 +191,14 @@ def make_png(width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
+    if pixels is None:
+        pixels = b"\x00" * (width * height)
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height gray8 bytes")
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = (b"\x00" + b"\x00" * width) * height  # filter byte + pixels
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -665,3 +674,238 @@ def _wav_stats(buf) -> tuple:
         s / n,
         math.sqrt(ss / n),
     )
+
+
+def _png_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
+    """Stdlib decode of an 8-bit grayscale non-interlaced PNG (RFC
+    2083): chunk walk, concatenated-IDAT zlib inflate, full scanline
+    unfiltering (None/Sub/Up/Average/Paeth). Returns (w, h, pixels as
+    (h, w) uint8) or None when the payload is not such a PNG — the
+    no-codec-library real decode tier (other formats/color types go
+    through the Pillow tier)."""
+    import struct
+    import zlib
+
+    if b is None:
+        return None
+    b = bytes(b)
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w, h, idat = 8, None, None, b""
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            if len(body) < 13:
+                return None
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8 or ctype != 0 or interlace != 0:
+                return None
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) != (w + 1) * h:
+        return None
+    out = np.zeros((h, w), dtype=np.int32)
+    prev = np.zeros(w, dtype=np.int32)
+    stride = w + 1
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        ft = line[0]
+        cur = np.frombuffer(line, dtype=np.uint8, count=w, offset=1).astype(
+            np.int32
+        )
+        if ft == 0:  # None
+            pass
+        elif ft == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            rec = np.zeros(w, dtype=np.int32)
+            left = 0
+            for x in range(w):
+                up = int(prev[x])
+                if ft == 1:
+                    val = cur[x] + left
+                elif ft == 3:
+                    val = cur[x] + (left + up) // 2
+                else:
+                    ul = int(prev[x - 1]) if x else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    val = cur[x] + pred
+                left = rec[x] = val & 0xFF
+            cur = rec
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    return int(w), int(h), out.astype(np.uint8)
+
+
+def resize_nearest(px: "np.ndarray", dst_w: int, dst_h: int) -> "np.ndarray":
+    """Nearest-neighbor resize of an (h, w) array with the floor
+    mapping ``src = (dst_index * src_extent) // dst_extent`` — integer
+    arithmetic only, so an oracle can reproduce the sampled indices
+    exactly."""
+    sh, sw = px.shape
+    ys = (np.arange(dst_h) * sh) // dst_h
+    xs = (np.arange(dst_w) * sw) // dst_w
+    return px[np.ix_(ys, xs)]
+
+
+def resize_images(
+    df: DataFrame,
+    dst_w: int,
+    dst_h: int,
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    media_col: str = "media",
+    decoder: str = "auto",
+) -> DataFrame:
+    """Resize image payloads to (dst_w, dst_h) — the resize step of
+    the multimodal pipeline. Output: id_cols + ``media`` (the resized
+    image re-encoded as gray8 PNG) + ``width``/``height``;
+    undecodable payloads yield NULL media and dims (bad media is data,
+    not a job failure).
+
+    Decoder tiers mirror ``decode_media``: ``'stdlib'`` is a REAL
+    no-codec path — gray8 non-interlaced PNGs are inflated with zlib,
+    unfiltered (all five RFC 2083 filters), nearest-resized with the
+    exact floor mapping and re-encoded; ``'real'`` uses Pillow for
+    arbitrary formats (gated on the library); ``'auto'`` tries stdlib
+    then Pillow. Arrow-batched ``mapInPandas``; map-only at any scale.
+    """
+    if dst_w < 1 or dst_h < 1:
+        raise ValueError("target dimensions must be >= 1")
+    if decoder not in ("auto", "stdlib", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "real" and not pillow_available():
+        raise NotImplementedError(
+            "resize_images(decoder='real') requires Pillow; use 'stdlib' "
+            "for gray8 PNGs or 'auto'"
+        )
+    use_pillow = decoder in ("auto", "real") and pillow_available()
+    ids = list(id_cols)
+    out_schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("media", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def _resize_one(payload):
+        dec = None if decoder == "real" else _png_decode_gray8(payload)
+        if dec is not None:
+            _, _, px = dec
+        elif use_pillow and payload is not None:
+            import io
+
+            import PIL.Image
+
+            try:
+                img = PIL.Image.open(io.BytesIO(bytes(payload))).convert("L")
+            except Exception:
+                return None
+            px = np.asarray(img, dtype=np.uint8)
+        else:
+            return None
+        return make_png(dst_w, dst_h, resize_nearest(px, dst_w, dst_h).tobytes())
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[ids].copy()
+            media = [_resize_one(p) for p in pdf[media_col]]
+            out["media"] = media
+            out["width"] = [dst_w if m is not None else None for m in media]
+            out["height"] = [dst_h if m is not None else None for m in media]
+            yield out
+
+    return df.select(*ids, media_col).mapInPandas(_run, out_schema)
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    media_col: str = "media",
+) -> DataFrame:
+    """Decode gray8 PNG payloads (stdlib tier) and emit exact pixel
+    statistics: width, height, pixel_sum, pixel_min, pixel_max —
+    the image feature-extraction twin of ``audio_features``.
+    Undecodable payloads yield NULL stats. Map-only, Arrow-batched."""
+    ids = list(id_cols)
+    out_schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("pixel_min", T.IntegerType()),
+            T.StructField("pixel_max", T.IntegerType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for p in pdf[media_col]:
+                dec = _png_decode_gray8(p)
+                if dec is None:
+                    rows.append((None, None, None, None, None))
+                else:
+                    w, h, px = dec
+                    rows.append(
+                        (w, h, int(px.sum(dtype=np.int64)), int(px.min()), int(px.max()))
+                    )
+            out = pdf[ids].copy()
+            stats = pd.DataFrame(
+                rows, columns=["width", "height", "pixel_sum", "pixel_min", "pixel_max"]
+            )
+            for c in stats.columns:
+                out[c] = stats[c].values
+            yield out
+
+    return df.select(*ids, media_col).mapInPandas(_run, out_schema)
+
+
+def synthesize_gray_png_column(
+    df: DataFrame, seed_col: str, *, out_col: str = "media"
+) -> DataFrame:
+    """Deterministic gray8 PNG fixture: per row k build a real PNG with
+
+    - ``width  = 1 + k % 16``, ``height = 1 + k % 12``
+    - ``pixel(x, y) = (k + 7*x + 13*y) % 256``
+
+    so every pixel a resize samples is closed-form in k — the image
+    twin of ``synthesize_pcm_wav_column``."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ks: pd.Series) -> pd.Series:
+        out = []
+        for k in ks:
+            k = int(k)
+            w, h = 1 + k % 16, 1 + k % 12
+            y, x = np.mgrid[0:h, 0:w]
+            px = ((k + 7 * x + 13 * y) % 256).astype(np.uint8)
+            out.append(make_png(w, h, px.tobytes()))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, synth(F.col(seed_col)))

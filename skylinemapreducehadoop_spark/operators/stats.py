@@ -454,6 +454,8 @@ def autocorrelation(
     data is reduced to this frame by the upstream groupBy, so the join
     never sees event-level rows.
     """
+    if not lags or any(int(l) < 1 for l in lags):
+        raise ValueError("lags must be a non-empty sequence of positive ints")
     k, t, x = F.col(key_col), F.col(t_col), F.col(value_col)
     a = df.select(k.alias("__k"), t.alias("__t"), x.cast("long").alias("__xa"))
     lag_arr = F.array([F.lit(int(l)) for l in lags])

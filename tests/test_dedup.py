@@ -510,3 +510,24 @@ def test_golden_records_survivorship(spark):
 
     with pytest.raises(ValueError):
         golden_records(df, "cluster", [])
+
+
+def test_novelty_score_planted(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import novelty_score
+
+    rows = [
+        (1, "alpha beta gamma delta"),        # 2 trigrams, both unique
+        (2, "the same shared boilerplate"),   # identical to doc 3
+        (3, "the same shared boilerplate"),
+        (4, "too short"),                     # < 3 tokens -> 0 grams
+        (5, None),
+        (6, "alpha beta gamma epsilon"),      # shares 'alpha beta gamma' with 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in novelty_score(df, k=3).collect()}
+    assert got[1]["n_grams"] == 2 and got[1]["n_unique"] == 1
+    assert got[1]["novelty"] == 0.5  # 'beta gamma delta' unique, shared head not
+    assert got[2]["novelty"] == 0.0 and got[3]["novelty"] == 0.0
+    assert got[4]["n_grams"] == 0 and got[4]["novelty"] == 0.0
+    assert got[5]["n_grams"] == 0 and got[5]["novelty"] == 0.0
+    assert got[6]["n_unique"] == 1  # 'beta gamma epsilon'

@@ -335,3 +335,70 @@ def test_audio_features_spark_matches_closed_form_and_is_map_only(spark):
         assert r["peak_abs"] == max(abs(x) for x in xs)
         assert r["mean_amp"] == sum(xs) / n
         assert r["rms"] == (sum(x * x for x in xs) / n) ** 0.5
+
+
+def test_resize_images_stdlib_matches_numpy_reference(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _png_decode_gray8,
+        image_pixel_stats,
+        resize_images,
+        synthesize_gray_png_column,
+    )
+
+    df = spark.range(30).select(F.col("id").alias("doc_id"))
+    resized = resize_images(
+        synthesize_gray_png_column(df, "doc_id"), 8, 6, decoder="stdlib"
+    )
+    rows = {r["doc_id"]: r for r in resized.collect()}
+    for k in range(30):
+        w, h = 1 + k % 16, 1 + k % 12
+        y, x = np.mgrid[0:h, 0:w]
+        src = ((k + 7 * x + 13 * y) % 256).astype(np.uint8)
+        ys = (np.arange(6) * h) // 6
+        xs = (np.arange(8) * w) // 8
+        want = src[np.ix_(ys, xs)]
+        got_w, got_h, got_px = _png_decode_gray8(rows[k]["media"])
+        assert (got_w, got_h) == (8, 6)
+        assert (got_px == want).all(), k
+    # stats operator decodes the resized payloads back exactly
+    st = {
+        r["doc_id"]: r
+        for r in image_pixel_stats(resized.select("doc_id", "media")).collect()
+    }
+    for k in range(30):
+        w, h = 1 + k % 16, 1 + k % 12
+        y, x = np.mgrid[0:h, 0:w]
+        src = ((k + 7 * x + 13 * y) % 256).astype(np.uint8)
+        want = src[np.ix_((np.arange(6) * h) // 6, (np.arange(8) * w) // 8)]
+        assert st[k]["pixel_sum"] == int(want.sum())
+        assert st[k]["pixel_min"] == int(want.min())
+        assert st[k]["pixel_max"] == int(want.max())
+
+
+def test_resize_images_undecodable_and_guards(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        make_gif,
+        pillow_available,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, bytearray(make_gif(4, 4))), (3, None)],
+        "doc_id long, media binary",
+    )
+    # without Pillow, only gray8 PNGs decode on the stdlib tier
+    out = {r["doc_id"]: r for r in resize_images(df, 4, 4, decoder="stdlib").collect()}
+    assert all(out[i]["media"] is None and out[i]["width"] is None for i in (1, 2, 3))
+    with pytest.raises(ValueError):
+        resize_images(df, 0, 4)
+    with pytest.raises(ValueError):
+        resize_images(df, 4, 4, decoder="bogus")
+    if not pillow_available():
+        with pytest.raises(NotImplementedError):
+            resize_images(df, 4, 4, decoder="real")
