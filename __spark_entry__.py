@@ -691,7 +691,17 @@ def _kmv_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     daily = kmv_sketch(ev, ["event_type", "day"], "user_id", k=K)
-    merged = kmv_merge(daily, ["event_type"], k=K)
+    merged = kmv_merge(daily, ["event_type"], k=K).cache()
+    # regime fail-fast: at sketch size == K the estimator fires and the
+    # COUNT(DISTINCT) oracle would mismatch SILENTLY — if a future
+    # generator/sf pushes any type to K distinct users, raise instead
+    at_capacity = merged.where(F.size("kmv") >= K).count()
+    if at_capacity:
+        raise ValueError(
+            f"kmv_rollup_check out of its exact regime: {at_capacity} "
+            f"group sketch(es) at capacity K={K}; raise K or drop the "
+            "exact-count oracle for this entry"
+        )
     return merged.select(
         "event_type",
         F.col("n_merged").alias("n_days"),
@@ -773,7 +783,12 @@ def _streaming_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # a False return means the stream is STILL RUNNING — reading the
+    # rollup then would race a later micro-batch's overwrite of the
+    # same path; fail loudly instead of hashing a partial state
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("maintenance replay did not finish within 600s")
     return (
         spark.read.parquet(rollup_path)
         .select("day", "n_rows", "sum_cents")
@@ -2160,7 +2175,9 @@ def _streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming replay did not finish within 600s")
     return spark.table(qname)
 
 
@@ -2191,7 +2208,9 @@ def _run_replay(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming replay did not finish within 600s")
     return spark.table(qname)
 
 
@@ -2379,7 +2398,9 @@ def _streaming_near_dup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(tmp, "ckpt"),
         threshold=0.5,
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming replay did not finish within 600s")
     return spark.read.parquet(os.path.join(tmp, "pairs")).select(
         "id_a", "id_b", "jaccard"
     )

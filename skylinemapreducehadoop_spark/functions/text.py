@@ -961,21 +961,39 @@ def bpe_train(
 def bpe_apply_word(
     syms: list[str], ranked: Sequence[tuple[str, str]]
 ) -> list[str]:
-    """Replay a BPE merge table over one word's symbol list, in rank
-    order, merging occurrences left-to-right non-overlapping — exactly
-    :func:`bpe_train`'s fold semantics, so encoding a training word
-    reproduces the symbols the trainer ended with.
+    """Apply a BPE merge table to one word's symbol list by repeatedly
+    merging the LOWEST-ranked pair present (all its occurrences,
+    left-to-right non-overlapping) until none remains — the reference
+    tokenizer apply loop (subword-nmt / the common library shape),
+    well-defined for ARBITRARY merge tables.
 
-    Replay-in-rank-order is equivalent to the repeatedly-merge-the-
-    lowest-ranked-present-pair formulation (the common tokenizer-
-    library shape): a merge only creates adjacencies involving its own
-    output symbol (neighbors are untouched), and that output symbol
-    first participates in merges of HIGHER rank, so a lower-ranked
-    pair can never (re)appear after its rank has been replayed. The
-    equivalence is property-tested against an independent
-    lowest-rank-first implementation in tests/test_bpe_encode.py.
+    For tables produced by BPE training — where every merged symbol is
+    created by a lower rank than any merge consuming it — this equals
+    replaying the table in rank order, i.e. exactly
+    :func:`bpe_train`'s fold semantics, so encoding a training word
+    reproduces the symbols the trainer ended with (property-tested
+    against an independent rank-order replay in
+    tests/test_bpe_encode.py). For a foreign table that violates that
+    ordering (a low-ranked merge consuming a symbol only a higher rank
+    creates), rank-order replay would silently no-op the early merge;
+    lowest-rank-first applies it once its operands exist, matching the
+    reference tokenizers. Per-word cost is independent of table size
+    (~merges-applied x word length), where a full-table replay would
+    scan all 32-50k ranks per word.
     """
-    for left, right in ranked:
+    rank: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(ranked):
+        rank.setdefault((pair[0], pair[1]), i)
+    syms = list(syms)
+    while len(syms) > 1:
+        best_r = None
+        for a, b in zip(syms, syms[1:]):
+            r = rank.get((a, b))
+            if r is not None and (best_r is None or r < best_r):
+                best_r = r
+        if best_r is None:
+            break
+        left, right = ranked[best_r]
         out: list[str] = []
         for s in syms:
             if out and out[-1] == left and s == right:
@@ -1001,8 +1019,10 @@ def bpe_encode(
     ``end_of_word`` terminator symbol.
 
     Accepts merge rows in either ``(rank, left, right, pair_count)``
-    form (bpe_train's output) or bare ``(left, right)`` pairs; rows
-    are replayed in rank order.
+    form (bpe_train's output) or bare ``(left, right)`` pairs; per
+    word the lowest-ranked present pair merges first
+    (:func:`bpe_apply_word` — the reference tokenizer loop, equal to
+    rank-order replay for any training-produced table).
 
     Distributed shape: the merge table is tokenizer-sized (32-50k
     entries at a realistic vocabulary) — it ships once per task inside
@@ -1013,8 +1033,8 @@ def bpe_encode(
     expressible as JVM columns without materializing n_merges chained
     passes over the corpus); within each batch, words are memoized —
     under a Zipfian corpus a handful of word types dominates the token
-    stream, so per-batch cost is ~distinct-words x merges, not
-    tokens x merges.
+    stream, so per-batch cost is ~distinct-words x merges-applied
+    (independent of table size), not tokens x merges.
     """
     ranked: list[tuple[str, str]] = []
     for row in merges:

@@ -17,22 +17,14 @@ from skylinemapreducehadoop_spark.functions.text import (
 EOW = "</w>"
 
 
-def _lowest_rank_first(syms: list[str], pairs: list[tuple[str, str]]) -> list[str]:
-    """Independent formulation: repeatedly merge the lowest-ranked pair
-    present (all its occurrences, left-to-right) until none remains —
-    the common tokenizer-library shape (e.g. the original subword-nmt
-    apply loop)."""
-    rank = {p: i for i, p in enumerate(pairs)}
+def _rank_order_replay(syms: list[str], pairs: list[tuple[str, str]]) -> list[str]:
+    """Independent formulation: replay the table in rank order, merging
+    left-to-right non-overlapping — bpe_train's fold semantics. Equal
+    to the library's lowest-rank-first loop on any TRAINING-PRODUCED
+    table (merged symbols are created by lower ranks than any merge
+    consuming them)."""
     syms = list(syms)
-    while True:
-        best = None
-        for a, b in zip(syms, syms[1:]):
-            r = rank.get((a, b))
-            if r is not None and (best is None or r < best):
-                best = r
-        if best is None:
-            return syms
-        left, right = pairs[best]
+    for left, right in pairs:
         out: list[str] = []
         for s in syms:
             if out and out[-1] == left and s == right:
@@ -40,6 +32,7 @@ def _lowest_rank_first(syms: list[str], pairs: list[tuple[str, str]]) -> list[st
             else:
                 out.append(s)
         syms = out
+    return syms
 
 
 def _rand_corpus(rng: random.Random, alphabet: str = "abc") -> list[str]:
@@ -49,7 +42,7 @@ def _rand_corpus(rng: random.Random, alphabet: str = "abc") -> list[str]:
     ]
 
 
-def test_apply_matches_lowest_rank_first_on_random_corpora():
+def test_apply_matches_rank_order_replay_on_trained_shaped_tables():
     rng = random.Random(7)
     for trial in range(60):
         words = _rand_corpus(rng)
@@ -66,9 +59,19 @@ def test_apply_matches_lowest_rank_first_on_random_corpora():
             table.append((lft + r, EOW))
         for w in words:
             a = bpe_apply_word(list(w) + [EOW], table)
-            b = _lowest_rank_first(list(w) + [EOW], table)
+            b = _rank_order_replay(list(w) + [EOW], table)
             assert a == b, (trial, w, table, a, b)
             assert "".join(a) == w + EOW  # lossless roundtrip
+
+
+def test_apply_foreign_table_merges_late_created_operands():
+    # a table where the rank-0 merge consumes a symbol only rank 1
+    # creates: rank-order replay would silently no-op rank 0; the
+    # lowest-rank-first loop (reference tokenizers) applies it once its
+    # operands exist
+    table = [("a", "bc"), ("b", "c")]
+    assert bpe_apply_word(list("abc") + [EOW], table) == ["abc", EOW]
+    assert _rank_order_replay(list("abc") + [EOW], table) == ["a", "bc", EOW]
 
 
 def test_encode_reproduces_training_symbols(spark):
