@@ -611,6 +611,33 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-type TIME-weighted mean of the value series (each observation
+    # holds until the next — the sensor/price correct mean; a plain AVG
+    # over-weights bursts): exact micros deltas, decimal-folded
+    # products, one per-group lead window, event_id tie-break
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, by="event_type", value_col="value", tiebreak_col="event_id"
+    ).orderBy("event_type")
+
+
+def _abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pareto/ABC classification of parts by revenue: the fact table
+    # reduces to the key table in one map-side-combined aggregate, the
+    # running-share window orders keys (never rows), and both class
+    # boundaries clear the division (cum*100 <= total*pct in exact
+    # decimal) — the key straddling 80% cannot flip with ulp noise
+    from skylinemapreducehadoop_spark.operators.stats import abc_classify
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return abc_classify(li, "l_partkey", "l_extendedprice")
+
+
 def _resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the RESIZE step of the multimodal pipeline end-to-end with no
     # codec library: per document a real gray8 PNG with closed-form
@@ -3115,6 +3142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_information_events": _mutual_information_events,
         "novelty_documents": _novelty_documents,
         "resize_check": _resize_check,
+        "twap_events": _twap_events,
+        "abc_parts": _abc_parts,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -4243,6 +4272,55 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "twap_events": """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(round(value * 1000000) AS BIGINT) AS vq, event_id
+  FROM events WHERE value IS NOT NULL
+),
+d AS (
+  SELECT event_type, vq,
+         lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id) - us AS dt
+  FROM o
+),
+a AS (
+  SELECT event_type, count(*) AS n_obs,
+         CAST(sum(dt) AS BIGINT) AS span_us,
+         sum(CAST(vq AS HUGEINT) * dt) AS sw
+  FROM d GROUP BY 1
+)
+SELECT event_type, n_obs, coalesce(span_us, 0) AS span_us,
+       CASE WHEN span_us > 0
+            THEN round(CAST(sw AS DOUBLE) / CAST(span_us AS DOUBLE)
+                       / 1000000.0, 6)
+       END AS twap
+FROM a
+""",
+        "abc_parts": """
+WITH pk AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS tq
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+r AS (
+  SELECT l_partkey, tq,
+         CAST(row_number() OVER (ORDER BY tq DESC, l_partkey) AS INTEGER)
+           AS share_rank,
+         sum(tq) OVER (ORDER BY tq DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(tq) OVER () AS gt
+  FROM pk
+)
+SELECT l_partkey,
+       CAST(tq AS BIGINT) AS total_q,
+       CAST(cum AS BIGINT) AS cum_q,
+       share_rank,
+       CASE WHEN cum * 100 <= gt * 80 THEN 'A'
+            WHEN cum * 100 <= gt * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r
+""",
         "resize_check": """
 WITH d AS (
   SELECT doc_id, 1 + doc_id % 16 AS sw, 1 + doc_id % 12 AS sh FROM documents

@@ -251,6 +251,8 @@ EXTRA_QUERIES = [
     "mutual_information_events",
     "novelty_documents",
     "resize_check",
+    "twap_events",
+    "abc_parts",
 ]
 
 

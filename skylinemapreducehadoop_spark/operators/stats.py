@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: decimal wide enough for sums of pairwise products of ~1e12-scale
@@ -581,4 +581,59 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.col("__N").alias("n_rows"),
         "n_cells",
         F.round(fold / F.col("__N").cast("double"), 6).alias("mi_bits"),
+    )
+
+
+def abc_classify(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    scale: int = 100,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """Pareto / ABC inventory classification: aggregate ``value_col``
+    per key on the integer grid, rank descending (ties broken by key
+    ascending), and classify by cumulative share — 'A' while the
+    running total is within ``a_pct``% of the grand total, 'B' within
+    ``b_pct``%, else 'C'. Returns (key, total_q, cum_q, share_rank,
+    abc_class).
+
+    Both boundary decisions clear the division: ``cum*100 <=
+    total*pct`` in exact decimal(38,0) — a float share comparison
+    could flip the class of the key straddling 80% with ulp noise.
+
+    Shape: one map-side-combined aggregate reduces the fact table to
+    the KEY table (vocabulary-sized — parts, SKUs, customers), then
+    one window over that table for the running sum; the global sort
+    orders keys, never rows, so the window input is bounded by key
+    cardinality at any fact-table scale.
+    """
+    q = _q(value_col, scale).cast(_DEC)
+    per_key = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum(q).alias("total_q"))
+    )
+    w = Window.orderBy(F.desc("total_q"), F.asc(key_col))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = per_key.agg(F.sum("total_q").alias("__gt"))
+    ranked = (
+        per_key.withColumn("share_rank", F.row_number().over(w))
+        .withColumn("cum_q", F.sum("total_q").over(wcum))
+        .crossJoin(F.broadcast(tot))
+    )
+    hundred = F.lit(100).cast(_DEC)
+    cls = F.when(
+        F.col("cum_q") * hundred <= F.col("__gt") * F.lit(a_pct).cast(_DEC), "A"
+    ).when(
+        F.col("cum_q") * hundred <= F.col("__gt") * F.lit(b_pct).cast(_DEC), "B"
+    ).otherwise("C")
+    return ranked.select(
+        key_col,
+        F.col("total_q").cast("long").alias("total_q"),
+        F.col("cum_q").cast("long").alias("cum_q"),
+        "share_rank",
+        cls.alias("abc_class"),
     )

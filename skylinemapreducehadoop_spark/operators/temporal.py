@@ -383,3 +383,66 @@ def event_transitions(
             prob_digits,
         ).alias("prob"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    by: str | Sequence[str] = "event_type",
+    value_col: str = "value",
+    value_scale: int = 1_000_000,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-group TIME-weighted average of an observation series (the
+    timescale `time_weight('locf')` shape): each observation holds
+    until the next one, so ``twap = Σ vᵢ·Δtᵢ / Σ Δtᵢ`` with Δt in
+    exact epoch microseconds; the last observation carries no weight
+    (the series has no close bound). A plain AVG over irregular
+    samples over-weights bursts — this is the correct mean for
+    sensor/price/state series. Returns (by..., n_obs, span_us, twap);
+    single-observation groups have span 0 and NULL twap.
+
+    Exactness: values quantize to the integer grid once
+    (``round(v*scale)``), every vᵢ·Δtᵢ product accumulates as
+    decimal(38,0), and the two closing double divisions are identical
+    on any engine — the ``stats.py`` discipline. Ordering ties on the
+    timestamp are broken by ``tiebreak_col`` when given (zero-width
+    intervals make ties harmless for the SUM, but deterministic order
+    keeps lead() reproducible).
+
+    Shape: ONE per-group window (lead) + one hash aggregate; the sort
+    is per-group (bounded by observations per key), never global.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    us = F.unix_micros(F.col(ts_col))
+    order = [us] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    vq = F.round(F.col(value_col) * F.lit(value_scale)).cast("long")
+    delta = (F.lead(us).over(w) - us).alias("__dt")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        *by, vq.alias("__vq"), delta
+    )
+    dec = "decimal(38,0)"
+    agg = rows.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__dt").alias("span_us"),
+        F.sum(
+            (F.col("__vq").cast(dec) * F.col("__dt").cast(dec)).cast(dec)
+        ).alias("__sw"),
+    )
+    twap = F.when(
+        F.col("span_us") > 0,
+        F.round(
+            F.col("__sw").cast("double")
+            / F.col("span_us").cast("double")
+            / F.lit(float(value_scale)),
+            6,
+        ),
+    )
+    return agg.select(
+        *by,
+        "n_obs",
+        F.coalesce("span_us", F.lit(0)).alias("span_us"),
+        twap.alias("twap"),
+    )

@@ -285,3 +285,36 @@ def test_mutual_information_reference_and_independence(spark):
         spark.createDataFrame(rows3, "x string, y string"), "x", "y"
     ).collect()[0]
     assert r3["n_rows"] == 40
+
+
+def test_abc_classify_boundaries_and_ranking(spark):
+    from skylinemapreducehadoop_spark.operators.stats import abc_classify
+
+    # totals 50, 30, 15, 5 (grand 100): cum 50(A), 80(A — exact 80%),
+    # 95(B — exact 95%), 100(C)
+    rows = (
+        [("k1", 25.0)] * 2
+        + [("k2", 15.0)] * 2
+        + [("k3", 15.0)]
+        + [("k4", 5.0)]
+        + [("k5", None)]  # NULL values never contribute
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in abc_classify(df, "k", "v").collect()}
+    assert [got[f"k{i}"]["share_rank"] for i in (1, 2, 3, 4)] == [1, 2, 3, 4]
+    assert got["k1"]["abc_class"] == "A"
+    assert got["k2"]["abc_class"] == "A"  # lands exactly on 80% -> A
+    assert got["k3"]["abc_class"] == "B"  # lands exactly on 95% -> B
+    assert got["k4"]["abc_class"] == "C"
+    assert got["k2"]["cum_q"] == 8000  # cents grid
+    assert "k5" not in got  # all-NULL key disappears (no contribution)
+
+
+def test_abc_classify_tie_break_deterministic(spark):
+    from skylinemapreducehadoop_spark.operators.stats import abc_classify
+
+    df = spark.createDataFrame(
+        [("b", 10.0), ("a", 10.0), ("c", 10.0)], "k string, v double"
+    )
+    out = abc_classify(df, "k", "v").orderBy("share_rank").collect()
+    assert [r["k"] for r in out] == ["a", "b", "c"]  # equal totals -> key asc

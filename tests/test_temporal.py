@@ -319,3 +319,53 @@ def test_interval_concurrency_randomized_vs_bruteforce(spark):
         iv = [(s, e) for g, s, e in rows if g == k and e > s]
         want = max(sum(1 for s, e in iv if s <= t < e) for t in range(0, 70))
         assert got[k] == want, k
+
+
+def test_time_weighted_avg_step_function(spark):
+    from datetime import datetime
+
+    from skylinemapreducehadoop_spark.operators.temporal import time_weighted_avg
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # key a: 10 held 2s, 20 held 1s, last obs 99 unweighted
+        ("a", t(0), 10.0, 1), ("a", t(2), 20.0, 2), ("a", t(3), 99.0, 3),
+        # key b: single observation -> span 0, NULL twap
+        ("b", t(5), 7.0, 4),
+        # key c: NULL value rows excluded entirely
+        ("c", t(0), None, 5), ("c", t(1), 4.0, 6), ("c", t(3), 8.0, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double, event_id long")
+    got = {
+        r["k"]: r
+        for r in time_weighted_avg(
+            df, by="k", ts_col="ts", value_col="value", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got["a"]["n_obs"] == 3
+    assert got["a"]["span_us"] == 3_000_000
+    assert got["a"]["twap"] == round((10 * 2 + 20 * 1) / 3, 6)
+    assert got["b"]["span_us"] == 0 and got["b"]["twap"] is None
+    # c: NULL row dropped BEFORE lead, so 4.0 holds t(1)..t(3)
+    assert got["c"]["n_obs"] == 2 and got["c"]["twap"] == 4.0
+
+
+def test_time_weighted_avg_vs_plain_avg_burst(spark):
+    # burst of samples at one value must NOT dominate the time average
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.temporal import time_weighted_avg
+
+    rows = [("k", datetime(2024, 1, 1, 0, 0, 0, i * 1000), 100.0, i) for i in range(50)]
+    rows.append(("k", datetime(2024, 1, 1, 0, 1, 0), 0.0, 99))  # 0 held ~1 min? no: last obs
+    rows.append(("k", datetime(2024, 1, 1, 0, 2, 0), 0.0, 100))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double, event_id long")
+    r = time_weighted_avg(df, by="k", value_col="value", tiebreak_col="event_id").collect()[0]
+    # 100 held only 49ms+~60s... burst contributes 49ms at 100; then
+    # the 50th sample (100.0) holds until 0:01:00, then 0 holds 60s
+    # plain avg would be ~96; the time-weighted mean sits near 50
+    assert r["twap"] < 60.0
