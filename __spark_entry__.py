@@ -611,6 +611,44 @@ def _image_header_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("doc_id", "kind", "width", "height", "sample_rate")
 
 
+def _kcore_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-core decomposition on a planted graph whose 3-core is
+    # analytically determined (K5 clique + K4, with a pendant triangle,
+    # a bridge, a path, duplicate/reversed edges and a self-loop that
+    # must all peel or dedup away) — the pagerank_cycle_check pattern
+    # for iterative fixed points
+    import itertools
+
+    from skylinemapreducehadoop_spark.operators.graph import k_core
+
+    edges = list(itertools.combinations(range(5), 2))
+    edges += [(10, 11), (11, 12), (10, 12), (0, 10)]
+    edges += [(20, 21), (21, 22)]
+    edges += list(itertools.combinations(range(30, 34), 2))
+    edges += [(1, 0), (0, 1), (7, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return k_core(df, 3).orderBy("node")
+
+
+def _analyze_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ANALYZE-style catalog statistics in ONE aggregate pass: per
+    # column n_total / n_nulls / exact ndv / min / max (rendered as
+    # strings). The double price column rides as exact cents so the
+    # string render is engine-deterministic (double->string formatting
+    # differs across engines; integers and timestamps do not)
+    from skylinemapreducehadoop_spark.functions.profile import analyze_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return analyze_table(orders).orderBy("col_name")
+
+
 def _twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type TIME-weighted mean of the value series (each observation
     # holds until the next — the sensor/price correct mean; a plain AVG
@@ -3144,6 +3182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_check": _resize_check,
         "twap_events": _twap_events,
         "abc_parts": _abc_parts,
+        "analyze_orders": _analyze_orders,
+        "kcore_check": _kcore_check,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
@@ -4272,6 +4312,59 @@ FROM d
         "pmi_collocations_documents": _PMI_SQL,
         "bpe_merges_check": _BPE_CHECK_SQL,
         "bpe_encode_check": _BPE_ENCODE_SQL,
+        "kcore_check": """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(4 AS BIGINT)), (1, 4), (2, 4), (3, 4), (4, 4),
+  (30, 3), (31, 3), (32, 3), (33, 3)
+) v(node, core_degree)
+""",
+        "analyze_orders": """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderdate, o_orderpriority
+  FROM orders
+),
+s AS (
+  SELECT 'o_orderkey' AS col_name, count(*) AS n_total,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         count(DISTINCT o_orderkey) AS ndv,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_str
+  FROM t
+  UNION ALL
+  SELECT 'o_custkey', count(*),
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_custkey),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+  FROM t
+  UNION ALL
+  SELECT 'o_orderstatus', count(*),
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_orderstatus),
+         min(o_orderstatus), max(o_orderstatus)
+  FROM t
+  UNION ALL
+  SELECT 'price_cents', count(*),
+         CAST(sum(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT price_cents),
+         CAST(min(price_cents) AS VARCHAR), CAST(max(price_cents) AS VARCHAR)
+  FROM t
+  UNION ALL
+  SELECT 'o_orderdate', count(*),
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_orderdate),
+         CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+  FROM t
+  UNION ALL
+  SELECT 'o_orderpriority', count(*),
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority)
+  FROM t
+)
+SELECT * FROM s
+""",
         "twap_events": """
 WITH o AS (
   SELECT event_type, epoch_us(ts) AS us,

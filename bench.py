@@ -253,6 +253,8 @@ EXTRA_QUERIES = [
     "resize_check",
     "twap_events",
     "abc_parts",
+    "analyze_orders",
+    "kcore_check",
 ]
 
 

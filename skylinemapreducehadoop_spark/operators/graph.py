@@ -184,3 +184,51 @@ def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst")
             9,
         ).alias("coefficient"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree >= k, computed by iterative peeling (remove
+    all nodes of degree < k, recompute, repeat to the fixed point —
+    the standard Matula-Beck reduction). Returns surviving
+    (node, core_degree) rows; core_degree is the degree INSIDE the
+    core. The peeling order never affects the fixed point, so the
+    result is deterministic on any layout.
+
+    Distributed shape per round: one degree aggregate + two anti-joins
+    against the (shrinking) low-degree node set — edges only ever
+    shrink, and ``localCheckpoint`` pins each round so plan depth
+    stays constant (the pagerank/kmeans iterative discipline). Rounds
+    are bounded by the degeneracy peeling depth — tiny for real
+    graphs; ``max_iter`` is the runaway bound.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        low = deg.where(F.col("deg") < k).select("a")
+        if low.isEmpty():
+            return deg.select(F.col("a").alias("node"), F.col("deg").alias("core_degree"))
+        sym = (
+            sym.join(low, "a", "left_anti")
+            .join(low.select(F.col("a").alias("b")), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge within {max_iter} rounds")

@@ -103,3 +103,40 @@ def test_clustering_coefficient_known_graphs(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 5)], "src long, dst long")
     row = clustering_coefficient(star).collect()[0]
     assert (row["n_triangles"], row["n_wedges"], row["coefficient"]) == (0, 6, 0.0)
+
+
+def test_k_core_planted_structures(spark):
+    import itertools
+
+    import pytest
+
+    from skylinemapreducehadoop_spark.operators.graph import k_core
+
+    edges = []
+    # K5 clique on 0..4 (every node degree 4)
+    edges += list(itertools.combinations(range(5), 2))
+    # triangle 10-11-12 (degree 2) attached to the clique via 0-10
+    edges += [(10, 11), (11, 12), (10, 12), (0, 10)]
+    # path 20-21-22 (max degree 2)
+    edges += [(20, 21), (21, 22)]
+    # K4 on 30..33 (degree 3)
+    edges += list(itertools.combinations(range(30, 34), 2))
+    # duplicate + reversed + self-loop noise must not change anything
+    edges += [(1, 0), (0, 1), (7, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    got3 = {r["node"]: r["core_degree"] for r in k_core(df, 3).collect()}
+    # 3-core: K5 (the 10-attachment and triangle peel away) + K4
+    assert got3 == {**{n: 4 for n in range(5)}, **{n: 3 for n in range(30, 34)}}
+
+    got2 = {r["node"]: r["core_degree"] for r in k_core(df, 2).collect()}
+    # 2-core adds the triangle AND the 0-10 bridge (both endpoints keep
+    # degree >= 2, so the bridge edge itself survives); the path peels
+    assert got2[10] == 3 and got2[11] == 2 and got2[12] == 2
+    assert got2[0] == 5  # clique degree 4 + the bridge
+    assert 20 not in got2 and 21 not in got2
+
+    # k above the max degree peels everything
+    assert k_core(df, 6).count() == 0
+    with pytest.raises(ValueError):
+        k_core(df, 0)

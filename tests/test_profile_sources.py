@@ -93,3 +93,28 @@ def test_equidepth_histogram_balanced_and_no_global_sort(spark):
     dup = spark.range(100).selectExpr("cast(5.0 as double) as x")
     d = {r["bucket"]: r["cnt"] for r in equidepth_histogram(dup, "x", nbins=4).collect()}
     assert d == {0: 100}
+
+
+def test_analyze_table_all_types_and_nulls(spark):
+    import pytest
+
+    from skylinemapreducehadoop_spark.functions.profile import analyze_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5),
+            (2, "b", None),
+            (2, None, 2.5),
+            (None, "a", 2.5),
+        ],
+        "i long, s string, d double",
+    )
+    got = {r["col_name"]: r for r in analyze_table(df).collect()}
+    assert set(got) == {"i", "s", "d"}
+    assert all(r["n_total"] == 4 for r in got.values())
+    assert got["i"]["n_nulls"] == 1 and got["i"]["ndv"] == 2
+    assert got["i"]["min_str"] == "1" and got["i"]["max_str"] == "2"
+    assert got["s"]["n_nulls"] == 1 and got["s"]["ndv"] == 2
+    assert got["d"]["ndv"] == 2 and got["d"]["max_str"] == "2.5"
+    with pytest.raises(ValueError):
+        analyze_table(df, cols=[])
