@@ -21,6 +21,7 @@ group, and adding columns adds expressions, not passes.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -584,6 +585,29 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     )
 
 
+def _abc_local_frame(per_key: DataFrame, key_col: str, nparts: int) -> DataFrame:
+    """Range-partition the key table on ``(desc total_q, asc key)`` and
+    compute per-partition local rank / running sum. Range partitioning
+    guarantees partition i's rows all precede partition j's (i < j) in
+    the global order, so per-partition offsets compose into the exact
+    global prefix sum. Every window here is partitioned by
+    ``spark_partition_id`` — there is no single-partition window
+    anywhere in the plan (asserted by ``test_abc_no_global_window``).
+    """
+    local_w = Window.partitionBy("__pid").orderBy(F.desc("total_q"), F.asc(key_col))
+    return (
+        per_key.repartitionByRange(nparts, F.desc("total_q"), F.asc(key_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrank", F.row_number().over(local_w))
+        .withColumn(
+            "__lcum",
+            F.sum("total_q").over(
+                local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+
+
 def abc_classify(
     df: DataFrame,
     key_col: str,
@@ -592,6 +616,7 @@ def abc_classify(
     scale: int = 100,
     a_pct: int = 80,
     b_pct: int = 95,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Pareto / ABC inventory classification: aggregate ``value_col``
     per key on the integer grid, rank descending (ties broken by key
@@ -604,11 +629,19 @@ def abc_classify(
     total*pct`` in exact decimal(38,0) — a float share comparison
     could flip the class of the key straddling 80% with ulp noise.
 
-    Shape: one map-side-combined aggregate reduces the fact table to
-    the KEY table (vocabulary-sized — parts, SKUs, customers), then
-    one window over that table for the running sum; the global sort
-    orders keys, never rows, so the window input is bounded by key
-    cardinality at any fact-table scale.
+    Shape (distributed prefix sum — NO single-partition window): one
+    map-side-combined aggregate reduces the fact table to the KEY
+    table, which is then RANGE-partitioned on ``(desc total_q, asc
+    key)``. Each range partition computes its local running sum /
+    local rank under a ``partitionBy(partition_id)`` window; the
+    per-partition (sum, count) pairs — a #partitions-row frame, bounded
+    by config and not by data — are collected, prefix-summed on the
+    driver in exact Decimal, and joined back as broadcast offsets.
+    ``cum_q = local_cum + offset``; ``rank = local_rank + offset``.
+    The key frame is ``localCheckpoint``-pinned so the collected
+    offsets and the final pass read the same range boundaries. ABC
+    over 10^8 keys therefore flows through every core instead of one
+    task; no stage ever sees "Moving all data to a single partition".
     """
     q = _q(value_col, scale).cast(_DEC)
     per_key = (
@@ -616,19 +649,40 @@ def abc_classify(
         .groupBy(key_col)
         .agg(F.sum(q).alias("total_q"))
     )
-    w = Window.orderBy(F.desc("total_q"), F.asc(key_col))
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = per_key.agg(F.sum("total_q").alias("__gt"))
-    ranked = (
-        per_key.withColumn("share_rank", F.row_number().over(w))
-        .withColumn("cum_q", F.sum("total_q").over(wcum))
-        .crossJoin(F.broadcast(tot))
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Pinned: the offsets collect below must see the same range
+    # boundaries as the final pass.
+    local = _abc_local_frame(per_key, key_col, nparts).localCheckpoint()
+    # #partitions-row collect (bounded by config, never by data — the
+    # MAX_TOUCHED_BUCKETS-style contract): per-partition sum + count.
+    pstats = sorted(
+        local.groupBy("__pid")
+        .agg(F.sum("total_q").alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .collect(),
+        key=lambda r: r["__pid"],
     )
+    offsets, cum, cnt = [], Decimal(0), 0
+    for r in pstats:
+        offsets.append((r["__pid"], str(cum), cnt))
+        cum += r["__s"]
+        cnt += int(r["__c"])
+    grand_total = cum
+    off_df = spark.createDataFrame(
+        offsets or [(0, "0", 0)], "__pid int, __coff string, __roff long"
+    ).select("__pid", F.col("__coff").cast(_DEC).alias("__coff"), "__roff")
+    gt = F.lit(str(grand_total)).cast(_DEC)
     hundred = F.lit(100).cast(_DEC)
+    ranked = local.join(F.broadcast(off_df), "__pid").select(
+        F.col(key_col),
+        "total_q",
+        (F.col("__lcum") + F.col("__coff")).alias("cum_q"),
+        (F.col("__lrank") + F.col("__roff")).cast("int").alias("share_rank"),
+    )
     cls = F.when(
-        F.col("cum_q") * hundred <= F.col("__gt") * F.lit(a_pct).cast(_DEC), "A"
+        F.col("cum_q") * hundred <= gt * F.lit(a_pct).cast(_DEC), "A"
     ).when(
-        F.col("cum_q") * hundred <= F.col("__gt") * F.lit(b_pct).cast(_DEC), "B"
+        F.col("cum_q") * hundred <= gt * F.lit(b_pct).cast(_DEC), "B"
     ).otherwise("C")
     return ranked.select(
         key_col,

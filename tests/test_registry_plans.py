@@ -56,6 +56,7 @@ SKIP_EAGER = {
     "skyline_kband_events",  # phase-1 count chooses the phase-2 path
     "reverse_skyline_part",  # two-phase driver-coordinated
     "dynamic_skyline_part",
+    "abc_parts",  # distributed prefix sum: collects #partitions-row offsets
     "embedding_near_dup",  # reads dim from first()
     "ann_lsh_topk",  # driver-side probe-set computation reads dim
     "ann_recall_lsh",
@@ -90,7 +91,6 @@ BNLJ_OK = {
     "tfidf_keywords_documents",  # 1-row corpus-size (n_docs) frame
     "distribution_drift_orders",  # 1-row (total_base, total_cur) frame
     "mutual_information_events",  # 1-row (N, n_cells) total frame
-    "abc_parts",  # 1-row grand-total frame for the share boundary
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the
     # minhash/setsim sublinear paths — see COVERAGE.md); its nested

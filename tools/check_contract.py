@@ -1,10 +1,18 @@
 """Local driver-mimic: run every __spark_entry__ query against its
 DuckDB oracle at a given sf and report row-count / schema / value
-matches. Usage: python tools/check_contract.py [sf_dir] [query ...]
+matches. Usage:
+    python tools/check_contract.py [--json out.json] [sf_dir] [query ...]
+
+With --json, a machine-readable artifact is written mapping each
+checked entry to {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err, sec} (rows-only entries report rows_match/spark_rows
+with schema_match/hash_match null), so below-window verification is a
+committed artifact rather than prose (LOCALCHECK_r{N}.json).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from decimal import Decimal
@@ -47,8 +55,14 @@ def _norm_df(pdf: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -65,41 +79,69 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None, "sec": None,
+        }
+        results[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            rec["err"] = f"spark error: {type(e).__name__}: {e}"
+            rec["sec"] = round(time.time() - t0, 2)
+            print(f"FAIL  {name}: {rec['err']}")
             n_fail += 1
             continue
+        rec["spark_rows"] = len(spdf)
         if name not in oracles:
-            print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            rec["rows_match"] = True  # rows-only contract: ran, produced a frame
+            rec["sec"] = round(time.time() - t0, 2)
+            print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{rec['sec']}s]")
             continue
         try:
             opdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
-            print(f"FAIL  {name}: oracle error: {type(e).__name__}: {e}")
+            rec["err"] = f"oracle error: {type(e).__name__}: {e}"
+            rec["sec"] = round(time.time() - t0, 2)
+            print(f"FAIL  {name}: {rec['err']}")
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(opdf)
+        rec["schema_match"] = sorted(spdf.columns) == sorted(opdf.columns)
+        rec["rows_match"] = len(spdf) == len(opdf)
 
         problems = []
-        if sorted(spdf.columns) != sorted(opdf.columns):
+        if not rec["schema_match"]:
             problems.append(f"columns spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}")
-        if len(spdf) != len(opdf):
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
         if not problems:
             a, b = _norm_df(spdf), _norm_df(opdf)
-            if a != b:
+            rec["hash_match"] = a == b
+            if not rec["hash_match"]:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ; first diffs: {diffs}")
+        else:
+            rec["hash_match"] = False
+        rec["sec"] = round(time.time() - t0, 2)
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            rec["err"] = "; ".join(str(p) for p in problems)[:500]
+            print(f"FAIL  {name}: {rec['err']} [{rec['sec']}s]")
             n_fail += 1
         else:
-            print(f"OK    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(spdf)} rows [{rec['sec']}s]")
             n_pass += 1
 
     print(f"\n{n_pass} ok, {n_fail} fail")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "results": results},
+                fh, indent=1, default=str,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
