@@ -32,13 +32,19 @@ Crash consistency (the commit protocol):
 - A crash AFTER the marker is rolled FORWARD by
   :func:`recover_partitioned`: promotion is idempotent — a staged
   partition still present in staging has provably not been renamed
-  yet (rename removes its source), so recovery deletes the stale
-  target directory and renames; partitions already promoted are
+  yet (rename removes its source), so recovery parks the stale target
+  directory under an underscore-prefixed trash name, renames the
+  staged one in, and drops the trash; partitions already promoted are
   skipped; delete-only directories (partitions emptied by a DELETE)
-  are removed idempotently. After recovery the table is entirely old
-  or entirely new, never mixed. Both entry points auto-run the
-  roll-forward-only recovery first, so an earlier crashed writer's
-  marked commit is healed before new work.
+  are removed idempotently. Because the old directory is moved aside
+  rather than deleted in place, a CONCURRENT promoter racing the same
+  marker (a second writer's auto-recovery vs the first writer's own
+  promotion) can never destroy a freshly promoted partition — the
+  loser of the rename race observes src-gone/dest-present and skips.
+  After recovery the table is entirely old or entirely new, never
+  mixed. Both entry points auto-run the roll-forward-only recovery
+  first, so an earlier crashed writer's marked commit is healed
+  before new work.
 - Partition DIRECTORY names are never reconstructed from values:
   staged names come from listing what Spark's own writer produced,
   and to-delete names from listing the files the pruned scan actually
@@ -130,14 +136,33 @@ def _list_names(spark: SparkSession, path: str) -> list[tuple[str, bool]]:
 # commit protocol
 
 
+_TRASH_PREFIX = "_skymr_trash_"
+
+
 def _roll_forward(
     spark: SparkSession, target_path: str, staging_name: str, delete_dirs: list[str]
 ) -> None:
     """Idempotently complete a commit: promote every partition directory
-    still in staging (delete stale target dir, rename staged one in),
-    remove delete-only directories, then clean up the staging root. Safe
-    to re-run from any crash point after the marker exists."""
+    still in staging, remove delete-only directories, then clean up the
+    staging root. Safe to re-run from any crash point after the marker
+    exists, AND tolerant of a CONCURRENT promoter working on the same
+    marker (a second writer's auto-recovery racing the first writer's
+    own promotion):
+
+    - a staged directory whose ``src`` no longer exists was already
+      promoted by the peer — skipped, never treated as an error;
+    - the old target directory is never deleted in place: it is
+      renamed to an underscore-prefixed TRASH name (invisible to
+      readers, atomic), the staged directory renamed in, and the trash
+      dropped last. If a racing peer wins the ``src`` rename between
+      our existence check and ours failing, the old data sits intact
+      in trash (dropped as designed) and the fresh data sits intact at
+      ``dest`` — the delete-then-rename ordering this replaces could
+      delete a freshly promoted partition and then have nothing left
+      to rename (the r9 ADVICE data-loss mode).
+    """
     fs, _ = _fs(spark, target_path)
+    txid = staging_name[len(_STAGING_PREFIX):]
     staging_path = f"{target_path}/{staging_name}"
     for name, is_dir in _list_names(spark, staging_path):
         if not is_dir:
@@ -145,14 +170,44 @@ def _roll_forward(
         _maybe_crash("mid_promote")
         src = _hpath(spark, f"{staging_path}/{name}")
         dest = _hpath(spark, f"{target_path}/{name}")
+        trash = _hpath(spark, f"{target_path}/{_TRASH_PREFIX}{txid}_{name}")
+        if not fs.exists(src):
+            continue  # peer (or an earlier pass) already promoted it
         if fs.exists(dest):
-            fs.delete(dest, True)
-        if not fs.rename(src, dest):
-            raise IOError(f"promote rename {src} -> {dest} failed")
+            # move the old partition aside atomically; a peer may have
+            # just promoted-and-cleaned, in which case dest is already
+            # the NEW data and our src check below resolves it
+            if fs.exists(trash):
+                fs.delete(trash, True)  # prior crashed attempt's leftover
+            fs.rename(dest, trash)
+        _maybe_crash("post_trash")
+        try:
+            # some FileSystem impls THROW (FileNotFound) instead of
+            # returning false when a racing peer moved src first —
+            # either way the state re-checks below resolve it
+            renamed = bool(fs.rename(src, dest))
+        except Exception:
+            renamed = False
+        if not renamed:
+            if not fs.exists(src) and fs.exists(dest):
+                pass  # peer promoted between our check and our rename
+            elif fs.exists(trash) and not fs.exists(dest):
+                # our own rename failed outright: restore the old data
+                fs.rename(trash, dest)
+                raise IOError(f"promote rename {src} -> {dest} failed; old restored")
+            else:
+                raise IOError(f"promote rename {src} -> {dest} failed")
+        if fs.exists(trash):
+            fs.delete(trash, True)
     for name in delete_dirs:
         p = _hpath(spark, f"{target_path}/{name}")
         if fs.exists(p):
             fs.delete(p, True)
+    # sweep this commit's trash (crash between a promote's rename and
+    # its trash drop leaves one behind) and the staging root
+    for name, is_dir in _list_names(spark, target_path):
+        if is_dir and name.startswith(f"{_TRASH_PREFIX}{txid}_"):
+            fs.delete(_hpath(spark, f"{target_path}/{name}"), True)
     sp = _hpath(spark, staging_path)
     if fs.exists(sp):
         fs.delete(sp, True)
@@ -169,16 +224,26 @@ def recover_partitioned(
     ``"rolled_forward"`` or ``"rolled_back"``.
 
     Both entry points auto-run this with ``gc_unmarked=False``: rolling
-    a MARKED commit forward is always safe (the marker is the point of
-    no return and promotion is idempotent), but an unmarked staging
-    directory is indistinguishable from a CONCURRENT writer mid-stage —
-    deleting it out from under that writer would turn its commit into
-    partition deletion. Unmarked leftovers are invisible to readers
-    (underscore-prefixed), cost only disk, and are cleaned by an
-    explicit administrative ``recover_partitioned(...)`` call made when
-    no writer is active. (Two writers touching the SAME partitions
-    remain last-writer-wins, exactly like dynamic partition overwrite —
-    the protocol serializes crash atomicity, not isolation.)"""
+    a MARKED commit forward is safe against crashes (the marker is the
+    point of no return and promotion is idempotent) and against a
+    CONCURRENT promoter of the same marker (promotion skips
+    already-moved sources and parks the old directory in trash rather
+    than deleting in place, so a racing peer can at worst observe the
+    commit applied once — see :func:`_roll_forward`). An unmarked
+    staging directory, however, is indistinguishable from a concurrent
+    writer mid-stage — deleting it out from under that writer would
+    turn its commit into partition deletion. Unmarked leftovers are
+    invisible to readers (underscore-prefixed), cost only disk, and are
+    cleaned by an explicit administrative ``recover_partitioned(...)``
+    call made when no writer is active.
+
+    Concurrency contract: writers upserting DISJOINT partition sets
+    may run concurrently (each stages privately and promotes only its
+    own directories; both commits land — asserted by
+    ``test_two_concurrent_writers_disjoint_partitions``). Two writers
+    touching the SAME partitions remain last-writer-wins, exactly like
+    dynamic partition overwrite — the protocol serializes crash
+    atomicity, not isolation."""
     fs, hp = _fs(spark, target_path)
     if not fs.exists(hp):
         return "none"
@@ -207,6 +272,11 @@ def recover_partitioned(
             fs.delete(_hpath(spark, f"{target_path}/{s}"), True)
             if acted == "none":
                 acted = "rolled_back"
+        # orphan trash can only exist for a marker that has already been
+        # rolled forward (its commit replaced that data) — pure litter
+        for n, d in _list_names(spark, target_path):
+            if d and n.startswith(_TRASH_PREFIX):
+                fs.delete(_hpath(spark, f"{target_path}/{n}"), True)
     return acted
 
 

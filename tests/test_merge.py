@@ -247,7 +247,9 @@ def test_crash_consistency_upsert(spark, tmp_path, site, monkeypatch):
         assert got == new
     # no protocol litter left behind
     litter = [
-        d for d in os.listdir(path) if d.startswith(("_skymr_commit_", "_skymr_staging_"))
+        d
+        for d in os.listdir(path)
+        if d.startswith(("_skymr_commit_", "_skymr_staging_", "_skymr_trash_"))
     ]
     assert litter == []
     # and a re-run of recovery is a no-op
@@ -311,3 +313,112 @@ def test_auto_recovery_leaves_concurrent_writers_staging_alone(spark, tmp_path):
     # ...and the explicit administrative call rolls it back
     assert recover_partitioned(spark, path) == "rolled_back"
     assert not os.path.isdir(foreign)
+
+
+def _no_litter(path):
+    return [
+        d
+        for d in os.listdir(path)
+        if d.startswith(("_skymr_commit_", "_skymr_staging_", "_skymr_trash_"))
+    ] == []
+
+
+def test_two_concurrent_writers_disjoint_partitions(spark, tmp_path, monkeypatch):
+    """The supported concurrency contract: writers upserting DISJOINT
+    partition sets may interleave arbitrarily. Interleaving proved
+    here: A stages (crash-paused before its marker), B stages AND
+    commits while A's staging sits in the table root, then A resumes
+    and commits. Both commits land, untouched partitions stay
+    byte-identical, and recovery afterwards touches nothing."""
+    from skylinemapreducehadoop_spark.sources import merge as merge_mod
+    from skylinemapreducehadoop_spark.sources.merge import recover_partitioned
+
+    path = str(tmp_path / "tbl_two_writers")
+    _build_table(spark, path)
+    before = _part_files(path)
+
+    # writer A: stage updates to part=1, pause before the marker
+    upd_a = spark.createDataFrame([(1, 3, "A_UPD")], "part int, id int, val string")
+
+    def pause_post_staging(s):
+        if s == "post_staging":
+            raise RuntimeError("pause A")
+
+    monkeypatch.setattr(merge_mod, "_FAULT_INJECTOR", pause_post_staging)
+    with pytest.raises(RuntimeError, match="pause A"):
+        upsert_partitioned(spark, path, upd_a, ["part", "id"], "part")
+    monkeypatch.setattr(merge_mod, "_FAULT_INJECTOR", None)
+    stagings = [d for d in os.listdir(path) if d.startswith("_skymr_staging_")]
+    assert len(stagings) == 1
+    staging_a = stagings[0]
+
+    # writer B: full upsert of part=3 while A's staging is live
+    upd_b = spark.createDataFrame([(3, 0, "B_UPD")], "part int, id int, val string")
+    assert upsert_partitioned(spark, path, upd_b, ["part", "id"], "part") == 1
+    assert os.path.isdir(os.path.join(path, staging_a))  # B left A's staging alone
+
+    # writer A resumes: marker + promote of its already-staged data
+    merge_mod._commit(spark, path, staging_a, [])
+
+    got = {(r["part"], r["id"]): r["val"] for r in spark.read.parquet(path).collect()}
+    assert got[(1, 3)] == "A_UPD" and got[(3, 0)] == "B_UPD"
+    assert len(got) == 50
+    after = _part_files(path)
+    for d in ("part=0", "part=2", "part=4"):
+        assert after[d] == before[d], d
+    assert _no_litter(path)
+    assert recover_partitioned(spark, path) == "none"
+
+
+@pytest.mark.parametrize("race_site", ["mid_promote", "post_trash"])
+def test_concurrent_promoter_race_preserves_promoted_partition(
+    spark, tmp_path, monkeypatch, race_site
+):
+    """The r9 ADVICE data-loss mode: writer B's auto-recovery rolls a
+    marked commit forward CONCURRENTLY with writer A's own promotion.
+    Deterministically interleaved via the fault hook: at ``race_site``
+    (B has listed the staging / has parked dest in trash), A completes
+    the ENTIRE promotion; B then resumes with its stale view. B must
+    skip (src gone) or tolerate its lost rename (src gone + dest
+    present) — under the old delete-then-rename ordering B deleted the
+    freshly promoted partition and then had nothing to rename."""
+    from skylinemapreducehadoop_spark.sources import merge as merge_mod
+    from skylinemapreducehadoop_spark.sources.merge import recover_partitioned
+
+    path = str(tmp_path / f"tbl_race_{race_site}")
+    _build_table(spark, path)
+    upd = spark.createDataFrame(
+        [(1, 3, "RACE_UPD"), (2, 0, "RACE_UPD2")], "part int, id int, val string"
+    )
+
+    # crash writer A right after its marker: staging + marker durable,
+    # nothing promoted yet
+    def crash_post_marker(s):
+        if s == "post_marker":
+            raise RuntimeError("crash A")
+
+    monkeypatch.setattr(merge_mod, "_FAULT_INJECTOR", crash_post_marker)
+    with pytest.raises(RuntimeError, match="crash A"):
+        upsert_partitioned(spark, path, upd, ["part", "id"], "part")
+    staging = [d for d in os.listdir(path) if d.startswith("_skymr_staging_")][0]
+
+    # B rolls forward; at the first race_site hit, A promotes everything
+    state = {"fired": False}
+
+    def a_promotes_midway(s):
+        if s == race_site and not state["fired"]:
+            state["fired"] = True
+            merge_mod._FAULT_INJECTOR = None
+            merge_mod._roll_forward(spark, path, staging, [])
+            merge_mod._FAULT_INJECTOR = a_promotes_midway
+
+    monkeypatch.setattr(merge_mod, "_FAULT_INJECTOR", a_promotes_midway)
+    assert recover_partitioned(spark, path) == "rolled_forward"  # B, no error
+    monkeypatch.setattr(merge_mod, "_FAULT_INJECTOR", None)
+    assert state["fired"]
+
+    got = {(r["part"], r["id"]): r["val"] for r in spark.read.parquet(path).collect()}
+    assert got[(1, 3)] == "RACE_UPD" and got[(2, 0)] == "RACE_UPD2"
+    assert len(got) == 50  # nothing lost
+    assert _no_litter(path)
+    assert recover_partitioned(spark, path) == "none"
