@@ -4621,8 +4621,10 @@ mm AS (
 )
 SELECT d.g AS o_orderpriority,
        count(*) AS n,
-       CAST(sum(CASE WHEN 26980 * d2 > 70000 * mad_x4 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_outliers,
+       CASE WHEN max(mad_x4) > 0 THEN
+         CAST(sum(CASE WHEN 26980 * d2 > 70000 * mad_x4 THEN 1 ELSE 0 END)
+              AS BIGINT)
+       END AS n_outliers,
        max(med_x2) AS med_x2,
        max(mad_x4) AS mad_x4
 FROM d JOIN mm USING (g)

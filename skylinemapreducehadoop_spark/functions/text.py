@@ -15,12 +15,18 @@ language ID.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Java's \s (as used by tokens() / bpe_train's engine-side split) is
+# ASCII-only: [ \t\n\x0B\f\r]. Python-side word splitting must match it
+# exactly or train/encode word boundaries diverge on Unicode whitespace.
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 # Small multilingual stopword marker lists for the n-gram/marker
 # language heuristic. Public common-word lists; intentionally tiny —
@@ -1062,8 +1068,14 @@ def bpe_encode(
                 out.append(None)
                 continue
             toks: list[str] = []
-            for w in txt.split():
-                toks.extend(enc_word(w))
+            # split with the SAME semantics as tokens() / bpe_train
+            # (Java \s+ = ASCII whitespace only): Python str.split()
+            # would additionally break on NBSP etc., producing word
+            # boundaries at encode time that never existed at train
+            # time and violating the train/encode round-trip
+            for w in _ASCII_WS.split(txt):
+                if w:
+                    toks.extend(enc_word(w))
             out.append(toks)
         return pd.Series(out)
 

@@ -387,6 +387,13 @@ def mad_outliers(
     can never flip with ulp noise (a float MAD filter cannot be an
     oracle contract; cf. ``zscore_outliers``).
 
+    A degenerate group (``MAD == 0``: more than half the values equal
+    the median) has an UNDEFINED modified z-score — the cleared
+    inequality would flag every off-median row, which is a statement
+    about the statistic breaking down, not about outliers. Such groups
+    report ``n_outliers = NULL`` (with ``mad_x4 = 0`` visible so the
+    caller can choose a meanAD fallback).
+
     Execution shape: exact percentiles are sort-based aggregates whose
     per-group state is the DISTINCT-value multiset — bounded for
     quantized business values (prices, counts), not for raw doubles;
@@ -419,11 +426,17 @@ def mad_outliers(
         .groupBy("__g")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(flag.cast("long")).alias("n_outliers"),
+            F.sum(flag.cast("long")).alias("__flagged"),
             F.max("med_x2").alias("med_x2"),
             F.max("mad_x4").alias("mad_x4"),
         )
-        .select(F.col("__g").alias(group_col), "n", "n_outliers", "med_x2", "mad_x4")
+        .select(
+            F.col("__g").alias(group_col),
+            "n",
+            F.when(F.col("mad_x4") > 0, F.col("__flagged")).alias("n_outliers"),
+            "med_x2",
+            "mad_x4",
+        )
     )
 
 

@@ -110,3 +110,23 @@ def test_encode_is_map_only(spark):
     df = spark.range(10).withColumn("text", __import__("pyspark").sql.functions.lit("lot"))
     plan = bpe_encode(df, table)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_encode_word_boundaries_match_tokens_on_unicode_whitespace(spark):
+    """Java \\s+ (tokens()/bpe_train's split) is ASCII-only: NBSP is NOT
+    a word boundary there, so encode must keep 'a\\u00a0b' as ONE word —
+    Python str.split() would break it in two, diverging from training."""
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.functions.text import tokens
+
+    text = "lo ot lo ot x"  # NBSP inside a word; EM-space too
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    engine_words = df.select(tokens("text").alias("t")).collect()[0]["t"]
+    assert engine_words == ["lo ot", "lo", "ot x"]
+
+    enc = bpe_encode(df, [("l", "o")]).collect()[0]["bpe_tokens"]
+    # reassembling the encoded stream word-by-word must reproduce the
+    # ENGINE's word boundaries exactly
+    joined = "".join(enc).split(EOW)
+    assert [w for w in joined if w] == engine_words

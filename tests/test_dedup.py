@@ -512,6 +512,35 @@ def test_golden_records_survivorship(spark):
         golden_records(df, "cluster", [])
 
 
+def test_golden_records_hostile_field_names_and_all_null_cluster(spark):
+    """r9 ADVICE regressions: (a) field names with backticks / quotes /
+    dots melt fine (no SQL-string interpolation anywhere), (b) a
+    cluster whose EVERY field is NULL still appears as an all-NULL
+    golden row instead of vanishing."""
+    from pyspark.sql import types as T
+
+    from skylinemapreducehadoop_spark.operators.dedup import golden_records
+
+    hostile = ["wei`rd", "it's", "a.b"]
+    schema = T.StructType(
+        [T.StructField("cluster", T.LongType())]
+        + [T.StructField(f, T.StringType()) for f in hostile]
+    )
+    rows = [
+        (1, "x", "y", "z"),
+        (1, "x", None, "z2"),
+        (2, None, None, None),  # all-NULL cluster must survive
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = golden_records(df, "cluster", hostile)
+    assert out.columns == ["cluster"] + hostile
+    got = {r["cluster"]: r for r in out.collect()}
+    assert len(got) == 2
+    assert got[1][hostile[0]] == "x" and got[1][hostile[1]] == "y"
+    assert got[1][hostile[2]] == "z"  # tie z/z2 -> smallest
+    assert all(got[2][f] is None for f in hostile)
+
+
 def test_novelty_score_planted(spark):
     from skylinemapreducehadoop_spark.operators.dedup import novelty_score
 

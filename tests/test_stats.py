@@ -210,6 +210,20 @@ def test_mad_outliers_exact_boundary_does_not_flag(spark):
     assert r["n_outliers"] == 1  # only x=6; x=5 is inside the fence
 
 
+def test_mad_outliers_degenerate_group_reports_null(spark):
+    # >50% of values equal the median -> MAD == 0 -> the modified
+    # z-score is undefined; n_outliers must be NULL (not "every
+    # off-median row"), with mad_x4 = 0 visible for a caller fallback
+    from skylinemapreducehadoop_spark.operators.stats import mad_outliers
+
+    rows = [("d", 10)] * 6 + [("d", 11), ("d", 999)] + [("ok", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r["g"]: r for r in mad_outliers(df, "x", "g").collect()}
+    assert got["d"]["mad_x4"] == 0 and got["d"]["n_outliers"] is None
+    assert got["d"]["n"] == 8
+    assert got["ok"]["mad_x4"] > 0 and got["ok"]["n_outliers"] == 0
+
+
 def test_autocorrelation_matches_numpy_and_is_gap_aware(spark):
     import numpy as np
 
