@@ -678,24 +678,35 @@ def _abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the RESIZE step of the multimodal pipeline end-to-end with no
-    # codec library: per document a real gray8 PNG with closed-form
-    # pixels (pixel(x,y) = (k + 7x + 13y) % 256), stdlib-decoded
-    # (zlib inflate + full RFC 2083 unfiltering), nearest-resized to
-    # 8x6 with the exact floor mapping src = (dst*src_extent)//dst,
-    # re-encoded, then decoded BACK by image_pixel_stats — the oracle
-    # recomputes the sampled pixel grid arithmetically from doc_id, so
-    # encoder, decoder, unfilter and resize mapping are all on the hash
+    # codec library, over BOTH stdlib color types: per document a real
+    # gray8 PNG (pixel(x,y) = (k + 7x + 13y) % 256) AND a real RGB8
+    # PNG (R=(k+5x+11y)%256, G=(3k+7x+y)%256, B=(2k+x+13y)%256, read
+    # through the exact integer Rec.601 luma (299R+587G+114B)//1000),
+    # stdlib-decoded (zlib inflate + full RFC 2083 unfiltering at the
+    # right bytes-per-pixel), nearest-resized to 8x6 with the exact
+    # floor mapping src = (dst*src_extent)//dst, re-encoded, then
+    # decoded BACK by image_pixel_stats — the oracle recomputes both
+    # sampled pixel grids arithmetically from doc_id, so encoder,
+    # decoder, unfilter, luma and resize mapping are all on the hash
     from skylinemapreducehadoop_spark.operators.multimodal import (
         image_pixel_stats,
         resize_images,
         synthesize_gray_png_column,
+        synthesize_rgb_png_column,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    resized = resize_images(
-        synthesize_gray_png_column(docs, "doc_id"), 8, 6, decoder="stdlib"
+    both = (
+        synthesize_gray_png_column(docs, "doc_id")
+        .withColumn("src", F.lit("gray"))
+        .unionByName(
+            synthesize_rgb_png_column(docs, "doc_id").withColumn("src", F.lit("rgb"))
+        )
     )
-    return image_pixel_stats(resized.select("doc_id", "media"))
+    resized = resize_images(both, 8, 6, id_cols=("doc_id", "src"), decoder="stdlib")
+    return image_pixel_stats(
+        resized.select("doc_id", "src", "media"), id_cols=("doc_id", "src")
+    )
 
 
 def _novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4418,18 +4429,28 @@ FROM r
 WITH d AS (
   SELECT doc_id, 1 + doc_id % 16 AS sw, 1 + doc_id % 12 AS sh FROM documents
 ),
-px AS (
-  SELECT doc_id,
-         (doc_id + 7 * ((ox * sw) // 8) + 13 * ((oy * sh) // 6)) % 256 AS v
+sxy AS (
+  SELECT doc_id, (ox * sw) // 8 AS sx, (oy * sh) // 6 AS sy
   FROM d, range(0, 8) r1(ox), range(0, 6) r2(oy)
+),
+px AS (
+  SELECT doc_id, 'gray' AS src,
+         (doc_id + 7 * sx + 13 * sy) % 256 AS v
+  FROM sxy
+  UNION ALL
+  SELECT doc_id, 'rgb',
+         (299 * ((doc_id + 5 * sx + 11 * sy) % 256)
+          + 587 * ((3 * doc_id + 7 * sx + sy) % 256)
+          + 114 * ((2 * doc_id + sx + 13 * sy) % 256)) // 1000
+  FROM sxy
 )
-SELECT doc_id,
+SELECT doc_id, src,
        CAST(8 AS INTEGER) AS width,
        CAST(6 AS INTEGER) AS height,
        CAST(sum(v) AS BIGINT) AS pixel_sum,
        CAST(min(v) AS INTEGER) AS pixel_min,
        CAST(max(v) AS INTEGER) AS pixel_max
-FROM px GROUP BY doc_id
+FROM px GROUP BY doc_id, src
 """,
         "novelty_documents": """
 WITH tok AS (

@@ -173,13 +173,20 @@ def decode_media(
 
 
 def make_png(
-    width: int, height: int, pixels: bytes | None = None
+    width: int,
+    height: int,
+    pixels: bytes | None = None,
+    *,
+    color_type: int = 0,
+    palette: bytes | None = None,
 ) -> bytes:
-    """Build a VALID minimal grayscale PNG (public format: RFC 2083) —
+    """Build a VALID minimal PNG (public format: RFC 2083) —
     signature, IHDR, one zlib IDAT of filter-0 scanlines, IEND, real
-    CRCs. ``pixels`` is row-major gray8 (width*height bytes; default
-    all-zero). Pure stdlib (struct + zlib), so the repo can exercise
-    genuine image-format byte parsing without any codec library."""
+    CRCs. ``color_type`` 0 = gray8 (``pixels`` is width*height bytes,
+    default all-zero), 2 = RGB8 (width*height*3 bytes), 3 = palette8
+    (width*height index bytes + a ``palette`` of 3*n RGB bytes). Pure
+    stdlib (struct + zlib), so the repo can exercise genuine
+    image-format byte parsing without any codec library."""
     import struct
     import zlib
 
@@ -191,17 +198,24 @@ def make_png(
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
+    if color_type not in (0, 2, 3):
+        raise ValueError("color_type must be 0 (gray), 2 (RGB) or 3 (palette)")
+    bpp = 3 if color_type == 2 else 1
     if pixels is None:
-        pixels = b"\x00" * (width * height)
-    if len(pixels) != width * height:
-        raise ValueError("pixels must be width*height gray8 bytes")
-    raw = b"".join(
-        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
-    )
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        pixels = b"\x00" * (width * height * bpp)
+    if len(pixels) != width * height * bpp:
+        raise ValueError(f"pixels must be width*height*{bpp} bytes")
+    if color_type == 3:
+        if palette is None or len(palette) % 3 or not palette:
+            raise ValueError("palette color type needs 3*n RGB palette bytes")
+    n = width * bpp
+    raw = b"".join(b"\x00" + pixels[y * n : (y + 1) * n] for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = chunk(b"PLTE", palette) if color_type == 3 else b""
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
@@ -676,13 +690,15 @@ def _wav_stats(buf) -> tuple:
     )
 
 
-def _png_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
-    """Stdlib decode of an 8-bit grayscale non-interlaced PNG (RFC
-    2083): chunk walk, concatenated-IDAT zlib inflate, full scanline
-    unfiltering (None/Sub/Up/Average/Paeth). Returns (w, h, pixels as
-    (h, w) uint8) or None when the payload is not such a PNG — the
-    no-codec-library real decode tier (other formats/color types go
-    through the Pillow tier)."""
+def _png_decode(b) -> "tuple[int, int, np.ndarray] | None":
+    """Stdlib decode of an 8-bit non-interlaced PNG (RFC 2083): chunk
+    walk, concatenated-IDAT zlib inflate, full scanline unfiltering
+    (None/Sub/Up/Average/Paeth) with the correct bytes-per-pixel left
+    offset. Supports color type 0 (gray8 -> (h, w) uint8), 2 (RGB8 ->
+    (h, w, 3) uint8) and 3 (palette8, expanded through PLTE to
+    (h, w, 3)). Returns (w, h, pixels) or None when the payload is not
+    such a PNG — the no-codec-library real decode tier (other
+    formats/bit depths go through the Pillow tier)."""
     import struct
     import zlib
 
@@ -691,7 +707,7 @@ def _png_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
     b = bytes(b)
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, w, h, idat = 8, None, None, b""
+    pos, w, h, ctype, idat, plte = 8, None, None, None, b"", None
     while pos + 8 <= len(b):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
         tag = b[pos + 4 : pos + 8]
@@ -702,8 +718,12 @@ def _png_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
             w, h, depth, ctype, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
-            if depth != 8 or ctype != 0 or interlace != 0:
+            if depth != 8 or ctype not in (0, 2, 3) or interlace != 0:
                 return None
+        elif tag == b"PLTE":
+            if ln % 3:
+                return None
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -711,19 +731,23 @@ def _png_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
         pos += 12 + ln
     if not w or not h or not idat:
         return None
+    if ctype == 3 and (plte is None or len(plte) == 0):
+        return None
+    bpp = 3 if ctype == 2 else 1  # filter offset: bytes per pixel
+    n = w * bpp  # filtered bytes per scanline
     try:
         raw = zlib.decompress(idat)
     except zlib.error:
         return None
-    if len(raw) != (w + 1) * h:
+    if len(raw) != (n + 1) * h:
         return None
-    out = np.zeros((h, w), dtype=np.int32)
-    prev = np.zeros(w, dtype=np.int32)
-    stride = w + 1
+    out = np.zeros((h, n), dtype=np.int32)
+    prev = np.zeros(n, dtype=np.int32)
+    stride = n + 1
     for y in range(h):
         line = raw[y * stride : (y + 1) * stride]
         ft = line[0]
-        cur = np.frombuffer(line, dtype=np.uint8, count=w, offset=1).astype(
+        cur = np.frombuffer(line, dtype=np.uint8, count=n, offset=1).astype(
             np.int32
         )
         if ft == 0:  # None
@@ -731,27 +755,57 @@ def _png_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
         elif ft == 2:  # Up
             cur = (cur + prev) & 0xFF
         elif ft in (1, 3, 4):  # Sub / Average / Paeth need a left scan
-            rec = np.zeros(w, dtype=np.int32)
-            left = 0
-            for x in range(w):
+            rec = np.zeros(n, dtype=np.int32)
+            for x in range(n):
+                left = int(rec[x - bpp]) if x >= bpp else 0
                 up = int(prev[x])
                 if ft == 1:
                     val = cur[x] + left
                 elif ft == 3:
                     val = cur[x] + (left + up) // 2
                 else:
-                    ul = int(prev[x - 1]) if x else 0
+                    ul = int(prev[x - bpp]) if x >= bpp else 0
                     p = left + up - ul
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                     pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
                     val = cur[x] + pred
-                left = rec[x] = val & 0xFF
+                rec[x] = val & 0xFF
             cur = rec
         else:
             return None
         out[y] = cur
         prev = cur
-    return int(w), int(h), out.astype(np.uint8)
+    px = out.astype(np.uint8)
+    if ctype == 2:
+        return int(w), int(h), px.reshape(h, w, 3)
+    if ctype == 3:
+        if int(px.max(initial=0)) >= len(plte):
+            return None  # index beyond the palette: invalid stream
+        return int(w), int(h), plte[px]
+    return int(w), int(h), px
+
+
+def _png_to_gray(px: "np.ndarray") -> "np.ndarray":
+    """Integer Rec.601 luma for (h, w, 3) RGB — exact arithmetic
+    ``(299R + 587G + 114B) // 1000`` so any oracle reproduces the
+    conversion bit-for-bit; (h, w) gray passes through."""
+    if px.ndim == 2:
+        return px
+    xs = px.astype(np.int32)
+    return (
+        (299 * xs[..., 0] + 587 * xs[..., 1] + 114 * xs[..., 2]) // 1000
+    ).astype(np.uint8)
+
+
+def _png_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
+    """Decode any stdlib-tier PNG (gray/RGB/palette) and return it as
+    GRAYSCALE (h, w) uint8 — RGB and palette payloads go through the
+    exact integer Rec.601 luma of :func:`_png_to_gray`."""
+    dec = _png_decode(b)
+    if dec is None:
+        return None
+    w, h, px = dec
+    return w, h, _png_to_gray(px)
 
 
 def resize_nearest(px: "np.ndarray", dst_w: int, dst_h: int) -> "np.ndarray":
@@ -781,9 +835,11 @@ def resize_images(
     not a job failure).
 
     Decoder tiers mirror ``decode_media``: ``'stdlib'`` is a REAL
-    no-codec path — gray8 non-interlaced PNGs are inflated with zlib,
-    unfiltered (all five RFC 2083 filters), nearest-resized with the
-    exact floor mapping and re-encoded; ``'real'`` uses Pillow for
+    no-codec path — non-interlaced 8-bit PNGs (gray, RGB and palette
+    color types) are inflated with zlib, unfiltered (all five RFC 2083
+    filters at the correct bytes-per-pixel offset), converted to exact
+    integer Rec.601 luma, nearest-resized with the exact floor mapping
+    and re-encoded as gray8; ``'real'`` uses Pillow for
     arbitrary formats (gated on the library); ``'auto'`` tries stdlib
     then Pillow. Arrow-batched ``mapInPandas``; map-only at any scale.
     """
@@ -845,8 +901,10 @@ def image_pixel_stats(
     id_cols: Sequence[str] = ("doc_id",),
     media_col: str = "media",
 ) -> DataFrame:
-    """Decode gray8 PNG payloads (stdlib tier) and emit exact pixel
-    statistics: width, height, pixel_sum, pixel_min, pixel_max —
+    """Decode 8-bit PNG payloads (stdlib tier: gray, RGB and palette
+    color types, RGB reduced by exact integer Rec.601 luma) and emit
+    exact pixel statistics: width, height, pixel_sum, pixel_min,
+    pixel_max —
     the image feature-extraction twin of ``audio_features``.
     Undecodable payloads yield NULL stats. Map-only, Arrow-batched."""
     ids = list(id_cols)
@@ -906,6 +964,42 @@ def synthesize_gray_png_column(
             y, x = np.mgrid[0:h, 0:w]
             px = ((k + 7 * x + 13 * y) % 256).astype(np.uint8)
             out.append(make_png(w, h, px.tobytes()))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, synth(F.col(seed_col)))
+
+
+def synthesize_rgb_png_column(
+    df: DataFrame, seed_col: str, *, out_col: str = "media"
+) -> DataFrame:
+    """Deterministic RGB8 PNG fixture (color type 2): per row k a real
+    color PNG with ``width = 1 + k % 16``, ``height = 1 + k % 12`` and
+
+    - ``R(x, y) = (k + 5x + 11y) % 256``
+    - ``G(x, y) = (3k + 7x + y) % 256``
+    - ``B(x, y) = (2k + x + 13y) % 256``
+
+    so the exact Rec.601 luma any grayscale pipeline step computes is
+    closed-form in k — the color twin of
+    :func:`synthesize_gray_png_column` for driving the bpp=3 decode
+    path end-to-end with an arithmetic oracle."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ks: pd.Series) -> pd.Series:
+        out = []
+        for k in ks:
+            k = int(k)
+            w, h = 1 + k % 16, 1 + k % 12
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (k + 5 * x + 11 * y) % 256,
+                    (3 * k + 7 * x + y) % 256,
+                    (2 * k + x + 13 * y) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            out.append(make_png(w, h, px.tobytes(), color_type=2))
         return pd.Series(out)
 
     return df.withColumn(out_col, synth(F.col(seed_col)))

@@ -402,3 +402,166 @@ def test_resize_images_undecodable_and_guards(spark):
     if not pillow_available():
         with pytest.raises(NotImplementedError):
             resize_images(df, 4, 4, decoder="real")
+
+
+def _encode_png_filtered(px, color_type, filter_types, palette=None):
+    """Test-side PNG encoder that APPLIES a chosen RFC 2083 filter per
+    scanline (make_png always writes filter 0), so the decoder's
+    unfiltering of Sub/Up/Average/Paeth is driven for real at any
+    bytes-per-pixel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if color_type == 2:
+        h, w, _ = px.shape
+        flat = px.reshape(h, w * 3).astype(np.int32)
+        bpp = 3
+    else:
+        h, w = px.shape
+        flat = px.astype(np.int32)
+        bpp = 1
+    n = w * bpp
+    raw = b""
+    prev = np.zeros(n, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        ft = filter_types[y % len(filter_types)]
+        if ft == 0:
+            enc = cur.copy()
+        elif ft == 1:
+            enc = np.array(
+                [cur[x] - (cur[x - bpp] if x >= bpp else 0) for x in range(n)]
+            )
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = np.array(
+                [
+                    cur[x] - ((cur[x - bpp] if x >= bpp else 0) + prev[x]) // 2
+                    for x in range(n)
+                ]
+            )
+        else:  # Paeth
+            enc = np.zeros(n, dtype=np.int32)
+            for x in range(n):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = cur[x] - pred
+        raw += bytes([ft]) + bytes((enc & 0xFF).astype(np.uint8))
+        prev = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    plte = chunk(b"PLTE", palette) if color_type == 3 else b""
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + plte
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_gray_and_rgb():
+    """Every RFC 2083 filter type, at bpp=1 (gray) AND bpp=3 (RGB):
+    the decoder's unfiltering must recover the exact pixel array. Also
+    a mixed-filter image (each scanline a different filter)."""
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.multimodal import _png_decode
+
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, size=(7, 11), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    for ft in (0, 1, 2, 3, 4):
+        w, h, got = _png_decode(_encode_png_filtered(gray, 0, [ft]))
+        assert (w, h) == (11, 7) and (got == gray).all(), f"gray filter {ft}"
+        w, h, got = _png_decode(_encode_png_filtered(rgb, 2, [ft]))
+        assert (w, h) == (11, 7) and got.shape == (7, 11, 3)
+        assert (got == rgb).all(), f"rgb filter {ft}"
+    # one image cycling through all five filters line by line
+    for px, ct in ((gray, 0), (rgb, 2)):
+        _, _, got = _png_decode(_encode_png_filtered(px, ct, [0, 1, 2, 3, 4]))
+        assert (got == px).all(), f"mixed filters ct={ct}"
+
+
+def test_png_decode_palette_and_luma():
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _png_decode,
+        _png_decode_gray8,
+        _png_to_gray,
+        make_png,
+    )
+
+    # 4-entry palette; indices exercise Sub/Paeth at bpp=1
+    palette = bytes([10, 20, 30, 200, 100, 0, 0, 0, 255, 7, 7, 7])
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 2]], dtype=np.uint8)
+    for ft in (0, 1, 4):
+        b = _encode_png_filtered(idx, 3, [ft], palette=palette)
+        w, h, got = _png_decode(b)
+        assert (w, h) == (4, 3) and got.shape == (3, 4, 3)
+        want = np.frombuffer(palette, np.uint8).reshape(-1, 3)[idx]
+        assert (got == want).all()
+    # make_png can emit palette PNGs directly and they round-trip
+    b = make_png(4, 3, idx.tobytes(), color_type=3, palette=palette)
+    _, _, got = _png_decode(b)
+    assert (got == np.frombuffer(palette, np.uint8).reshape(-1, 3)[idx]).all()
+    # an index beyond the palette is an invalid stream -> None
+    bad_idx = np.full((2, 2), 9, dtype=np.uint8)
+    assert _png_decode(make_png(2, 2, bad_idx.tobytes(), color_type=3, palette=palette)) is None
+    # the grayscale wrapper applies exact integer Rec.601 luma
+    rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]]], dtype=np.uint8)
+    g = _png_to_gray(rgb)
+    assert g.tolist() == [[255 * 299 // 1000, 255 * 587 // 1000, 255 * 114 // 1000, 9]]
+    b = make_png(4, 1, rgb.tobytes(), color_type=2)
+    w, h, got = _png_decode_gray8(b)
+    assert (w, h) == (4, 1) and (got == g).all()
+
+
+def test_resize_images_stdlib_rgb_matches_reference(spark):
+    """The bpp=3 path end-to-end: RGB fixtures -> stdlib decode ->
+    integer luma -> nearest resize -> gray8 re-encode -> pixel stats,
+    against a numpy reference of the same closed forms."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_pixel_stats,
+        resize_images,
+        synthesize_rgb_png_column,
+    )
+
+    df = spark.range(25).select(F.col("id").alias("doc_id"))
+    resized = resize_images(
+        synthesize_rgb_png_column(df, "doc_id"), 8, 6, decoder="stdlib"
+    )
+    st = {
+        r["doc_id"]: r
+        for r in image_pixel_stats(resized.select("doc_id", "media")).collect()
+    }
+    for k in range(25):
+        w, h = 1 + k % 16, 1 + k % 12
+        y, x = np.mgrid[0:h, 0:w]
+        r_ = (k + 5 * x + 11 * y) % 256
+        g_ = (3 * k + 7 * x + y) % 256
+        b_ = (2 * k + x + 13 * y) % 256
+        gray = (299 * r_ + 587 * g_ + 114 * b_) // 1000
+        want = gray[np.ix_((np.arange(6) * h) // 6, (np.arange(8) * w) // 8)]
+        assert st[k]["pixel_sum"] == int(want.sum()), k
+        assert st[k]["pixel_min"] == int(want.min())
+        assert st[k]["pixel_max"] == int(want.max())
