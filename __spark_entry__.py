@@ -649,6 +649,43 @@ def _analyze_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analyze_table(orders).orderBy("col_name")
 
 
+def _analyze_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100-TB ANALYZE path actually EXECUTED, not just named in a
+    # docstring: sketch NDV (approx_count_distinct, rsd=0.01 — one
+    # ordinary aggregate, NO Expand, rows never replicated) joined
+    # against the exact NDV on the same columns, asserting the sketch
+    # lands within 5x the configured rsd (floor 2) — the
+    # approx_distinct_check derived-determinism pattern: HLL register
+    # max-merge makes the estimate a pure function of the value SET,
+    # so the in-bound boolean is hashable and a broken sketch breaks
+    # the hash
+    from skylinemapreducehadoop_spark.functions.profile import analyze_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    appr = analyze_table(orders, ndv="approx", rsd=0.01).select(
+        "col_name", F.col("ndv").alias("__a")
+    )
+    exact = analyze_table(orders).select(
+        "col_name", "n_total", "n_nulls", F.col("ndv").alias("ndv_exact")
+    )
+    return (
+        exact.join(appr, "col_name")
+        .select(
+            "col_name",
+            "n_total",
+            "n_nulls",
+            "ndv_exact",
+            (
+                F.abs(F.col("__a") - F.col("ndv_exact"))
+                <= F.greatest(F.ceil(F.col("ndv_exact") * F.lit(0.05)), F.lit(2))
+            ).alias("within_bound"),
+        )
+        .orderBy("col_name")
+    )
+
+
 def _twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type TIME-weighted mean of the value series (each observation
     # holds until the next — the sensor/price correct mean; a plain AVG
@@ -3194,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_events": _twap_events,
         "abc_parts": _abc_parts,
         "analyze_orders": _analyze_orders,
+        "analyze_approx_check": _analyze_approx_check,
         "kcore_check": _kcore_check,
         # r7-green (due for rotation in r10):
         "ann_recall_lsh": _ann_recall_lsh,
@@ -4328,6 +4366,29 @@ SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), CAST(4 AS BIGINT)), (1, 4), (2, 4), (3, 4), (4, 4),
   (30, 3), (31, 3), (32, 3), (33, 3)
 ) v(node, core_degree)
+""",
+        "analyze_approx_check": """
+WITH s AS (
+  SELECT 'o_orderkey' AS col_name,
+         count(*) AS n_total,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         count(DISTINCT o_orderkey) AS ndv_exact
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*),
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_custkey) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*),
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*),
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_orderpriority) FROM orders
+)
+SELECT col_name, n_total, n_nulls, ndv_exact, TRUE AS within_bound
+FROM s ORDER BY col_name
 """,
         "analyze_orders": """
 WITH t AS (

@@ -142,7 +142,13 @@ def equidepth_histogram(
     )
 
 
-def analyze_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+def analyze_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    ndv: str = "exact",
+    rsd: float = 0.01,
+) -> DataFrame:
     """ANALYZE-style full-table column statistics in ONE aggregate
     pass: per column (any type) — ``n_total``, ``n_nulls``, ``ndv``
     (exact distinct count), ``min_str`` / ``max_str`` (the min/max
@@ -152,20 +158,30 @@ def analyze_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
 
     Exact ``count_distinct`` over several columns plans as one
     expand+aggregate (rows replicate |cols| times pre-combine) — the
-    standard exact-NDV cost; swap to ``approx_count_distinct`` for
-    sketch-speed at 100 TB cardinalities where ±2% suffices (the
-    exact variant is what an oracle can verify). Min/max on strings
+    standard exact-NDV cost. ``ndv='approx'`` is the 100-TB path: HLL
+    sketches (``approx_count_distinct`` at the given ``rsd``) plan as
+    ONE ordinary aggregate with NO Expand — rows are never replicated
+    — at ±rsd accuracy (the exact variant is what an oracle can
+    verify bit-for-bit; the sketch variant is verified against it by
+    the ``analyze_approx_check`` driver entry). Min/max on strings
     use binary ordering — identical in any engine with C collation.
     """
+    if ndv not in ("exact", "approx"):
+        raise ValueError("ndv must be 'exact' or 'approx'")
     names = list(cols) if cols is not None else list(df.columns)
     if not names:
         raise ValueError("cols must be non-empty")
     aggs = [F.count(F.lit(1)).alias("n_total")]
     for i, c in enumerate(names):
         col = F.col(c)
+        ndv_agg = (
+            F.count_distinct(col)
+            if ndv == "exact"
+            else F.approx_count_distinct(col, rsd)
+        )
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"__nn_{i}"),
-            F.count_distinct(col).alias(f"__ndv_{i}"),
+            ndv_agg.alias(f"__ndv_{i}"),
             F.min(col).cast("string").alias(f"__mn_{i}"),
             F.max(col).cast("string").alias(f"__mx_{i}"),
         ]

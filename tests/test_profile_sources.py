@@ -118,3 +118,25 @@ def test_analyze_table_all_types_and_nulls(spark):
     assert got["d"]["ndv"] == 2 and got["d"]["max_str"] == "2.5"
     with pytest.raises(ValueError):
         analyze_table(df, cols=[])
+    with pytest.raises(ValueError):
+        analyze_table(df, ndv="bogus")
+
+
+def test_analyze_table_approx_no_expand_and_accurate_small(spark):
+    """ndv='approx' is the 100-TB path: the plan must carry NO Expand
+    (exact multi-column NDV replicates rows |cols| times; the sketch
+    variant must not), and on small-cardinality data the HLL estimate
+    equals the exact count."""
+    from skylinemapreducehadoop_spark.functions.profile import analyze_table
+
+    df = spark.createDataFrame(
+        [(i % 7, f"s{i % 13}", i % 3) for i in range(400)], "a long, s string, b long"
+    )
+    exact_plan = analyze_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # the documented exact-NDV cost
+    appr = analyze_table(df, ndv="approx", rsd=0.01)
+    appr_plan = appr._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in appr_plan
+    got = {r["col_name"]: r for r in appr.collect()}
+    assert got["a"]["ndv"] == 7 and got["s"]["ndv"] == 13 and got["b"]["ndv"] == 3
+    assert all(r["n_total"] == 400 and r["n_nulls"] == 0 for r in got.values())
