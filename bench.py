@@ -92,13 +92,28 @@ PROBE_QUERIES = [
     # longer per-user sequences for the session window
     "max_concurrency_events",
     "sessionize_events",
+    # r10: the late-r9 families whose constants only show at volume
+    # (the r9 verdict's probe list): the distinct-hash shuffle of the
+    # KMV sketch columns, the |cols|x expand of exact ANALYZE, the
+    # sort-based exact-percentile state of the MAD fence, the gram
+    # explode of the novelty score, survivorship's melt+pivot, and
+    # k-core peeling on a data-derived co-purchase graph (the planted
+    # kcore_check fixture is data-independent, so the probe uses the
+    # bench-only kcore_copurchase at genuine 10x edge density)
+    "kmv_rollup_check",
+    "analyze_orders",
+    "mad_outliers_orders",
+    "novelty_documents",
+    "golden_records_customers",
+    "kcore_copurchase",
 ]
 PROBE_REPLICAS = 10
 
 
 def _build_scale_replicas(spark, sf_dir: str, base: str, n_rep: int) -> None:
-    """Materialize n_rep-times replicated lineitem + documents + events
-    tables (all the probe queries need) under ``base``, once — the
+    """Materialize n_rep-times replicated lineitem + documents +
+    events + orders + customer tables (all the probe queries need)
+    under ``base``, once — the
     content is deterministic, so an existing build is reused. Document
     ids are re-keyed unique; texts repeat, planting ~n_rep² more dup
     pairs (the adversarial shape for the near-dup path); event ids are
@@ -147,6 +162,24 @@ def _build_scale_replicas(spark, sf_dir: str, base: str, n_rep: int) -> None:
         .repartition(par)
         .write.mode("overwrite")
         .parquet(os.path.join(base, "events.parquet"))
+    )
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (
+        orders.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))))
+        .withColumn("o_orderkey", F.col("o_orderkey") * n_rep + F.col("__r"))
+        .drop("__r")
+        .repartition(par)
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "orders.parquet"))
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    (
+        cust.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(n_rep - 1))))
+        .withColumn("c_custkey", F.col("c_custkey") * n_rep + F.col("__r"))
+        .drop("__r")
+        .repartition(par)
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "customer.parquet"))
     )
     with open(marker, "w"):
         pass
@@ -255,6 +288,8 @@ EXTRA_QUERIES = [
     "abc_parts",
     "analyze_orders",
     "kcore_check",
+    # new in round 10
+    "analyze_approx_check",
 ]
 
 
@@ -310,6 +345,63 @@ def _bpe_encode_documents(spark, sf_dir):
     )
 
 
+def _kcore_copurchase(spark, sf_dir):
+    """Bench-only: k-core decomposition of the DATA-DERIVED co-purchase
+    graph (parts sharing an order) — Matula-Beck peeling rounds on a
+    graph whose 10x replica is ~100x denser per order. ``k`` is set to
+    the ~60th degree percentile (one approx_percentile scalar pre-pass)
+    so a real peeling CASCADE happens at every scale — a fixed k would
+    either peel nothing (graph denser than k: 1-round convergence) or
+    everything. The driver-checked known-answer twin is `kcore_check`
+    (planted graph, analytically determined 3-core)."""
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.graph import k_core
+    from skylinemapreducehadoop_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy("src").agg(F.count_distinct("dst").alias("dg"))
+    k = int(deg.agg(F.percentile_approx("dg", 0.6)).collect()[0][0] or 3)
+    return k_core(edges, max(k, 3))
+
+
+def _run_calibration(spark) -> float:
+    """Machine-state calibration: a FIXED data-independent workload
+    (generated rows -> hash aggregate shuffle -> Arrow round-trip)
+    timed warm (prime + median-of-3) exactly like the extras. Its
+    wall-clock tracks the session/machine drift that r9 showed now
+    dominates cross-round extras comparison (byte-identical code
+    measuring 2.9s one round and 4.6s the next): dividing an extra's
+    time by ``calibration_sec`` separates drift from real plan
+    regressions without re-measuring on a quiet machine."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.time()
+        base = spark.range(0, 6_000_000, 1, 64).select(
+            (F.col("id") % 9973).alias("k"),
+            ((F.col("id") * 2654435761) % 1000003).alias("v"),
+        )
+        agg = base.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+        agg.mapInPandas(lambda it: it, agg.schema).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.time() - t0
+
+    once()  # prime codegen + Python workers for this exact job
+    runs = sorted(once() for _ in range(3))
+    return round(runs[1], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -319,6 +411,7 @@ def main() -> None:
     qs["skyline_gsod_volume"] = _skyline_gsod_volume
     qs["bpe_train_documents"] = _bpe_train_documents
     qs["bpe_encode_documents"] = _bpe_encode_documents
+    qs["kcore_copurchase"] = _kcore_copurchase
 
     # Warm up the session once (Python UDF worker spawn + imports, JVM
     # JIT, page cache) so timings measure queries, not cold start.
@@ -345,6 +438,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     extra: dict[str, float] = {}
+    try:
+        calibration_sec = _run_calibration(spark)
+    except Exception as e:  # noqa: BLE001
+        calibration_sec = None
+        errors["__calibration__"] = f"{type(e).__name__}: {e}"[:300]
     def _median3(name: str, prime: bool = False) -> float:
         # median-of-3: the documented single-VM run-to-run variance
         # (PLANS.md §10: 15.9s vs 28.6s on identical code) makes a
@@ -379,9 +477,9 @@ def main() -> None:
 
     scale_probe: dict = {}
     if probe_only or os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        # v2: replica set now includes events (a pre-v2 dir has a
-        # _BUILT marker but no events.parquet — never half-reuse it)
-        base = "/tmp/scale_probe_%s_x%d_v2" % (
+        # v3: replica set now includes orders + customer (a pre-v3
+        # dir has a _BUILT marker but not these — never half-reuse it)
+        base = "/tmp/scale_probe_%s_x%d_v3" % (
             os.path.basename(sf_dir.rstrip("/")),
             PROBE_REPLICAS,
         )
@@ -427,6 +525,15 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra,
         "extra_total": round(sum(extra.values()), 3),
+        "calibration_sec": calibration_sec,
+        # extras normalized to the calibration unit: compare THESE
+        # across rounds — a ratio shift is a plan change, a uniform
+        # absolute shift is machine drift
+        "extra_queries_norm": (
+            {k: round(v / calibration_sec, 2) for k, v in extra.items()}
+            if calibration_sec
+            else {}
+        ),
         "sf": sf,
     }
     if scale_probe:
@@ -454,6 +561,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "extra_total": detail["extra_total"],
+        "calibration_sec": calibration_sec,
         "n_extra": len(extra),
         "n_errors": len(errors),
         # probe_ok: None = probe skipped, else ran-without-errors
