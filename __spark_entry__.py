@@ -3134,80 +3134,24 @@ def _distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
-    # 50 entries only. Round-9 window (rotation log + staleness table
-    # in COVERAGE.md): (a) the 7 mid-r8 entries that never had a driver
-    # row (the r8 verdict's task 1); (b) the 4 queries NEW in r9
-    # (TF-IDF keywords, sweep-line concurrency, incremental corpus
-    # dedup, frame-sample fan-out check); (c) the operator materially
-    # changed in r9 (blocked merge's content-derived row id); (d) one
-    # hash-green oracle sibling per approximate/iterative FAMILY (ANN
-    # -> ann_recall_ivf; sketches -> approx_distinct_check; iterative
-    # -> kmeans_blobs_check + pagerank_cycle_check); (e) the ENTIRE
-    # r5/r6-green backlog (34 rows) — after this round no registry
-    # entry's last green row is older than r7, i.e. max staleness 2
-    # rounds. ann_recall_lsh (r7) and approx_percentile_check (r8)
-    # rotate below the line to make room; their raw twins' families
-    # keep in-window siblings per (d). Positions 51+ are hash-green in
-    # r7/r8 with operator logic untouched since.
+    # 50 entries only. Round-10 window (rotation log + staleness table
+    # + the explicit priority RULE in COVERAGE.md — 69 candidates for
+    # 50 slots this round, so the rule is now written down):
+    # (a) never-driver-checked first — all 24 r9 additions (positions
+    # 51-74 last round) plus the 1 query new in r10
+    # (analyze_approx_check, the executed sketch-NDV ANALYZE path);
+    # every operator TOUCHED in r10 (abc prefix sum, golden_records
+    # melt, mad_outliers MAD=0, bpe_encode whitespace, PNG RGB tier,
+    # merge promotion) has its driver row inside this group;
+    # (b) the remaining 25 slots go to the STALEST entries (r7-green)
+    # by family coverage: keep one representative per operator family
+    # in-window, slip the 20 whose operator module is untouched since
+    # its green round AND which have a same-family sibling either in
+    # this window or hash-green in the r9 window (the slip list and
+    # per-entry justification are in COVERAGE.md — they move to
+    # staleness 3 and lead the r11 window).
     return {
-        # (a) rotated in: never driver-checked (added mid-r8)
-        "bm25_index_search_documents": _bm25_index_search_documents,
-        "pmi_collocations_documents": _pmi_collocations_documents,
-        "bpe_merges_check": _bpe_merges_check,
-        "clustering_coefficient_copurchase": _clustering_coefficient_copurchase,
-        "frequent_pairs_orders": _frequent_pairs_orders,
-        "streaming_moments_replay": _streaming_moments_replay,
-        "table_diff_orders": _table_diff_orders,
-        # (b) new in round 9
-        "tfidf_keywords_documents": _tfidf_keywords_documents,
-        "max_concurrency_events": _max_concurrency_events,
-        "incremental_dedup_documents": _incremental_dedup_documents,
-        "frame_sample_check": _frame_sample_check,
-        # (c) r9-touched operator (content-hash row id in blocked merge)
-        "skyline_blocked": _sky_blocked,
-        # (d) approximate/iterative families' oracle siblings
-        "ann_recall_ivf": _ann_recall_ivf,
-        "approx_distinct_check": _approx_distinct_check,
-        "kmeans_blobs_check": _kmeans_blobs_check,
-        "pagerank_cycle_check": _pagerank_cycle_check,
-        # (e) the full r5/r6-green backlog (34 rows)
-        "distinct_users_by_type": _distinct_users_by_type,
-        "q17_small_qty_revenue": _q17_small_qty_revenue,
-        "q18_large_orders": _q18_large_orders,
-        "q5_local_supplier": _q5_local_supplier,
-        "skyline_twophase": _sky("twophase"),
-        "skyline_quadtree": _sky("quadtree"),
-        "skyline_grouped": _sky_grouped,
-        "skyline_join_priority": _sky_join_priority,
-        "skyline_gsod_9dim": _sky_gsod_9dim,
-        "lang_id_documents": _lang_id,
-        "dedup_minhash_documents": _dedup_minhash,
-        "reverse_skyline_part": _reverse_skyline_part,
-        "repetition_stats_documents": _repetition_stats,
-        "redact_pii_documents": _redact_pii,
-        "dedup_clusters_documents": _dedup_clusters,
-        "jsonl_roundtrip_documents": _jsonl_roundtrip,
-        "ngram_dup_stats_documents": _ngram_dup_stats,
-        "hash_split_documents": _hash_split_documents,
-        "term_doc_freq_topk": _term_doc_freq_topk,
-        "sample_documents_hash": _sample_documents_hash,
-        "reservoir_documents": _reservoir_documents,
-        "semi_join_customers": _semi_join_customers,
-        "above_avg_orders": _above_avg_orders,
-        "token_bpe_documents": _token_bpe_documents,
-        "explode_tokens_topk": _explode_tokens_topk,
-        "string_funcs_documents": _string_funcs_documents,
-        "curate_corpus": _curate_corpus,
-        "decontaminate_documents": _decontaminate_documents,
-        "topk_batch_similarity": _topk_batch_similarity,
-        "setsim_join_documents": _setsim_join_documents,
-        "embedding_near_dup": _embedding_near_dup,
-        "q16_supplier_cnt": _q16_supplier_cnt,
-        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
-        "q22_sales_opportunity": _q22_sales_opportunity,
-        # --- past the driver's 50-entry window ---
-        # NEW mid-r9 (locally verified with tools/check_contract.py;
-        # rotates into the checked window in r10):
+        # (a) never driver-checked: the 24 r9 additions...
         "duplicate_spans_documents": _duplicate_spans_documents,
         "distribution_drift_orders": _distribution_drift_orders,
         "streaming_drift_replay": _streaming_drift_replay,
@@ -3231,37 +3175,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_events": _twap_events,
         "abc_parts": _abc_parts,
         "analyze_orders": _analyze_orders,
-        "analyze_approx_check": _analyze_approx_check,
         "kcore_check": _kcore_check,
-        # r7-green (due for rotation in r10):
+        # ...and the r10 addition
+        "analyze_approx_check": _analyze_approx_check,
+        # (b) stalest (r7-green) entries, one per family
         "ann_recall_lsh": _ann_recall_lsh,
         "streaming_near_dup_replay": _streaming_near_dup_replay,
         "skyline_sql_lineitem": _skyline_sql_lineitem,
-        "classifier_score_documents": _classifier_score_documents,
-        "histogram_orders": _histogram_orders,
-        "stratified_topk_documents": _stratified_topk_documents,
-        "equidepth_histogram_events": _equidepth_histogram_events,
-        "events_daily_rollup": _events_daily_rollup,
-        "gapfill_events_hourly": _gapfill_events_hourly,
+        "dynamic_skyline_part": _dynamic_skyline_part,
         "scd2_user_events": _scd2_user_events,
-        "fuzzy_pairs_partnames": _fuzzy_pairs_partnames,
-        "trailing_hour_events": _trailing_hour_events,
+        "sessionize_events": _sessionize_events,
+        "range_join_events": _range_join_events,
+        "asof_join_events": _asof_join_events,
         "cohort_retention_users": _cohort_retention_users,
+        "funnel_users": _funnel_users,
         "top_paths_users": _top_paths_users,
         "heavy_hitters_tokens": _heavy_hitters_tokens,
         "dedup_star_clusters": _dedup_star_clusters,
         "semantic_dedup_embeddings": _semantic_dedup_embeddings,
-        "funnel_users": _funnel_users,
-        "sessionize_events": _sessionize_events,
-        "range_join_events": _range_join_events,
-        "dynamic_skyline_part": _dynamic_skyline_part,
+        "fuzzy_pairs_partnames": _fuzzy_pairs_partnames,
+        "gapfill_events_hourly": _gapfill_events_hourly,
+        "events_daily_rollup": _events_daily_rollup,
+        "trailing_hour_events": _trailing_hour_events,
+        "stratified_topk_documents": _stratified_topk_documents,
+        "equidepth_histogram_events": _equidepth_histogram_events,
         "pack_sequences_documents": _pack_sequences_documents,
-        "unigram_logprob_documents": _unigram_logprob_documents,
         "mix_corpus_sources": _mix_corpus_sources,
+        "classifier_score_documents": _classifier_score_documents,
+        "unigram_logprob_documents": _unigram_logprob_documents,
+        "window_analytics_events": _window_analytics_events,
+        # --- past the driver's 50-entry window ---
+        # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
+        # COVERAGE.md) — first in line for the r11 window:
+        "histogram_orders": _histogram_orders,
         "skyline_bruteforce": _sky("bruteforce"),
         "skyline_5dim": _sky_5dim,
         "skyline_layers": _sky_layers,
         "skyline_events": _sky_events,
+        "skyline_kband_events": _sky_kband_events,
         "profile_lineitem": _profile_lineitem,
         "window_top2_orders": _window_top2_orders,
         "events_hourly": _events_hourly,
@@ -3273,13 +3224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": _ngram_jaccard,
         "topk_similarity": _topk_similarity,
         "multimodal_stats": _multimodal_stats,
-        "window_analytics_events": _window_analytics_events,
         "chunk_documents": _chunk_documents,
         "token_entropy_documents": _token_entropy_documents,
-        "asof_join_events": _asof_join_events,
-        "skyline_kband_events": _sky_kband_events,
         "window_analytics_orders": _window_analytics_orders,
-        # r8-green (operator logic untouched in r9):
+        # r8-green (staleness 2; operator logic untouched):
         "linreg_lineitem": _linreg_lineitem,
         "corr_lineitem": _corr_lineitem,
         "zscore_outliers_events": _zscore_outliers_events,
@@ -3325,6 +3273,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join_replay": _streaming_interval_join_replay,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q14_promo_revenue": _q14_promo_revenue,
+        # r9-green (the entire r9 window, staleness 1):
+        "bm25_index_search_documents": _bm25_index_search_documents,
+        "pmi_collocations_documents": _pmi_collocations_documents,
+        "bpe_merges_check": _bpe_merges_check,
+        "clustering_coefficient_copurchase": _clustering_coefficient_copurchase,
+        "frequent_pairs_orders": _frequent_pairs_orders,
+        "streaming_moments_replay": _streaming_moments_replay,
+        "table_diff_orders": _table_diff_orders,
+        "tfidf_keywords_documents": _tfidf_keywords_documents,
+        "max_concurrency_events": _max_concurrency_events,
+        "incremental_dedup_documents": _incremental_dedup_documents,
+        "frame_sample_check": _frame_sample_check,
+        "skyline_blocked": _sky_blocked,
+        "ann_recall_ivf": _ann_recall_ivf,
+        "approx_distinct_check": _approx_distinct_check,
+        "kmeans_blobs_check": _kmeans_blobs_check,
+        "pagerank_cycle_check": _pagerank_cycle_check,
+        "distinct_users_by_type": _distinct_users_by_type,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "q5_local_supplier": _q5_local_supplier,
+        "skyline_twophase": _sky("twophase"),
+        "skyline_quadtree": _sky("quadtree"),
+        "skyline_grouped": _sky_grouped,
+        "skyline_join_priority": _sky_join_priority,
+        "skyline_gsod_9dim": _sky_gsod_9dim,
+        "lang_id_documents": _lang_id,
+        "dedup_minhash_documents": _dedup_minhash,
+        "reverse_skyline_part": _reverse_skyline_part,
+        "repetition_stats_documents": _repetition_stats,
+        "redact_pii_documents": _redact_pii,
+        "dedup_clusters_documents": _dedup_clusters,
+        "jsonl_roundtrip_documents": _jsonl_roundtrip,
+        "ngram_dup_stats_documents": _ngram_dup_stats,
+        "hash_split_documents": _hash_split_documents,
+        "term_doc_freq_topk": _term_doc_freq_topk,
+        "sample_documents_hash": _sample_documents_hash,
+        "reservoir_documents": _reservoir_documents,
+        "semi_join_customers": _semi_join_customers,
+        "above_avg_orders": _above_avg_orders,
+        "token_bpe_documents": _token_bpe_documents,
+        "explode_tokens_topk": _explode_tokens_topk,
+        "string_funcs_documents": _string_funcs_documents,
+        "curate_corpus": _curate_corpus,
+        "decontaminate_documents": _decontaminate_documents,
+        "topk_batch_similarity": _topk_batch_similarity,
+        "setsim_join_documents": _setsim_join_documents,
+        "embedding_near_dup": _embedding_near_dup,
+        "q16_supplier_cnt": _q16_supplier_cnt,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_sales_opportunity": _q22_sales_opportunity,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
