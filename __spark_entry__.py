@@ -686,6 +686,66 @@ def _analyze_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # privacy/compliance profiling: equivalence-class-size histogram
+    # over a quasi-identifier triple (nation, segment, acctbal floored
+    # to 1000s — floor, not round: round's tie rule differs across
+    # engines, floor is exact); classes smaller than k=5 are
+    # re-identifiable. One aggregate to the class table, one aggregate
+    # of THAT to the histogram — never wider than the QI key
+    from skylinemapreducehadoop_spark.operators.stats import k_anonymity
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5).orderBy(
+        "class_size"
+    )
+
+
+def _length_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence-length bucket planning: per training bucket cap the doc
+    # count, token mass, padding waste and truncation cost — the
+    # batcher-throughput readout; JVM token counts, one aggregate
+    from skylinemapreducehadoop_spark.functions.text import length_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_buckets(docs).orderBy("bucket_cap")
+
+
+def _vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer-vocabulary fit: top-500 corpus vocabulary (count desc,
+    # token asc — deterministic boundary), per-doc OOV count/rate via
+    # one broadcast join over the exploded tokens
+    from skylinemapreducehadoop_spark.functions.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=500)
+
+
+def _temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature (alpha=0.5) corpus rebalancing: stratum shares
+    # proportional to sqrt(n_s) — downsampling-only, content-hash row
+    # selection, integer-floor thresholds; the kept row SET is the
+    # contract (the oracle recomputes the same thresholds + md5
+    # bucket). The testdata sources are uniform, so the stratum is a
+    # derived 6:3:1 head/mid/tail split — sqrt rebalancing must thin
+    # head hardest, keep tail whole
+    from skylinemapreducehadoop_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.when(F.col("doc_id") % 10 < 6, "head")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("tail"),
+    )
+    return temperature_mix(docs, strata_col="stratum").select(
+        "doc_id", "stratum"
+    )
+
+
 def _twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type TIME-weighted mean of the value series (each observation
     # holds until the next — the sensor/price correct mean; a plain AVG
@@ -3205,6 +3265,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": _unigram_logprob_documents,
         "window_analytics_events": _window_analytics_events,
         # --- past the driver's 50-entry window ---
+        # NEW mid-r10 (locally verified with tools/check_contract.py;
+        # never driver-checked, so they lead the r11 window per the
+        # rotation rule):
+        "k_anonymity_customers": _k_anonymity_customers,
+        "length_buckets_documents": _length_buckets_documents,
+        "vocab_coverage_documents": _vocab_coverage_documents,
+        "temperature_mix_documents": _temperature_mix_documents,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4365,6 +4432,76 @@ SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), CAST(4 AS BIGINT)), (1, 4), (2, 4), (3, 4), (4, 4),
   (30, 3), (31, 3), (32, 3), (33, 3)
 ) v(node, core_degree)
+""",
+        "k_anonymity_customers": """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS cs
+  FROM customer GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT cs AS class_size,
+       count(*) AS n_classes,
+       CAST(cs * count(*) AS BIGINT) AS n_rows,
+       cs < 5 AS at_risk
+FROM cls GROUP BY cs ORDER BY cs
+""",
+        "length_buckets_documents": """
+WITH t AS (
+  SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+b AS (
+  SELECT n, CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+                 WHEN n <= 256 THEN 256 ELSE 512 END AS bucket_cap
+  FROM t
+)
+SELECT bucket_cap,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n <= bucket_cap THEN bucket_cap - n ELSE 0 END)
+            AS BIGINT) AS padding_tokens,
+       CAST(sum(CASE WHEN n > bucket_cap THEN n - bucket_cap ELSE 0 END)
+            AS BIGINT) AS truncated_tokens
+FROM b GROUP BY bucket_cap ORDER BY bucket_cap
+""",
+        "vocab_coverage_documents": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+),
+tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+cnt AS (SELECT t, count(*) AS c FROM tok2 GROUP BY t),
+voc AS (SELECT t FROM cnt ORDER BY c DESC, t ASC LIMIT 500),
+per AS (
+  SELECT doc_id, count(*) AS nt,
+         CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+  FROM tok2 LEFT JOIN voc v USING (t) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(nt, 0) AS n_tokens,
+       coalesce(oov, 0) AS oov_tokens,
+       round(CAST(coalesce(oov, 0) AS DOUBLE)
+             / greatest(coalesce(nt, 0), 1), 9) AS oov_rate
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+        "temperature_mix_documents": """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 10 < 6 THEN 'head'
+              WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'tail' END AS stratum
+  FROM documents
+),
+cnt AS (SELECT stratum, count(*) AS n FROM d GROUP BY stratum),
+w AS (
+  SELECT stratum, n, CAST(floor(sqrt(n)) AS BIGINT) AS wt
+  FROM cnt WHERE floor(sqrt(n)) > 0
+),
+m AS (SELECT n AS nm, wt AS wm FROM w ORDER BY CAST(n AS DOUBLE)/wt, n, wt LIMIT 1),
+thr AS (SELECT stratum, (1000000 * nm * wt) // (wm * n) AS t FROM w CROSS JOIN m)
+SELECT d.doc_id, d.stratum
+FROM d JOIN thr ON d.stratum = thr.stratum
+WHERE ('0x' || substr(md5(d.text), 1, 15))::BIGINT % 1000000 < t
 """,
         "analyze_approx_check": """
 WITH s AS (

@@ -1080,3 +1080,106 @@ def bpe_encode(
         return pd.Series(out)
 
     return df.withColumn(out_col, _encode(F.col(text_col)))
+
+
+def length_buckets(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    caps: Sequence[int] = (64, 128, 256, 512),
+) -> DataFrame:
+    """Sequence-length bucket planning for training batches: assign
+    each document's token count to the smallest cap that holds it
+    (documents longer than the largest cap go to that cap and are
+    truncated) and report, per bucket, what a fixed-length batcher
+    pays: (bucket_cap, n_docs, total_tokens, padding_tokens,
+    truncated_tokens) where ``padding_tokens = cap - n`` summed over
+    in-cap docs and ``truncated_tokens = n - cap`` summed over
+    over-cap docs. The padding-waste readout is what decides bucket
+    boundaries for throughput — the planning half of
+    ``pack_sequences``.
+
+    Scale shape: one whitespace-token count per row (JVM ``split``/
+    ``size``, no UDF), a CASE ladder to the cap, one map-side-combined
+    aggregate over |caps| groups. Zero joins, zero windows.
+    """
+    caps_sorted = sorted(set(int(c) for c in caps))
+    if not caps_sorted or caps_sorted[0] < 1:
+        raise ValueError("caps must be positive ints")
+    n = F.size(tokens(F.col(text_col)))
+    cap = F.lit(caps_sorted[-1])
+    for c in reversed(caps_sorted[:-1]):
+        cap = F.when(n <= F.lit(c), F.lit(c)).otherwise(cap)
+    base = df.where(F.col(text_col).isNotNull()).select(
+        cap.alias("bucket_cap"), n.alias("__n")
+    )
+    in_cap = F.col("__n") <= F.col("bucket_cap")
+    return base.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("total_tokens"),
+        F.sum(
+            F.when(in_cap, F.col("bucket_cap") - F.col("__n")).otherwise(F.lit(0))
+        ).alias("padding_tokens"),
+        F.sum(
+            F.when(~in_cap, F.col("__n") - F.col("bucket_cap")).otherwise(F.lit(0))
+        ).alias("truncated_tokens"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-``vocab_size``
+    corpus vocabulary (by token count, ties broken by token ascending
+    — fully deterministic) and report per document how much of it
+    falls OUT of vocabulary: (id, n_tokens, oov_tokens, oov_rate).
+    The vocabulary-fit screen run before committing to a tokenizer:
+    high OOV rate means character fallback and blown-up sequence
+    lengths on exactly those documents.
+
+    Scale shape: one token-count aggregate, a TakeOrdered top-k for
+    the vocabulary (vocabulary-sized by contract — same shape as
+    ``bpe_train``'s driver-local path), then one broadcast LEFT
+    anti-style join back over the exploded tokens and a per-doc
+    aggregate. Documents with no tokens report 0/0/0.0.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t") != "")
+    counts = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    # top-k via TakeOrdered (per-partition heaps + driver merge of
+    # k x partitions rows): deterministic under the (count desc,
+    # token asc) total order
+    vocab_rows = counts.orderBy(F.desc("__c"), F.asc("__t")).limit(vocab_size)
+    vocab = vocab_rows.select(F.col("__t").alias("__v"), F.lit(True).alias("__in"))
+    per_doc = (
+        toks.join(F.broadcast(vocab), toks["__t"] == vocab["__v"], "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("oov_tokens", F.lit(0)).alias("oov_tokens"),
+            F.round(
+                F.coalesce("oov_tokens", F.lit(0))
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                9,
+            ).alias("oov_rate"),
+        )
+    )

@@ -274,3 +274,54 @@ def weighted_sample(
         .limit(k)
         .drop("__pri")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    strata_col: str = "source",
+    key_cols: Sequence[str | Column] = ("text",),
+    buckets: int = _BUCKETS,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing at alpha = 0.5 (the
+    multilingual-pretraining standard): target stratum shares
+    proportional to ``sqrt(n_s)`` instead of ``n_s``, which upsamples
+    the tail sources RELATIVELY by downsampling the heads. Like
+    :func:`mix_corpus`, the kept corpus is the LARGEST achievable by
+    downsampling only — the scale is set by the stratum minimizing
+    ``n_s / w_s`` with ``w_s = floor(sqrt(n_s))`` (kept whole); every
+    other stratum is thinned to match via the same content-hash
+    threshold ``floor(buckets * n_m * w_s / (w_m * n_s))``.
+
+    ``floor(sqrt(n))`` uses the correctly-rounded IEEE double sqrt —
+    bit-identical across engines for any count below 2^52, so the
+    thresholds (and hence the exact kept row set) are reproducible in
+    plain SQL. Row selection is content-hash based: partitioning- and
+    engine-independent.
+
+    Scale shape: one count aggregate over the stratum column
+    (map-side combined), a broadcast threshold table, one narrow
+    filter — no data-sized shuffle.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    weighted = counts.select(
+        strata_col, "__n", F.floor(F.sqrt(F.col("__n"))).cast("long").alias("__wt")
+    ).where(F.col("__wt") > 0)
+    m = weighted.agg(
+        F.min(
+            F.struct(
+                (F.col("__n").cast("double") / F.col("__wt")).alias("__r"),
+                F.col("__n").alias("__nm"),
+                F.col("__wt").alias("__wm"),
+            )
+        ).alias("__m")
+    ).select(F.col("__m.__nm").alias("__nm"), F.col("__m.__wm").alias("__wm"))
+    thr = weighted.crossJoin(F.broadcast(m)).select(
+        strata_col,
+        F.expr(f"({buckets}L * __nm * __wt) div (__wm * __n)").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .where(_hash_bucket(key_cols, buckets) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -704,3 +704,43 @@ def abc_classify(
         "share_rank",
         cls.alias("abc_class"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity profile over quasi-identifier columns — the
+    compliance/privacy screen a curation pipeline runs before a table
+    (or a metadata sidecar of a document corpus) ships: rows whose
+    quasi-identifier combination is shared by fewer than ``k`` rows
+    are re-identifiable. Returns one row per distinct EQUIVALENCE
+    CLASS SIZE: (class_size, n_classes, n_rows, at_risk) with
+    ``at_risk = class_size < k`` — the class-size histogram, from
+    which min class size (the k the table actually satisfies), the
+    at-risk row count and the suppression cost all read off directly.
+    NULL is a value (SQL GROUP BY semantics): an all-NULL QI tuple is
+    its own class.
+
+    Scale shape: one map-side-combined aggregate to the class table
+    (bounded by QI cardinality), one aggregate of THAT to the size
+    histogram (bounded by the number of distinct sizes) — the fact
+    table is scanned once and never shuffled wider than the QI key.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < F.lit(k)).alias("at_risk"),
+        )
+    )

@@ -82,6 +82,7 @@ BNLJ_OK = {
     "funnel_users",  # step-count scalar
     "term_doc_freq_topk",  # 1-row doc-count
     "mix_corpus_sources",  # broadcast threshold table
+    "temperature_mix_documents",  # 1-row scale-stratum (nm, wm) frame
     "q8_market_share",  # 1-row denominator
     "q14_promo_revenue",  # 1-row ratio denominators
     "bm25_search_documents",  # 1-row (n_docs, total_tokens) corpus frame

@@ -209,3 +209,35 @@ def test_weighted_sample_favors_heavy_weights(spark):
     got = {r["doc_id"] for r in weighted_sample(df, 20, "w", ["text"]).collect()}
     n_heavy = sum(1 for i in got if i >= 1000)
     assert n_heavy >= 15, n_heavy
+
+
+def test_temperature_mix_sqrt_rebalancing(spark):
+    """6:3:1 skew -> sqrt weights thin the head hardest and keep the
+    scale-setting tail whole; thresholds are exact integer floors the
+    test recomputes independently."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [("head", f"h{i}") for i in range(600)]
+        + [("mid", f"m{i}") for i in range(300)]
+        + [("tail", f"t{i}") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    kept = temperature_mix(df).groupBy("source").agg(F.count("*").alias("n"))
+    got = {r["source"]: r["n"] for r in kept.collect()}
+    # scale stratum = argmin n/floor(sqrt(n)): 600/24=25, 300/17=17.6,
+    # 100/10=10 -> tail; tail threshold = buckets (kept whole)
+    assert got["tail"] == 100
+    w = {s: math.floor(math.sqrt(n)) for s, n in (("head", 600), ("mid", 300), ("tail", 100))}
+    # expected keep fraction per stratum = floor(1e6 * 100*w_s/(10*n_s))/1e6
+    for s, n in (("head", 600), ("mid", 300)):
+        frac = (1_000_000 * 100 * w[s]) // (10 * n) / 1_000_000
+        assert abs(got[s] / n - frac) < 0.08, (s, got[s], frac)
+    # determinism: the same input yields the same kept set
+    a = {r["text"] for r in temperature_mix(df).collect()}
+    b = {r["text"] for r in temperature_mix(df).collect()}
+    assert a == b

@@ -386,3 +386,27 @@ def test_abc_classify_tie_break_deterministic(spark):
     )
     out = abc_classify(df, "k", "v").orderBy("share_rank").collect()
     assert [r["k"] for r in out] == ["a", "b", "c"]  # equal totals -> key asc
+
+
+def test_k_anonymity_histogram_and_nulls(spark):
+    from skylinemapreducehadoop_spark.operators.stats import k_anonymity
+
+    rows = (
+        [("US", "A")] * 6      # class of 6
+        + [("US", "B")] * 2    # class of 2 (at risk, k=5)
+        + [("DE", "A")]        # class of 1 (at risk)
+        + [(None, None)] * 3   # NULLs form their own class of 3
+    )
+    df = spark.createDataFrame(rows, "country string, seg string")
+    got = {r["class_size"]: r for r in k_anonymity(df, ["country", "seg"], k=5).collect()}
+    assert got[6]["n_classes"] == 1 and not got[6]["at_risk"]
+    assert got[2]["n_classes"] == 1 and got[2]["at_risk"] and got[2]["n_rows"] == 2
+    assert got[1]["n_classes"] == 1 and got[1]["at_risk"]
+    assert got[3]["n_classes"] == 1 and got[3]["at_risk"]  # the NULL class
+    assert sum(r["n_rows"] for r in got.values()) == len(rows)
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=5)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["country"], k=0)

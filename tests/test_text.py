@@ -449,3 +449,46 @@ def test_tfidf_keywords_matches_reference(spark):
     for i in want:
         got[i].sort(key=lambda x: x[1])
         assert got[i] == want[i], i
+
+
+def test_length_buckets_padding_and_truncation(spark):
+    from skylinemapreducehadoop_spark.functions.text import length_buckets
+
+    mk = lambda n: " ".join(["w"] * n)  # noqa: E731
+    rows = [(mk(3),), (mk(64),), (mk(65),), (mk(500),), (mk(600),), (None,)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {r["bucket_cap"]: r for r in length_buckets(df).collect()}
+    # 3 and 64 -> cap 64: padding (64-3) + 0
+    assert got[64]["n_docs"] == 2 and got[64]["padding_tokens"] == 61
+    assert got[64]["truncated_tokens"] == 0
+    # 65 -> cap 128: padding 63
+    assert got[128]["n_docs"] == 1 and got[128]["padding_tokens"] == 63
+    # 500 fits 512 (padding 12); 600 overflows (truncated 88, no padding)
+    assert got[512]["n_docs"] == 2
+    assert got[512]["padding_tokens"] == 12
+    assert got[512]["truncated_tokens"] == 88
+    assert sum(r["n_docs"] for r in got.values()) == 5  # NULL text excluded
+    import pytest
+
+    with pytest.raises(ValueError):
+        length_buckets(df, caps=[])
+
+
+def test_vocab_coverage_oov_and_determinism(spark):
+    from skylinemapreducehadoop_spark.functions.text import vocab_coverage
+
+    rows = [
+        (1, "a a a b b c"),   # with vocab_size=2: vocab = {a, b}
+        (2, "c c d"),         # all OOV
+        (3, ""),              # empty -> 0/0/0.0
+        (4, "a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert got[1]["n_tokens"] == 6 and got[1]["oov_tokens"] == 1  # the c
+    assert got[2]["n_tokens"] == 3 and got[2]["oov_tokens"] == 3
+    assert got[2]["oov_rate"] == 1.0
+    assert got[3]["n_tokens"] == 0 and got[3]["oov_rate"] == 0.0
+    assert got[4]["oov_tokens"] == 0
+    # boundary tie: c(3) vs b(3)? counts: a=4,b=3,c=3,d=1 -> vocab_size 2
+    # picks a then b (count desc, token asc beats c) — asserted via doc 1
