@@ -746,6 +746,43 @@ def _temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # manual runtime row filtering: Bloom sketch over the selective dim
+    # keys (high-balance customers), broadcast might_contain prefilter
+    # on the orders scan BEFORE any exchange, exact left-semi join
+    # removes the false positives — result bit-identical to the plain
+    # semi join (the oracle), fact shuffle proportional to matches
+    from skylinemapreducehadoop_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rich = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > 9000
+    )
+    return bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+
+
+def _seasonal_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekday-seasonality anomaly screen: per-type daily counts vs the
+    # same-weekday mean, flagged >2x high / <0.5x low in cleared
+    # integer arithmetic — the global-z-score trap (weekends always
+    # "anomalous" vs a weekday-dominated mean) done right
+    from skylinemapreducehadoop_spark.operators.temporal import seasonal_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    out = seasonal_anomalies(ev)
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        "n_events",
+        "dow_days",
+        "dow_total",
+        "anomaly",
+    ).orderBy("event_type", "day")
+
+
 def _twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type TIME-weighted mean of the value series (each observation
     # holds until the next — the sensor/price correct mean; a plain AVG
@@ -3272,6 +3309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets_documents": _length_buckets_documents,
         "vocab_coverage_documents": _vocab_coverage_documents,
         "temperature_mix_documents": _temperature_mix_documents,
+        "bloom_semi_join_orders": _bloom_semi_join_orders,
+        "seasonal_anomalies_events": _seasonal_anomalies_events,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4432,6 +4471,32 @@ SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), CAST(4 AS BIGINT)), (1, 4), (2, 4), (3, 4), (4, 4),
   (30, 3), (31, 3), (32, 3), (33, 3)
 ) v(node, core_degree)
+""",
+        "bloom_semi_join_orders": """
+SELECT o_orderkey, o_custkey
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+""",
+        "seasonal_anomalies_events": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
+),
+d2 AS (SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n_events,
+              dayofweek(d) + 1 AS dow
+       FROM daily),
+ds AS (
+  SELECT event_type, dow, count(*) AS dow_days,
+         CAST(sum(n_events) AS BIGINT) AS dow_total
+  FROM d2 GROUP BY event_type, dow
+)
+SELECT d2.event_type, d2.day, d2.dow, d2.n_events, ds.dow_days, ds.dow_total,
+       CASE WHEN d2.n_events * ds.dow_days * 1 > 2 * ds.dow_total THEN 'high'
+            WHEN d2.n_events * ds.dow_days * 2 < 1 * ds.dow_total THEN 'low'
+            ELSE NULL END AS anomaly
+FROM d2 JOIN ds USING (event_type, dow)
+ORDER BY d2.event_type, d2.day
 """,
         "k_anonymity_customers": """
 WITH cls AS (

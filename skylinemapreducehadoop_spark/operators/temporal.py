@@ -446,3 +446,65 @@ def time_weighted_avg(
         F.coalesce("span_us", F.lit(0)).alias("span_us"),
         twap.alias("twap"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    hi_num: int = 2,
+    hi_den: int = 1,
+    lo_num: int = 1,
+    lo_den: int = 2,
+) -> DataFrame:
+    """Weekday-seasonality anomaly screen over an event stream: daily
+    counts per key are compared against the mean of the SAME weekday's
+    days for that key, and a day is flagged ``high`` when its count
+    exceeds ``hi_num/hi_den`` times the weekday mean, ``low`` below
+    ``lo_num/lo_den`` times it. The traffic-monitoring staple that a
+    plain global z-score gets wrong (Sundays are always "anomalous"
+    against a weekday-dominated mean).
+
+    Both comparisons clear the division into exact integer arithmetic
+    — ``c * n_dow * hi_den > hi_num * sum_dow`` — so the boundary can
+    never flip with ulp noise and the flags are oracle-verifiable.
+    Returns (key, day, dow, n_events, dow_days, dow_total, anomaly)
+    with ``anomaly`` in {'high','low',NULL}; only non-NULL rows are
+    typically consumed, but all days are returned so the caller owns
+    the filter.
+
+    Scale shape: one map-side-combined aggregate to (key, day) —
+    bounded by keys x days, not events — one rollup of THAT to
+    (key, dow), and a broadcast join back. The event table is scanned
+    once.
+    """
+    daily = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("__k"),
+            F.to_date(ts_col).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("dow", F.dayofweek(F.col("day")))
+    )
+    dowstats = daily.groupBy("__k", "dow").agg(
+        F.count(F.lit(1)).alias("dow_days"),
+        F.sum("n_events").alias("dow_total"),
+    )
+    j = daily.join(F.broadcast(dowstats), ["__k", "dow"])
+    c = F.col("n_events") * F.col("dow_days")
+    anomaly = (
+        F.when(c * F.lit(hi_den) > F.lit(hi_num) * F.col("dow_total"), "high")
+        .when(c * F.lit(lo_den) < F.lit(lo_num) * F.col("dow_total"), "low")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        "day",
+        "dow",
+        "n_events",
+        "dow_days",
+        "dow_total",
+        anomaly.alias("anomaly"),
+    )

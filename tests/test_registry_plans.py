@@ -57,6 +57,9 @@ SKIP_EAGER = {
     "reverse_skyline_part",  # two-phase driver-coordinated
     "dynamic_skyline_part",
     "abc_parts",  # distributed prefix sum: collects #partitions-row offsets
+    "bloom_semi_join_orders",  # builds the bitmap (bounded word collect);
+    # its 1-row bitmap BNLJ + no-UDF plan discipline is asserted in
+    # tests/test_bloom.py
     "embedding_near_dup",  # reads dim from first()
     "ann_lsh_topk",  # driver-side probe-set computation reads dim
     "ann_recall_lsh",

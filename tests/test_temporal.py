@@ -369,3 +369,36 @@ def test_time_weighted_avg_vs_plain_avg_burst(spark):
     # the 50th sample (100.0) holds until 0:01:00, then 0 holds 60s
     # plain avg would be ~96; the time-weighted mean sits near 50
     assert r["twap"] < 60.0
+
+
+def test_seasonal_anomalies_weekday_baseline(spark):
+    """4 Mondays at counts 30/30/30/100 and 4 Tuesdays at 8/8/8/1:
+    the 100 is 'high' vs the Monday mean (100*4 > 2*190), the 1 is
+    'low' vs the Tuesday mean (1*4*2 < 25), the 30s and 8s are inside
+    the [0.5x, 2x] band of THEIR weekday — a global mean would misflag
+    the quiet-but-normal Tuesdays."""
+    from datetime import datetime, timedelta
+
+    from skylinemapreducehadoop_spark.operators.temporal import seasonal_anomalies
+
+    mon = datetime(2024, 1, 1)  # a Monday
+    rows = []
+    for week, n in enumerate((30, 30, 30, 100)):
+        rows += [("a", mon + timedelta(weeks=week, hours=h % 24)) for h in range(n)]
+    for week, n in enumerate((8, 8, 8, 1)):
+        rows += [
+            ("a", mon + timedelta(weeks=week, days=1, hours=h % 24)) for h in range(n)
+        ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        (str(r["day"]), r["n_events"]): r["anomaly"]
+        for r in seasonal_anomalies(df).collect()
+    }
+    assert out[("2024-01-22", 100)] == "high"
+    assert out[("2024-01-23", 1)] == "low"
+    assert out[("2024-01-01", 30)] is None
+    assert out[("2024-01-02", 8)] is None
+    # dow grouping really separates weekdays: dow_total for Mondays is
+    # 190, Tuesdays 25
+    rows2 = seasonal_anomalies(df).collect()
+    assert {r["dow_total"] for r in rows2} == {190, 25}
