@@ -746,6 +746,20 @@ def _temperature_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _percentile_ranks_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact global CDF (rank / percent_rank / cume_dist) over the
+    # price grid with NO single-partition window — the distributed
+    # prefix sum (abc_parts' fix, generalized): range-partitioned
+    # distinct-value table, per-partition sums, broadcast offsets. The
+    # oracle computes the same CDF with SQL window functions — tiny
+    # for DuckDB at sf0.01, a scale-killer shape for a real engine,
+    # which is exactly what the operator avoids
+    from skylinemapreducehadoop_spark.operators.stats import percentile_ranks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return percentile_ranks(li, "l_extendedprice", scale=100)
+
+
 def _bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # manual runtime row filtering: Bloom sketch over the selective dim
     # keys (high-balance customers), broadcast might_contain prefilter
@@ -3311,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_documents": _temperature_mix_documents,
         "bloom_semi_join_orders": _bloom_semi_join_orders,
         "seasonal_anomalies_events": _seasonal_anomalies_events,
+        "percentile_ranks_lineitem": _percentile_ranks_lineitem,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4471,6 +4486,28 @@ SELECT * FROM (VALUES
   (CAST(0 AS BIGINT), CAST(4 AS BIGINT)), (1, 4), (2, 4), (3, 4), (4, 4),
   (30, 3), (31, 3), (32, 3), (33, 3)
 ) v(node, core_degree)
+""",
+        "percentile_ranks_lineitem": """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS value_q
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+g AS (SELECT value_q, count(*) AS n_rows_at FROM v GROUP BY value_q),
+r AS (
+  SELECT value_q, n_rows_at,
+         CAST(coalesce(sum(n_rows_at) OVER (ORDER BY value_q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_smaller,
+         CAST(sum(n_rows_at) OVER (ORDER BY value_q
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_le
+  FROM g
+),
+t AS (SELECT CAST(sum(n_rows_at) AS BIGINT) AS n FROM g)
+SELECT value_q, n_rows_at, n_smaller,
+       round(CAST(n_smaller AS DOUBLE) / greatest(n - 1, 1), 9) AS percent_rank,
+       round(CAST(n_le AS DOUBLE) / greatest(n, 1), 9) AS cume_dist
+FROM r CROSS JOIN t
 """,
         "bloom_semi_join_orders": """
 SELECT o_orderkey, o_custkey

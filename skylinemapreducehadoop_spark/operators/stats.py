@@ -744,3 +744,76 @@ def k_anonymity(
             (F.col("class_size") < F.lit(k)).alias("at_risk"),
         )
     )
+
+
+def percentile_ranks(
+    df: DataFrame,
+    value_col: str,
+    *,
+    scale: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global rank / percent_rank / cume_dist for EVERY row
+    without a single-partition window — the general form of the
+    distributed prefix sum that fixed ``abc_classify``: a plain
+    ``Window.orderBy(value)`` funnels the whole table through one
+    task, which at 100 TB is the canonical scale-killer for CDF
+    transforms (feature scaling, score normalization, calibration).
+
+    Returns (value_q, n_rows_at, n_smaller, percent_rank, cume_dist)
+    per DISTINCT grid value — the CDF table; join it back on
+    ``value_q`` for a per-row transform. Semantics match SQL:
+    ``percent_rank = n_smaller / (N - 1)`` (min-rank ties),
+    ``cume_dist = (n_smaller + n_rows_at) / N``, both rounded to 9.
+
+    Shape: one map-side-combined aggregate to the DISTINCT-value
+    table, a range partition over it, per-partition prefix sums under
+    a ``partitionBy(partition_id)`` window, a #partitions-row offsets
+    collect (config-bounded), broadcast-added back. No window in the
+    plan has an empty partition spec (same assertion as
+    ``test_abc_no_global_window``).
+    """
+    q = _q(value_col, scale)
+    per_val = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(q.alias("value_q"))
+        .agg(F.count(F.lit(1)).alias("n_rows_at"))
+    )
+    spark = df.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    local_w = Window.partitionBy("__pid").orderBy(F.asc("value_q"))
+    local = (
+        per_val.repartitionByRange(nparts, F.asc("value_q"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lcum",
+            F.sum("n_rows_at").over(
+                local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .localCheckpoint()
+    )
+    pstats = sorted(
+        local.groupBy("__pid").agg(F.sum("n_rows_at").alias("__s")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, cum = [], 0
+    for r in pstats:
+        offsets.append((r["__pid"], cum))
+        cum += int(r["__s"])
+    n_total = cum
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    n_smaller = F.col("__lcum") + F.col("__off") - F.col("n_rows_at")
+    denom = F.lit(max(n_total - 1, 1)).cast("double")
+    return local.join(F.broadcast(off_df), "__pid").select(
+        "value_q",
+        "n_rows_at",
+        n_smaller.alias("n_smaller"),
+        F.round(n_smaller / denom, 9).alias("percent_rank"),
+        F.round(
+            (F.col("__lcum") + F.col("__off")) / F.lit(max(n_total, 1)).cast("double"),
+            9,
+        ).alias("cume_dist"),
+    )

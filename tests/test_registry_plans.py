@@ -57,6 +57,8 @@ SKIP_EAGER = {
     "reverse_skyline_part",  # two-phase driver-coordinated
     "dynamic_skyline_part",
     "abc_parts",  # distributed prefix sum: collects #partitions-row offsets
+    "percentile_ranks_lineitem",  # same prefix-sum shape (plan asserted
+    # in tests/test_stats.py::test_percentile_ranks_no_global_window...)
     "bloom_semi_join_orders",  # builds the bitmap (bounded word collect);
     # its 1-row bitmap BNLJ + no-UDF plan discipline is asserted in
     # tests/test_bloom.py

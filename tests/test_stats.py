@@ -410,3 +410,43 @@ def test_k_anonymity_histogram_and_nulls(spark):
         k_anonymity(df, [], k=5)
     with pytest.raises(ValueError):
         k_anonymity(df, ["country"], k=0)
+
+
+def test_percentile_ranks_no_global_window_and_matches_reference(spark):
+    from skylinemapreducehadoop_spark.operators.stats import percentile_ranks
+
+    vals = [1.0, 1.0, 2.0, 5.0, 5.0, 5.0, 9.0]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "x double")
+    out = percentile_ranks(df, "x", scale=1, num_partitions=4)
+    # no window at all in the post-checkpoint plan; the pre-checkpoint
+    # window is partitioned (shared helper asserted via abc test)
+    assert not list(_window_nodes(out._jdf.queryExecution().executedPlan()))
+    got = {r["value_q"]: r for r in out.collect()}
+    n = len(vals)
+    ref = {}
+    for v in sorted(set(vals)):
+        smaller = sum(1 for x in vals if x < v)
+        at = vals.count(v)
+        ref[int(v)] = (at, smaller, round(smaller / (n - 1), 9), round((smaller + at) / n, 9))
+    assert set(got) == set(ref)
+    for v, (at, smaller, pr, cd) in ref.items():
+        r = got[v]
+        assert (r["n_rows_at"], r["n_smaller"]) == (at, smaller)
+        assert r["percent_rank"] == pr and r["cume_dist"] == cd
+    # sanity: SQL window semantics on the exploded rows agree
+    from pyspark.sql import functions as F
+
+    sql_ref = (
+        df.where(F.col("x").isNotNull())
+        .selectExpr(
+            "cast(round(x) as long) AS v",
+            "percent_rank() OVER (ORDER BY x) AS pr",
+            "cume_dist() OVER (ORDER BY x) AS cd",
+        )
+        .groupBy("v")
+        .agg(F.round(F.min("pr"), 9).alias("pr"), F.round(F.max("cd"), 9).alias("cd"))
+        .collect()
+    )
+    for r in sql_ref:
+        assert got[r["v"]]["percent_rank"] == r["pr"]
+        assert got[r["v"]]["cume_dist"] == r["cd"]
