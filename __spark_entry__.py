@@ -797,6 +797,81 @@ def _seasonal_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+def _salted_join_agg_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-proof revenue rollup: salted_join spreads each customer
+    # key over 8 salt partitions (right side replicated 8x), then
+    # salted_agg two-stages the nation aggregate so no reducer ever
+    # owns a hot nation whole. Result must equal the plain join+agg
+    # (the oracle) EXACTLY — salting is semantics-preserving; sums
+    # fold in decimal so partial/final order cannot move an ulp
+    from skylinemapreducehadoop_spark.operators.skew import salted_agg, salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(20,2)").alias("price")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(orders, cust, ["o_custkey"], n_salts=8)
+    out = salted_agg(
+        joined,
+        ["c_nationkey"],
+        {
+            "n_orders": ("price", "count"),
+            "sum_price": ("price", "sum"),
+            "max_price": ("price", "max"),
+        },
+    )
+    return out.select(
+        "c_nationkey",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+def _bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-source BFS over a sparsified co-purchase graph (parts
+    # sharing an order, every 5th order): min hop distance <= 4 from
+    # the partkey%97 seed set. Frontier-driven level-synchronous
+    # rounds; the oracle re-derives the same distances with a
+    # recursive CTE whose UNION-distinct bounds each level at |V|
+    from skylinemapreducehadoop_spark.operators.graph import bfs_hops
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    sources = (
+        li.where(F.col("l_partkey") % 97 == 0)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    return bfs_hops(edges, sources, max_hops=4)
+
+
+def _containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # length-asymmetric near-dup screen: k-gram CONTAINMENT
+    # |A∩B|/min(|A|,|B|) >= 0.8 — catches a short doc pasted inside a
+    # long one, which Jaccard scores near 0. Inverted-index pair
+    # generation (grams travel as xxhash64 longs); the oracle is the
+    # all-pairs list_intersect twin at test scale
+    from skylinemapreducehadoop_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8)
+
+
 def _twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type TIME-weighted mean of the value series (each observation
     # holds until the next — the sensor/price correct mean; a plain AVG
@@ -3326,6 +3401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join_orders": _bloom_semi_join_orders,
         "seasonal_anomalies_events": _seasonal_anomalies_events,
         "percentile_ranks_lineitem": _percentile_ranks_lineitem,
+        "salted_join_agg_nation": _salted_join_agg_nation,
+        "bfs_hops_copurchase": _bfs_hops_copurchase,
+        "containment_pairs_documents": _containment_pairs_documents,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4534,6 +4612,50 @@ SELECT d2.event_type, d2.day, d2.dow, d2.n_events, ds.dow_days, ds.dow_total,
             ELSE NULL END AS anomaly
 FROM d2 JOIN ds USING (event_type, dow)
 ORDER BY d2.event_type, d2.day
+""",
+        "salted_join_agg_nation": """
+SELECT c_nationkey, count(o_totalprice) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS max_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+        "bfs_hops_copurchase": """
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+sources AS (SELECT DISTINCT l_partkey AS node FROM li WHERE l_partkey % 97 = 0),
+w(node, hop) AS (
+  SELECT node, 0 FROM sources
+  UNION
+  SELECT e.dst, w.hop + 1 FROM w JOIN edges e ON e.src = w.node WHERE w.hop < 4
+)
+SELECT node, CAST(min(hop) AS INT) AS hop FROM w GROUP BY node
+""",
+        "containment_pairs_documents": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, greatest(len(t)-1, 1))]) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(a.s) AS BIGINT) AS n_a, CAST(len(b.s) AS BIGINT) AS n_b,
+         CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, n_a, n_b, shared,
+       CAST(shared AS DOUBLE) / least(n_a, n_b) AS containment
+FROM pairs
+WHERE CAST(shared AS DOUBLE) / least(n_a, n_b) >= 0.8
 """,
         "k_anonymity_customers": """
 WITH cls AS (

@@ -560,3 +560,61 @@ def test_novelty_score_planted(spark):
     assert got[4]["n_grams"] == 0 and got[4]["novelty"] == 0.0
     assert got[5]["n_grams"] == 0 and got[5]["novelty"] == 0.0
     assert got[6]["n_unique"] == 1  # 'beta gamma epsilon'
+
+
+def test_containment_pairs_subset_doc(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon"
+    long_doc = "zero one two three " + short + " four five six seven eight nine"
+    rows = [(1, short), (2, long_doc), (3, "totally different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(df, threshold=0.9).collect()
+    # the short doc's 3 grams all occur in the long doc -> containment 1.0
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["shared"] == r["n_a"] == 3
+    assert r["containment"] == 1.0
+
+
+def test_containment_pairs_vs_bruteforce(spark):
+    import itertools
+
+    from skylinemapreducehadoop_spark.operators.dedup import containment_pairs
+
+    rng_words = ["w%d" % (i % 7) for i in range(30)]
+    docs = [
+        (i, " ".join(rng_words[j % 30] for j in range(i, i + 12)))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["n_a"], r["n_b"])
+        for r in containment_pairs(df, threshold=0.0).collect()
+    }
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        ga, gb = grams(ta), grams(tb)
+        shared = len(ga & gb)
+        if shared == 0:
+            assert (ia, ib) not in got
+        else:
+            assert got[(ia, ib)] == (shared, len(ga), len(gb))
+
+
+def test_containment_pairs_stop_gram_ceiling(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import containment_pairs
+
+    # one boilerplate gram shared by all docs; with the df ceiling at 2
+    # it must not generate any candidate pair on its own
+    boiler = "terms of service"
+    rows = [(i, boiler + " unique%d filler%d tail%d" % (i, i, i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert containment_pairs(df, threshold=0.01).count() == 10  # all pairs share boiler grams
+    pruned = containment_pairs(df, threshold=0.01, max_gram_df=2)
+    assert pruned.count() == 0

@@ -140,3 +140,58 @@ def test_k_core_planted_structures(spark):
     assert k_core(df, 6).count() == 0
     with pytest.raises(ValueError):
         k_core(df, 0)
+
+
+def test_bfs_hops_known_distances(spark):
+    from skylinemapreducehadoop_spark.operators.graph import bfs_hops
+
+    # path 0-1-2-3-4-5 plus a shortcut 0->3 and an unreachable island 9
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3), (9, 10)]
+    und = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(und, "src long, dst long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, srcs, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2, 5: 3}
+
+
+def test_bfs_hops_multi_source_min_and_cap(spark):
+    from skylinemapreducehadoop_spark.operators.graph import bfs_hops
+
+    # chain 0-1-2-3-4-5-6; sources at both ends -> hop = min distance
+    edges = [(i, i + 1) for i in range(6)]
+    und = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(und, "src long, dst long")
+    srcs = spark.createDataFrame([(0,), (6,)], "node long")
+    got = {r["node"]: r["hop"] for r in bfs_hops(e, srcs, max_hops=10).collect()}
+    assert got == {0: 0, 6: 0, 1: 1, 5: 1, 2: 2, 4: 2, 3: 3}
+    # hop cap truncates the far levels, never alters the near ones
+    capped = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(e, srcs.where("node = 0"), max_hops=2).collect()
+    }
+    assert capped == {0: 0, 1: 1, 2: 2}
+    # max_hops=0 returns exactly the (deduplicated) source set
+    zero = bfs_hops(e, srcs.union(srcs), max_hops=0).collect()
+    assert {(r["node"], r["hop"]) for r in zero} == {(0, 0), (6, 0)}
+
+
+def test_bfs_hops_plan_size_constant(spark):
+    from skylinemapreducehadoop_spark.operators.graph import bfs_hops
+
+    edges = [(i, i + 1) for i in range(40)]
+    e = spark.createDataFrame(edges + [(b, a) for a, b in edges], "src long, dst long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    p3 = bfs_hops(e, srcs, max_hops=3)._jdf.queryExecution().toString()
+    p12 = bfs_hops(e, srcs, max_hops=12)._jdf.queryExecution().toString()
+    # localCheckpoint pins each level: plan must not grow with rounds
+    assert len(p12) < 3 * len(p3)
+
+
+def test_bfs_hops_rejects_negative_cap(spark):
+    from skylinemapreducehadoop_spark.operators.graph import bfs_hops
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    with _pytest.raises(ValueError):
+        bfs_hops(e, s, max_hops=-1)

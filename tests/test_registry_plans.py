@@ -68,6 +68,7 @@ SKIP_EAGER = {
     "topk_similarity",  # query vector via first()
     "topk_batch_similarity",  # query batch collected by contract
     "mix_corpus_sources",  # proportions probe
+    "bfs_hops_copurchase",  # iterative: localCheckpoint + isEmpty per level
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a 1-row (or
