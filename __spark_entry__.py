@@ -860,6 +860,52 @@ def _bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, sources, max_hops=4)
 
 
+def _shortest_paths_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded-hop weighted shortest paths (Bellman-Ford, frontier
+    # optimized) over the sparsified co-purchase graph with a
+    # deterministic integer weight 1 + (src+dst) mod 7; the oracle
+    # re-derives min path cost with a hop-carrying recursive CTE
+    from skylinemapreducehadoop_spark.operators.graph import shortest_paths
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b.hint("shuffle_hash"), "l_orderkey")
+        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .withColumn(
+            "weight", F.lit(1) + F.pmod(F.col("src") + F.col("dst"), F.lit(7))
+        )
+    )
+    sources = (
+        li.where(F.col("l_partkey") % 97 == 0)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    return shortest_paths(edges, sources, max_hops=3)
+
+
+def _leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cluster-aware train/val/test split: near-dup clusters (minhash
+    # pairs -> hash-min components) are assigned WHOLE to one split by
+    # hashing the cluster id — the eval-contamination guard a per-doc
+    # hash split lacks. The oracle closes the same exact-Jaccard pair
+    # graph with a recursive CTE and applies the same md5 bucket rule
+    from skylinemapreducehadoop_spark.operators import dedup as D
+    from skylinemapreducehadoop_spark.operators.sampling import leakage_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup(docs, threshold=0.5)
+    return leakage_safe_split(docs, pairs)
+
+
 def _containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length-asymmetric near-dup screen: k-gram CONTAINMENT
     # |A∩B|/min(|A|,|B|) >= 0.8 — catches a short doc pasted inside a
@@ -3404,6 +3450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg_nation": _salted_join_agg_nation,
         "bfs_hops_copurchase": _bfs_hops_copurchase,
         "containment_pairs_documents": _containment_pairs_documents,
+        "shortest_paths_copurchase": _shortest_paths_copurchase,
+        "leakage_safe_split_documents": _leakage_safe_split_documents,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4636,6 +4684,63 @@ w(node, hop) AS (
   SELECT e.dst, w.hop + 1 FROM w JOIN edges e ON e.src = w.node WHERE w.hop < 4
 )
 SELECT node, CAST(min(hop) AS INT) AS hop FROM w GROUP BY node
+""",
+        "shortest_paths_copurchase": """
+WITH RECURSIVE li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 5 = 0
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+we AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM edges),
+sources AS (SELECT DISTINCT l_partkey AS node FROM li WHERE l_partkey % 97 = 0),
+p(node, hop, cost) AS (
+  SELECT node, 0, CAST(0 AS BIGINT) FROM sources
+  UNION
+  SELECT e.dst, p.hop + 1, CAST(p.cost + e.w AS BIGINT)
+  FROM p JOIN we e ON e.src = p.node WHERE p.hop < 3
+)
+SELECT node, CAST(min(cost) AS BIGINT) AS cost FROM p GROUP BY node
+""",
+        "leakage_safe_split_documents": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, greatest(len(t)-1, 1))]) AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+lab AS (
+  SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+b AS (
+  SELECT id, cluster_id,
+         ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+  FROM lab
+)
+SELECT id, cluster_id,
+       CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
+FROM b
 """,
         "containment_pairs_documents": """
 WITH toks AS (

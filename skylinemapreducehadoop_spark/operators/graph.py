@@ -286,3 +286,75 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded-hop single/multi-source shortest paths: minimum total
+    edge weight over paths using at most ``max_hops`` edges —
+    Bellman-Ford with the frontier optimization (only nodes improved
+    last round relax their out-edges this round). Returns (node, cost)
+    for every node reachable within the bound; sources report cost 0.
+
+    Negative weights are rejected: with the hop bound they would make
+    "cost" depend on the bound in surprising ways, and every curation
+    use (link distance, latency, tax) is nonnegative.
+
+    Distributed shape per round: one frontier-edge equi-join + one
+    min aggregate + one left join against the running distance table —
+    all key-partitioned shuffles, nothing driver-side, rounds pinned by
+    ``localCheckpoint`` (the pagerank/k_core/bfs_hops discipline). A
+    converged round (no improvement anywhere) exits early, at which
+    point the answer equals the UNBOUNDED shortest path.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src).alias("__s"),
+        F.col(dst).alias("__d"),
+        F.col(weight).cast("long").alias("__w"),
+    )
+    if not e.where(F.col("__w") < 0).isEmpty():
+        raise ValueError("shortest_paths requires nonnegative edge weights")
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("cost") + F.col("__w")).alias("cost"),
+            )
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = (
+            cand.join(
+                dist.select("node", F.col("cost").alias("__old")), "node", "left"
+            )
+            .where(F.col("__old").isNull() | (F.col("cost") < F.col("__old")))
+            .select("node", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

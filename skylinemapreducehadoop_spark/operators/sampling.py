@@ -325,3 +325,71 @@ def temperature_mix(
         .where(_hash_bucket(key_cols, buckets) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: Mapping[str, int] | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/val/test assignment that can NEVER split a near-duplicate
+    cluster across splits — the eval-contamination guard a plain
+    per-document hash split does not give (two near-dup docs hash
+    independently, so one lands in train and its twin in test).
+
+    ``dup_pairs`` is any near-dup pair frame (minhash, simhash,
+    containment, ...). Pairs are closed into connected components
+    (hash-min label propagation from ``operators.dedup``); documents in
+    no pair form singleton clusters. The split bucket is the content
+    hash of the CLUSTER id, so membership is a pure function of the
+    cluster — every member inherits the same split on any engine, any
+    layout, any day (the ``hash_sample`` md5 determinism contract).
+
+    ``weights`` maps split name -> integer percent, summing to 100
+    (default {"train": 80, "val": 10, "test": 10}); iteration order
+    fixes the bucket layout, so pass an ordered mapping. Returns
+    (id, cluster_id, split).
+
+    Scale shape: the component closure is the star/hash-min fixed
+    point (edge-table-sized rounds); the split itself adds one
+    left join (pairs are a tiny fraction of the corpus — the join's
+    build side is the duplicate subset only) and a narrow hash
+    projection. No new shuffle beyond the closure.
+    """
+    from skylinemapreducehadoop_spark.operators.dedup import dedup_clusters
+
+    if weights is None:
+        weights = {"train": 80, "val": 10, "test": 10}
+    total = sum(weights.values())
+    if total != 100 or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integer percents summing to 100")
+
+    pairs = dup_pairs.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+    )
+    clusters = dedup_clusters(pairs)  # (doc_id, cluster_id)
+    labeled = (
+        df.select(F.col(id_col).alias("id"))
+        .join(
+            clusters.select(
+                F.col("doc_id").alias("id"), F.col("cluster_id")
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        )
+    )
+    bucket = _hash_bucket([F.col("cluster_id")], 100)
+    split: Column | None = None
+    edge = 0
+    for name, w in weights.items():
+        edge += w
+        cond = bucket < edge
+        split = F.when(cond, name) if split is None else split.when(cond, name)
+    return labeled.select("id", "cluster_id", split.alias("split"))

@@ -195,3 +195,50 @@ def test_bfs_hops_rejects_negative_cap(spark):
     s = spark.createDataFrame([(0,)], "node long")
     with _pytest.raises(ValueError):
         bfs_hops(e, s, max_hops=-1)
+
+
+def test_shortest_paths_known_costs(spark):
+    from skylinemapreducehadoop_spark.operators.graph import shortest_paths
+
+    # 0 -> 1 (w=10), 0 -> 2 (w=1), 2 -> 1 (w=2): the 2-hop detour wins
+    edges = [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight long")
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["cost"] for r in shortest_paths(e, s, max_hops=10).collect()}
+    assert got == {0: 0, 2: 1, 1: 3, 3: 4}
+    # hop bound 1: only direct edges — the detour is not available yet
+    got1 = {r["node"]: r["cost"] for r in shortest_paths(e, s, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 10, 2: 1}
+    # hop bound 2: detour reachable, but 3 still out of reach via it;
+    # bounded-hop min must keep the best <=2-edge path (0->1 direct=10
+    # loses to 0->2->1=3; 0->1->3 = 11 is the only <=2-edge path to 3)
+    got2 = {r["node"]: r["cost"] for r in shortest_paths(e, s, max_hops=2).collect()}
+    assert got2 == {0: 0, 1: 3, 2: 1, 3: 11}
+
+
+def test_shortest_paths_multi_source_and_negative_reject(spark):
+    import pytest as _pytest
+
+    from skylinemapreducehadoop_spark.operators.graph import shortest_paths
+
+    edges = [(0, 1, 5), (9, 1, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight long")
+    s = spark.createDataFrame([(0,), (9,)], "node long")
+    got = {r["node"]: r["cost"] for r in shortest_paths(e, s, max_hops=4).collect()}
+    assert got == {0: 0, 9: 0, 1: 1}
+    neg = spark.createDataFrame([(0, 1, -2)], "src long, dst long, weight long")
+    with _pytest.raises(ValueError, match="nonnegative"):
+        shortest_paths(neg, s, max_hops=2)
+
+
+def test_shortest_paths_matches_bfs_on_unit_weights(spark):
+    from skylinemapreducehadoop_spark.operators.graph import bfs_hops, shortest_paths
+
+    from pyspark.sql import functions as F
+
+    edges = [(i, (i * 3 + 1) % 17) for i in range(17)] + [(i, (i + 5) % 17) for i in range(17)]
+    e = spark.createDataFrame(edges, "src long, dst long").withColumn("weight", F.lit(1))
+    s = spark.createDataFrame([(0,)], "node long")
+    hops = {r["node"]: r["hop"] for r in bfs_hops(e.drop("weight"), s, max_hops=6).collect()}
+    costs = {r["node"]: r["cost"] for r in shortest_paths(e, s, max_hops=6).collect()}
+    assert hops == costs

@@ -69,6 +69,8 @@ SKIP_EAGER = {
     "topk_batch_similarity",  # query batch collected by contract
     "mix_corpus_sources",  # proportions probe
     "bfs_hops_copurchase",  # iterative: localCheckpoint + isEmpty per level
+    "shortest_paths_copurchase",  # iterative Bellman-Ford rounds
+    "leakage_safe_split_documents",  # hash-min component fixed point
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a 1-row (or

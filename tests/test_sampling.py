@@ -241,3 +241,45 @@ def test_temperature_mix_sqrt_rebalancing(spark):
     a = {r["text"] for r in temperature_mix(df).collect()}
     b = {r["text"] for r in temperature_mix(df).collect()}
     assert a == b
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from skylinemapreducehadoop_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    # two chains {0,1,2,3} and {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    assert len(out) == 40
+    by_id = {r["id"]: r for r in out}
+    # cluster members share cluster_id AND split
+    for grp in ([0, 1, 2, 3], [10, 11]):
+        cids = {by_id[i]["cluster_id"] for i in grp}
+        splits = {by_id[i]["split"] for i in grp}
+        assert cids == {min(grp)}
+        assert len(splits) == 1
+    # singletons are their own cluster
+    assert by_id[25]["cluster_id"] == 25
+    # every doc got a split from the declared set
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_weights_and_determinism(spark):
+    import pytest as _pytest
+
+    from skylinemapreducehadoop_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    a = {r["id"]: r["split"] for r in leakage_safe_split(docs, pairs).collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in leakage_safe_split(docs.repartition(7), pairs).collect()
+    }
+    assert a == b  # layout-independent
+    frac_train = sum(1 for s in a.values() if s == "train") / len(a)
+    assert 0.6 < frac_train < 0.95  # roughly the 80% band
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, weights={"train": 50, "test": 49})
