@@ -290,6 +290,17 @@ EXTRA_QUERIES = [
     "kcore_check",
     # new in round 10
     "analyze_approx_check",
+    "salted_join_agg_nation",
+    "bfs_hops_copurchase",
+    "containment_pairs_documents",
+    "shortest_paths_copurchase",
+    "bloom_semi_join_orders",
+    "seasonal_anomalies_events",
+    "percentile_ranks_lineitem",
+    "k_anonymity_customers",
+    "length_buckets_documents",
+    "vocab_coverage_documents",
+    "temperature_mix_documents",
 ]
 
 
