@@ -906,6 +906,31 @@ def _leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return leakage_safe_split(docs, pairs)
 
 
+def _negative_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive negative sampling: per-anchor negatives from the
+    # next md5 bucket's k-lowest-hash slate (RNG-free, layout- and
+    # engine-independent), excluding exact-hash twins and the minhash
+    # near-dup pair list; the slate is broadcast-sized by construction
+    from skylinemapreducehadoop_spark.operators import dedup as D
+    from skylinemapreducehadoop_spark.operators.sampling import negative_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = D.minhash_near_dup(docs, threshold=0.5)
+    return negative_pairs(docs, k=3, buckets=16, exclude_pairs=near)
+
+
+def _target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leave-one-out target encoding of event_type against value: the
+    # per-key sum folds in decimal so (sum - own)/(n-1) is exact;
+    # NULL-value rows get the plain mean, peerless rows get NULL
+    from skylinemapreducehadoop_spark.operators.stats import target_encode
+
+    ev = load_table(spark, sf_dir, "events")
+    return target_encode(ev, ["event_type"], "value").select(
+        "event_id", "event_type", "loo_mean"
+    )
+
+
 def _containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length-asymmetric near-dup screen: k-gram CONTAINMENT
     # |A∩B|/min(|A|,|B|) >= 0.8 — catches a short doc pasted inside a
@@ -3452,6 +3477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_documents": _containment_pairs_documents,
         "shortest_paths_copurchase": _shortest_paths_copurchase,
         "leakage_safe_split_documents": _leakage_safe_split_documents,
+        "negative_pairs_documents": _negative_pairs_documents,
+        "target_encode_events": _target_encode_events,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4741,6 +4768,54 @@ b AS (
 SELECT id, cluster_id,
        CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split
 FROM b
+""",
+        "negative_pairs_documents": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, greatest(len(t)-1, 1))]) AS s
+  FROM toks
+),
+np AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+base AS (
+  SELECT doc_id AS id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents
+),
+b AS (SELECT id, h, h % 16 AS bk FROM base),
+slate AS (
+  SELECT bk, id AS neg_id, h AS neg_h FROM (
+    SELECT bk, id, h, row_number() OVER (PARTITION BY bk ORDER BY h, id) AS rn
+    FROM b) WHERE rn <= 3
+),
+anchors AS (SELECT id, h, (bk + 1) % 16 AS sbk FROM b),
+cand AS (
+  SELECT a.id, s.neg_id FROM anchors a JOIN slate s ON s.bk = a.sbk
+  WHERE a.id <> s.neg_id AND a.h <> s.neg_h
+)
+SELECT id, neg_id FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM np p
+  WHERE (p.id_a = c.id AND p.id_b = c.neg_id)
+     OR (p.id_a = c.neg_id AND p.id_b = c.id)
+)
+""",
+        "target_encode_events": """
+WITH g AS (
+  SELECT event_type, sum(CAST(value AS DECIMAL(20,4))) AS s, count(value) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       CASE WHEN e.value IS NULL THEN CAST(g.s AS DOUBLE) / g.n
+            WHEN g.n = 1 THEN NULL
+            ELSE CAST(g.s - CAST(e.value AS DECIMAL(20,4)) AS DOUBLE) / (g.n - 1)
+       END AS loo_mean
+FROM events e LEFT JOIN g ON e.event_type = g.event_type
 """,
         "containment_pairs_documents": """
 WITH toks AS (

@@ -393,3 +393,79 @@ def leakage_safe_split(
         cond = bucket < edge
         split = F.when(cond, name) if split is None else split.when(cond, name)
     return labeled.select("id", "cluster_id", split.alias("split"))
+
+
+def negative_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    buckets: int = 64,
+    exclude_pairs: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor document gets up to ``k`` negatives drawn from the corpus —
+    reproducible on any engine/layout (no RNG), never an exact
+    duplicate of the anchor, and never a pair listed in
+    ``exclude_pairs`` (pass a near-dup pair frame to keep semantic
+    twins out of the negative set). Returns (id, neg_id).
+
+    Construction: documents hash into ``buckets`` md5 buckets; the
+    ``k`` lowest-hash documents of each bucket form its candidate
+    slate, and an anchor in bucket b takes the slate of bucket
+    (b+1) mod buckets. Because the md5 is a content hash, "which
+    slate" and "who is on it" are pure functions of the corpus.
+
+    Scale shape: the slate table is buckets x k rows — broadcast
+    sized by construction, so the anchor join is a broadcast hash
+    join, no shuffle of the corpus; the slate itself needs one
+    bucket-partitioned top-k window (bounded by bucket population,
+    ~|corpus|/buckets — size ``buckets`` so that fits an executor,
+    e.g. 1M buckets at 100 TB). Exact-dup anchors are excluded by
+    comparing content hashes, near-dups by the optional anti-join
+    (both orientations) against ``exclude_pairs``.
+    """
+    if k < 1 or buckets < 2:
+        raise ValueError("need k >= 1 and buckets >= 2")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(text_col).cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        h.alias("__h"),
+        F.pmod(h, F.lit(buckets)).alias("__b"),
+    )
+    w = Window.partitionBy("__b").orderBy("__h", "id")
+    slate = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            F.col("__b").alias("__slate_b"),
+            F.col("id").alias("neg_id"),
+            F.col("__h").alias("__neg_h"),
+        )
+    )
+    anchors = base.withColumn(
+        "__slate_b", F.pmod(F.col("__b") + 1, F.lit(buckets))
+    )
+    pairs = (
+        anchors.join(F.broadcast(slate), "__slate_b")
+        .where(
+            (F.col("id") != F.col("neg_id")) & (F.col("__h") != F.col("__neg_h"))
+        )
+        .select("id", "neg_id")
+    )
+    if exclude_pairs is not None:
+        ex = exclude_pairs.select(
+            F.col(id_a).alias("id"), F.col(id_b).alias("neg_id")
+        )
+        ex = ex.unionByName(
+            ex.select(F.col("neg_id").alias("id"), F.col("id").alias("neg_id"))
+        )
+        pairs = pairs.join(ex, ["id", "neg_id"], "left_anti")
+    return pairs

@@ -817,3 +817,49 @@ def percentile_ranks(
             9,
         ).alias("cume_dist"),
     )
+
+
+def target_encode(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    *,
+    out_col: str = "loo_mean",
+) -> DataFrame:
+    """Leave-one-out target encoding: each row gets the mean of
+    ``value_col`` over all OTHER rows sharing its key — the standard
+    category-feature encoding that avoids self-leakage (a plain
+    per-key mean leaks the row's own label into its feature).
+
+    Contract: rows with a NULL value receive the plain per-key mean
+    (they contribute nothing to leak); a non-null row whose key has no
+    other non-null rows gets NULL (no peer evidence). Appends
+    ``out_col`` to the input rows.
+
+    Exactness: the per-key sum folds in decimal(20,4), so the
+    subtraction (sum - own) is exact and the single final
+    decimal->double cast + division is the only float step — the
+    encoding is bit-identical on any layout/engine (plain double sums
+    are fold-order-dependent; this is the q1/events_hourly decimal
+    discipline).
+
+    Scale shape: one map-side-combined aggregate to a key-table-sized
+    frame + one broadcast-able join back. No window, no shuffle of the
+    fact table beyond the aggregate.
+    """
+    keys = list(key_cols)
+    vdec = F.col(value_col).cast("decimal(20,4)")
+    g = df.groupBy(*keys).agg(
+        F.sum(vdec).alias("__s"), F.count(value_col).alias("__n")
+    )
+    loo = (
+        F.when(
+            F.col(value_col).isNull(),
+            F.col("__s").cast("double") / F.col("__n"),
+        )
+        .when(F.col("__n") == 1, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("__s") - vdec).cast("double") / (F.col("__n") - 1)
+        )
+    )
+    return df.join(g, keys, "left").withColumn(out_col, loo).drop("__s", "__n")

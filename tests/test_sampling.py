@@ -283,3 +283,60 @@ def test_leakage_safe_split_weights_and_determinism(spark):
     assert 0.6 < frac_train < 0.95  # roughly the 80% band
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, weights={"train": 50, "test": 49})
+
+
+def test_negative_pairs_contract(spark):
+    from skylinemapreducehadoop_spark.operators.sampling import negative_pairs
+
+    docs = [(i, "doc number %d words body %d" % (i, i * 7)) for i in range(60)]
+    docs += [(100, docs[0][1])]  # exact dup of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = negative_pairs(df, k=3, buckets=8).collect()
+    pairs = {(r["id"], r["neg_id"]) for r in out}
+    # no self pairs, and never an exact-text twin as a negative
+    assert all(a != b for a, b in pairs)
+    assert (0, 100) not in pairs and (100, 0) not in pairs
+    # deterministic under repartition
+    out2 = {
+        (r["id"], r["neg_id"])
+        for r in negative_pairs(df.repartition(13), k=3, buckets=8).collect()
+    }
+    assert pairs == out2
+    # every anchor present gets at most k negatives
+    from collections import Counter
+
+    per_anchor = Counter(a for a, _ in pairs)
+    assert max(per_anchor.values()) <= 3
+
+
+def test_negative_pairs_excludes_near_dups(spark):
+    from skylinemapreducehadoop_spark.operators.sampling import negative_pairs
+
+    docs = [(i, "unique text %d tail %d" % (i, i)) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {
+        (r["id"], r["neg_id"])
+        for r in negative_pairs(df, k=5, buckets=4).collect()
+    }
+    assert base  # non-vacuous
+    sample = list(base)[:3]
+    ex = spark.createDataFrame(sample, "id_a long, id_b long")
+    got = {
+        (r["id"], r["neg_id"])
+        for r in negative_pairs(df, k=5, buckets=4, exclude_pairs=ex).collect()
+    }
+    for a, b in sample:
+        assert (a, b) not in got and (b, a) not in got
+    assert got == base - {(a, b) for a, b in sample} - {(b, a) for a, b in sample}
+
+
+def test_negative_pairs_validates_params(spark):
+    import pytest as _pytest
+
+    from skylinemapreducehadoop_spark.operators.sampling import negative_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        negative_pairs(df, k=0)
+    with _pytest.raises(ValueError):
+        negative_pairs(df, buckets=1)

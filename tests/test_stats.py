@@ -450,3 +450,40 @@ def test_percentile_ranks_no_global_window_and_matches_reference(spark):
     for r in sql_ref:
         assert got[r["v"]]["percent_rank"] == r["pr"]
         assert got[r["v"]]["cume_dist"] == r["cd"]
+
+
+def test_target_encode_leave_one_out(spark):
+    from skylinemapreducehadoop_spark.operators.stats import target_encode
+
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 20.0),
+        (3, "a", 30.0),
+        (4, "b", 5.0),
+        (5, "b", None),  # NULL value -> plain mean of b's non-nulls
+        (6, "c", 7.0),  # peerless -> NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = {
+        r["id"]: r["enc"]
+        for r in target_encode(df, ["k"], "v", out_col="enc").collect()
+    }
+    assert got[1] == 25.0  # (20+30)/2
+    assert got[2] == 20.0  # (10+30)/2
+    assert got[3] == 15.0  # (10+20)/2
+    assert got[4] is None  # only non-null in b
+    assert got[5] == 5.0  # plain mean of b
+    assert got[6] is None  # peerless
+
+
+def test_target_encode_layout_independent(spark):
+    from skylinemapreducehadoop_spark.operators.stats import target_encode
+
+    rows = [(i, "k%d" % (i % 3), float(i) * 0.1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    a = {r["id"]: r["loo_mean"] for r in target_encode(df, ["k"], "v").collect()}
+    b = {
+        r["id"]: r["loo_mean"]
+        for r in target_encode(df.repartition(17), ["k"], "v").collect()
+    }
+    assert a == b  # decimal fold => bit-identical on any layout
