@@ -931,6 +931,52 @@ def _target_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-dimension feature-health profile of the embedding store;
+    # all aggregates fold over 1e-6-quantized integers (exact on any
+    # layout/engine)
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb)
+
+
+def _gram_matrix_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact one-pass Gram matrix (upper triangle) — the PCA/whitening
+    # sufficient statistic; pair terms generated in-plan from each
+    # row's own array, partial-aggregated before the only shuffle
+    from skylinemapreducehadoop_spark.operators.similarity import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb)
+
+
+def _vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps-law vocabulary growth at 10 corpus prefixes in ONE scan:
+    # a token is in prefix k iff its min doc_id is, so first-seen +
+    # a 10-row cumulative sum replaces 10 re-scans
+    from skylinemapreducehadoop_spark.functions.text import vocab_growth
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth(docs, checkpoints=10)
+
+
+def _attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # last-touch attribution: one running ignorenulls window per user
+    # (the sessionize partitioning), no self-join; lag computed as an
+    # exact integer micros diff then one division
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        last_touch_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        ev, conversion="purchase", touches=("click", "view"), max_lag="7 days"
+    )
+
+
 def _containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length-asymmetric near-dup screen: k-gram CONTAINMENT
     # |A∩B|/min(|A|,|B|) >= 0.8 — catches a short doc pasted inside a
@@ -3479,6 +3525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split_documents": _leakage_safe_split_documents,
         "negative_pairs_documents": _negative_pairs_documents,
         "target_encode_events": _target_encode_events,
+        "embedding_dim_stats": _embedding_dim_stats,
+        "gram_matrix_embeddings": _gram_matrix_embeddings,
+        "vocab_growth_documents": _vocab_growth_documents,
+        "attribution_events": _attribution_events,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4816,6 +4866,83 @@ SELECT e.event_id, e.event_type,
             ELSE CAST(g.s - CAST(e.value AS DECIMAL(20,4)) AS DOUBLE) / (g.n - 1)
        END AS loo_mean
 FROM events e LEFT JOIN g ON e.event_type = g.event_type
+""",
+        "embedding_dim_stats": """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS vq
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT dim, count(*) AS n,
+       round(CAST(sum(vq) AS DOUBLE) / 1000000.0 / count(*), 9) AS mean,
+       round(sqrt(greatest(
+         CAST(sum(vq::HUGEINT * vq) AS DOUBLE) / (1000000.0 * 1000000.0) / count(*)
+         - pow(CAST(sum(vq) AS DOUBLE) / 1000000.0 / count(*), 2), 0.0)), 9) AS std,
+       CAST(min(vq) AS DOUBLE) / 1000000.0 AS vmin,
+       CAST(max(vq) AS DOUBLE) / 1000000.0 AS vmax
+FROM u GROUP BY dim
+""",
+        "gram_matrix_embeddings": """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS vq
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT a.i AS i, b.i AS j,
+       round(CAST(sum(a.vq::HUGEINT * b.vq) AS DOUBLE)
+             / (1000000.0 * 1000000.0), 6) AS gram
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+""",
+        "vocab_growth_documents": """
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+tk AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+fs AS (SELECT tok, min(doc_id) AS f FROM tk GROUP BY tok),
+vb AS (
+  SELECT greatest((f * 10 + m - 1) // m, 1) AS k, count(*) AS nv
+  FROM fs, mx GROUP BY 1
+),
+dc AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id),
+db AS (
+  SELECT greatest((doc_id * 10 + m - 1) // m, 1) AS k,
+         count(*) AS nd, sum(nt) AS ntk
+  FROM dc, mx GROUP BY 1
+),
+ks AS (SELECT r.k AS k, (m * r.k) // 10 AS cutoff_id
+       FROM mx, generate_series(1, 10) r(k))
+SELECT ks.k AS k, ks.cutoff_id,
+       sum(coalesce(db.nd, 0)) OVER w AS n_docs,
+       sum(coalesce(db.ntk, 0)) OVER w AS n_tokens,
+       sum(coalesce(vb.nv, 0)) OVER w AS n_vocab
+FROM ks LEFT JOIN vb ON vb.k = ks.k LEFT JOIN db ON db.k = ks.k
+WINDOW w AS (ORDER BY ks.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY k
+""",
+        "attribution_events": """
+WITH m AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN struct_pack(ts := ts, id := event_id) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN keep THEN lt.id END AS touch_event_id,
+       CASE WHEN keep THEN lt.ts END AS touch_ts,
+       CASE WHEN keep THEN round((epoch_us(ts) - epoch_us(lt.ts)) / 1000000.0, 6)
+            END AS lag_seconds
+FROM (
+  SELECT *, lt IS NOT NULL
+            AND lt.ts >= ts - INTERVAL 7 DAY AS keep
+  FROM m WHERE event_type = 'purchase'
+)
 """,
         "containment_pairs_documents": """
 WITH toks AS (

@@ -1183,3 +1183,84 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoints: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: at each of ``checkpoints``
+    corpus prefixes — prefix k is all docs with ``id <= floor(max_id *
+    k / checkpoints)`` — report how many docs/tokens the prefix holds
+    and how many DISTINCT tokens have appeared. Plotting n_vocab vs
+    n_tokens on log-log gives the Heaps exponent; a flattening curve
+    is the standard "corpus is saturating / duplicated" diagnostic
+    that complements zipf_fit.
+
+    The trick that makes this one pass instead of ``checkpoints``
+    scans: a token is in prefix k iff its FIRST occurrence (min doc
+    id) is, so ``min(id) per token`` + mapping each first-seen id to
+    its earliest checkpoint + a cumulative sum over the
+    ``checkpoints``-row frame reproduces every prefix's distinct
+    count without ever re-scanning the corpus. Same for doc/token
+    totals via per-doc counts. The only wide ops are the token
+    min-aggregate (tokens shuffle once, map-side combined) and two
+    windows over <= ``checkpoints`` rows (bounded frames, the
+    limit-frame exemption). Returns (k, cutoff_id, n_docs, n_tokens,
+    n_vocab) sorted by k.
+    """
+    if checkpoints < 1:
+        raise ValueError("need checkpoints >= 1")
+    k_lit = F.lit(checkpoints).cast("long")
+    mx = df.agg(F.max(id_col).alias("__mx"))
+
+    # earliest checkpoint containing id: ceil(k*id / max) in pure
+    # integer arithmetic ((a + b - 1) div b), clamped to 1 — exact on
+    # any engine, no float boundary cases
+    def _ck(idc):
+        a = idc.cast("long") * k_lit + F.col("__mx") - F.lit(1)
+        exact_div = (a - F.pmod(a, F.col("__mx"))) / F.col("__mx")
+        return F.greatest(exact_div, F.lit(1)).cast("int")
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).where(F.col("__tok") != "")
+    first_seen = toks.groupBy("__tok").agg(F.min("__id").alias("__fs"))
+    vocab_by_k = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .groupBy(_ck(F.col("__fs")).alias("k"))
+        .agg(F.count("*").alias("__nv"))
+    )
+    docs_by_k = (
+        toks.groupBy("__id")
+        .agg(F.count("*").alias("__nt"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(_ck(F.col("__id")).alias("k"))
+        .agg(F.count("*").alias("__nd"), F.sum("__nt").alias("__ntk"))
+    )
+    ks = mx.select(
+        F.explode(F.sequence(F.lit(1), F.lit(checkpoints))).alias("k"), "__mx"
+    )
+    cut = F.col("__mx") * F.col("k")
+    ks = ks.select(
+        "k", ((cut - F.pmod(cut, k_lit)) / k_lit).cast("long").alias("cutoff_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ks.join(vocab_by_k, "k", "left")
+        .join(docs_by_k, "k", "left")
+        .select(
+            "k",
+            "cutoff_id",
+            F.sum(F.coalesce("__nd", F.lit(0))).over(w).alias("n_docs"),
+            F.sum(F.coalesce("__ntk", F.lit(0))).over(w).alias("n_tokens"),
+            F.sum(F.coalesce("__nv", F.lit(0))).over(w).alias("n_vocab"),
+        )
+        .orderBy("k")
+    )

@@ -508,3 +508,66 @@ def seasonal_anomalies(
         "dow_total",
         anomaly.alias("anomaly"),
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+    touches: Sequence[str] = ("click", "view"),
+    max_lag: str | None = None,
+) -> DataFrame:
+    """Last-touch marketing attribution: for every conversion event,
+    the most recent touch event (by ``touches`` type) from the SAME
+    user strictly before it — the standard "which interaction gets
+    credit" join a funnel pipeline runs after sessionization. Returns
+    (event_id, user_id, ts, touch_event_id, touch_ts, lag_seconds);
+    conversions with no prior touch (or none within ``max_lag``, e.g.
+    ``'7 days'``) keep NULL touch columns.
+
+    Implemented as ONE pass over the per-user event stream: a running
+    ``last(touch, ignorenulls)`` window over (user, ts, id) ordering —
+    no self-join, no per-conversion scan. "Before" means precedes in
+    the total (ts, event_id) order: a touch sharing the conversion's
+    timestamp counts iff its event id is smaller (deterministic tie
+    rule, lag 0), which keeps the one-window plan exact instead of
+    dropping valid earlier touches behind an equal-ts neighbor.
+
+    Scale shape: the single window shuffles each user's events to one
+    task — the sessionize/funnel partitioning, reusable across all
+    three. No UDF; the frame is rows-bounded so state is O(1).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*touches),
+        F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id")),
+    )
+    last_t = F.last(touch, ignorenulls=True).over(w)
+    got = df.withColumn("__lt", last_t).where(F.col(type_col) == conversion)
+    keep = F.col("__lt").isNotNull()
+    # exact integer micros diff, then ONE division — a per-timestamp
+    # double cast would round each epoch separately and can move the
+    # 6th decimal of the difference on 2026-era epochs
+    lag_s = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__lt.ts"))
+    ) / F.lit(1_000_000.0)
+    if max_lag is not None:
+        keep = keep & (
+            F.col("__lt.ts") >= F.col(ts_col) - F.expr(f"INTERVAL {max_lag}")
+        )
+    return got.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.when(keep, F.col("__lt.id")).alias("touch_event_id"),
+        F.when(keep, F.col("__lt.ts")).alias("touch_ts"),
+        F.when(keep, F.round(lag_s, 6)).alias("lag_seconds"),
+    )

@@ -390,3 +390,48 @@ def test_quantized_ranking_recall_is_high(spark):
     approx = [r["vec_id"] for r in cosine_topk(recon, qv, k=10, vec_col="rvec").collect()]
     # int8 error is ~0.4% of range: top-10 should survive nearly intact
     assert len(set(exact) & set(approx)) >= 8
+
+
+def test_embedding_dim_stats_exact(spark):
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        embedding_dim_stats,
+    )
+
+    rows = [
+        (1, [1.0, -2.0]),
+        (2, [3.0, 0.5]),
+        (3, [5.0, 2.5]),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n"] == 3 and got[0]["mean"] == 3.0
+    assert got[0]["vmin"] == 1.0 and got[0]["vmax"] == 5.0
+    import math
+
+    assert abs(got[0]["std"] - math.sqrt(8.0 / 3.0)) < 1e-8
+    assert got[1]["mean"] == round(1.0 / 3.0, 9)
+
+
+def test_gram_matrix_matches_numpy_and_layout(spark):
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.similarity import gram_matrix
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 5).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r["gram"] for r in gram_matrix(df).collect()}
+    G = X.astype(np.float64).T @ X.astype(np.float64)
+    assert len(got) == 15  # upper triangle of 5x5
+    for (i, j), g in got.items():
+        assert i <= j
+        assert abs(g - G[i, j]) < 1e-3  # quantization at 1e-6 per value
+    # exact layout independence (the decimal-fold contract)
+    got2 = {
+        (r["i"], r["j"]): r["gram"]
+        for r in gram_matrix(df.repartition(11)).collect()
+    }
+    assert got == got2

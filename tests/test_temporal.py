@@ -402,3 +402,63 @@ def test_seasonal_anomalies_weekday_baseline(spark):
     # 190, Tuesdays 25
     rows2 = seasonal_anomalies(df).collect()
     assert {r["dow_total"] for r in rows2} == {190, 25}
+
+
+def test_last_touch_attribution(spark):
+    import datetime as dt
+
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: click -> view -> purchase (view wins), then purchase
+        # again with no new touch (view still wins)
+        (1, 1, s(0), "click", None, None),
+        (2, 1, s(10), "view", None, None),
+        (3, 1, s(20), "purchase", None, None),
+        (4, 1, s(30), "purchase", None, None),
+        # user 2: purchase with no prior touch
+        (5, 2, s(5), "purchase", None, None),
+        # user 3: touch AFTER the purchase does not count
+        (6, 3, s(50), "purchase", None, None),
+        (7, 3, s(60), "click", None, None),
+        # user 4: equal-ts click with smaller id counts (lag 0)
+        (8, 4, s(70), "click", None, None),
+        (9, 4, s(70), "purchase", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string"
+    )
+    got = {r["event_id"]: r for r in last_touch_attribution(df).collect()}
+    assert set(got) == {3, 4, 5, 6, 9}
+    assert got[3]["touch_event_id"] == 2 and got[3]["lag_seconds"] == 10.0
+    assert got[4]["touch_event_id"] == 2 and got[4]["lag_seconds"] == 20.0
+    assert got[5]["touch_event_id"] is None
+    assert got[6]["touch_event_id"] is None
+    assert got[9]["touch_event_id"] == 8 and got[9]["lag_seconds"] == 0.0
+
+
+def test_last_touch_attribution_max_lag(spark):
+    import datetime as dt
+
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, t0, "click", None, None),
+        (2, 1, t0 + dt.timedelta(hours=3), "purchase", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string"
+    )
+    ok = last_touch_attribution(df, max_lag="4 hours").collect()[0]
+    assert ok["touch_event_id"] == 1
+    cut = last_touch_attribution(df, max_lag="2 hours").collect()[0]
+    assert cut["touch_event_id"] is None and cut["lag_seconds"] is None

@@ -492,3 +492,32 @@ def test_vocab_coverage_oov_and_determinism(spark):
     assert got[4]["oov_tokens"] == 0
     # boundary tie: c(3) vs b(3)? counts: a=4,b=3,c=3,d=1 -> vocab_size 2
     # picks a then b (count desc, token asc beats c) — asserted via doc 1
+
+
+def test_vocab_growth_curve(spark):
+    from skylinemapreducehadoop_spark.functions.text import vocab_growth
+
+    rows = [
+        (1, "a b c"),
+        (2, "a b"),
+        (3, "d"),
+        (4, "a d e f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["k"]: r for r in vocab_growth(df, checkpoints=2).collect()}
+    # cutoffs: k=1 -> 2, k=2 -> 4
+    assert got[1]["cutoff_id"] == 2 and got[2]["cutoff_id"] == 4
+    assert got[1]["n_docs"] == 2 and got[2]["n_docs"] == 4
+    assert got[1]["n_tokens"] == 5 and got[2]["n_tokens"] == 10
+    assert got[1]["n_vocab"] == 3  # {a,b,c}
+    assert got[2]["n_vocab"] == 6  # {a,b,c,d,e,f}
+    # monotone by construction; layout independence
+    got2 = {
+        r["k"]: r["n_vocab"]
+        for r in vocab_growth(df.repartition(5), checkpoints=2).collect()
+    }
+    assert got2 == {k: r["n_vocab"] for k, r in got.items()}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vocab_growth(df, checkpoints=0)
