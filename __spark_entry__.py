@@ -977,6 +977,39 @@ def _attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _covariance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact population covariance (upper triangle) composed in one
+    # plan from pair sums + dim sums; single double division at the
+    # end so any engine reproduces the bytes
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        covariance_matrix,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb)
+
+
+def _skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the pre-salting key-distribution diagnostic on the natural skew
+    # candidate (user_id); top-k via TakeOrdered, never a global sort
+    from skylinemapreducehadoop_spark.operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_k=10)
+
+
+def _props_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-structured surface: numeric field out of the JSON props
+    # column via get_json_object (JVM, in-scan), profiled per
+    # event_type with the exact quantized-fold discipline
+    from skylinemapreducehadoop_spark.functions.semistructured import (
+        json_field_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return json_field_stats(ev, "props", "$.k", group_by=["event_type"])
+
+
 def _containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length-asymmetric near-dup screen: k-gram CONTAINMENT
     # |A∩B|/min(|A|,|B|) >= 0.8 — catches a short doc pasted inside a
@@ -3529,6 +3562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_matrix_embeddings": _gram_matrix_embeddings,
         "vocab_growth_documents": _vocab_growth_documents,
         "attribution_events": _attribution_events,
+        "covariance_embeddings": _covariance_embeddings,
+        "skew_report_events": _skew_report_events,
+        "props_stats_events": _props_stats_events,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4922,6 +4958,62 @@ SELECT ks.k AS k, ks.cutoff_id,
 FROM ks LEFT JOIN vb ON vb.k = ks.k LEFT JOIN db ON db.k = ks.k
 WINDOW w AS (ORDER BY ks.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY k
+""",
+        "covariance_embeddings": """
+WITH u AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding)::DOUBLE * 1000000) AS BIGINT) AS vq
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.vq::HUGEINT * b.vq) AS pp, count(*) AS n
+  FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2
+),
+s AS (SELECT i, sum(vq) AS sv FROM u GROUP BY i)
+SELECT p.i AS i, p.j AS j,
+       round(CAST(p.n::HUGEINT * p.pp - si.sv::HUGEINT * sj.sv AS DOUBLE)
+             / (CAST(p.n AS DOUBLE) * p.n * 1000000.0 * 1000000.0), 9) AS cov
+FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+""",
+        "skew_report_events": """
+WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(sum(c) AS BIGINT) AS nrows, count(*) AS nkeys, max(c) AS mx,
+         sum(c::HUGEINT * c) AS c2,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single
+  FROM c
+),
+t AS (
+  SELECT CAST(sum(c) AS BIGINT) AS topc FROM (
+    SELECT c FROM c ORDER BY c DESC, user_id NULLS FIRST LIMIT 10)
+)
+SELECT nrows AS n_rows, nkeys AS n_keys, mx AS max_count,
+       round(CAST(mx AS DOUBLE) / CAST(nrows AS DOUBLE), 9) AS max_share,
+       topc AS topk_count,
+       round(CAST(topc AS DOUBLE) / CAST(nrows AS DOUBLE), 9) AS topk_share,
+       single AS singleton_keys,
+       round(CAST(nrows AS DOUBLE) / CAST(nkeys AS DOUBLE), 9) AS avg_count,
+       round(sqrt(greatest(
+           CAST(c2 AS DOUBLE) / CAST(nkeys AS DOUBLE)
+           - pow(CAST(nrows AS DOUBLE) / CAST(nkeys AS DOUBLE), 2), 0.0))
+         / (CAST(nrows AS DOUBLE) / CAST(nkeys AS DOUBLE)), 9) AS count_cv
+FROM m, t
+""",
+        "props_stats_events": """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                    * 10000) AS BIGINT) AS vq
+  FROM events
+)
+SELECT event_type, count(*) AS n_rows, count(vq) AS n_present,
+       count(DISTINCT vq) AS n_distinct,
+       CAST(sum(vq) AS DOUBLE) / 10000.0 AS sum,
+       round(CAST(sum(vq) AS DOUBLE) / 10000.0
+             / CAST(count(vq) AS DOUBLE), 9) AS mean,
+       CAST(min(vq) AS DOUBLE) / 10000.0 AS vmin,
+       CAST(max(vq) AS DOUBLE) / 10000.0 AS vmax
+FROM v GROUP BY event_type
 """,
         "attribution_events": """
 WITH m AS (

@@ -876,3 +876,58 @@ def gram_matrix(
         ex.groupBy("i", "j")
         .agg(F.round(s.cast("double") / (q * q), 6).alias("gram"))
     )
+
+
+def covariance_matrix(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Exact population covariance matrix (upper triangle) of an
+    ``array<float>`` column: ``cov[i,j] = E[v_i v_j] - E[v_i] E[v_j]``
+    over the 1/quant-quantized values — the whitening/PCA input,
+    composed IN ONE PLAN from the same sufficient statistics as
+    ``gram_matrix`` + ``embedding_dim_stats``.
+
+    Exactness: with n rows, pair sums p_ij and dim sums s_i (all
+    exact integers/decimals), ``cov = (n*p_ij - s_i*s_j) / (n^2 *
+    quant^2)`` — an exact decimal numerator and ONE double division,
+    so the result is bit-identical on any layout/engine; rounded to
+    9 digits.
+
+    Scale shape: the pair expansion partial-aggregates to <= dim^2/2
+    rows per partition before its shuffle (see ``gram_matrix``); the
+    dim-sums frame is dim rows, broadcast into the pair frame twice.
+    """
+    q = F.lit(quant).cast("double")
+    qvec = F.transform(
+        F.col(vec_col), lambda v: F.round(v.cast("double") * q).cast("long")
+    )
+    base = df.where(F.col(vec_col).isNotNull())
+    pairs = (
+        base.select(F.posexplode(qvec).alias("i", "__vi"), qvec.alias("__qv"))
+        .select("i", "__vi", F.posexplode("__qv").alias("j", "__vj"))
+        .where(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("__vi") * F.col("__vj")).cast("decimal(38,0)")).alias(
+                "__p"
+            ),
+            F.count("*").alias("__n"),
+        )
+    )
+    sums = (
+        base.select(F.posexplode(qvec).alias("i", "__v"))
+        .groupBy("i")
+        .agg(F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"))
+    )
+    sj = sums.select(F.col("i").alias("j"), F.col("__s").alias("__sj"))
+    n = F.col("__n").cast("decimal(38,0)")
+    num = (n * F.col("__p") - F.col("__s") * F.col("__sj")).cast("double")
+    den = F.col("__n").cast("double") * F.col("__n").cast("double") * q * q
+    return (
+        pairs.join(F.broadcast(sums), "i")
+        .join(F.broadcast(sj), "j")
+        .select("i", "j", F.round(num / den, 9).alias("cov"))
+    )

@@ -105,3 +105,65 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return salted_left.join(replicated_right, [*on, _SALT], how).drop(_SALT)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_k: int = 10,
+) -> DataFrame:
+    """One-row key-distribution diagnostic — the report you run BEFORE
+    choosing a partitioning/salting strategy for a join or aggregate
+    on ``key_col``: how many keys, how concentrated (max and top-k
+    share of rows), how long the singleton tail, and the coefficient
+    of variation of per-key counts (cv=0 is perfectly uniform; a big
+    cv with a big max_share is the salting trigger). NULL keys count
+    as a key of their own (they hash to one partition too — that is
+    exactly the skew a report must not hide).
+
+    Columns: n_rows, n_keys, max_count, max_share, topk_count,
+    topk_share, singleton_keys, avg_count, count_cv. All counts are
+    exact; each ratio is one double division (layout/engine-exact),
+    rounded to 9.
+
+    Scale shape: per-key counts are one map-side-combined aggregate;
+    the count-of-counts moments reduce that frame to one row; top-k
+    is a TakeOrdered (never a global sort or single-partition
+    window). The two 1-row frames meet in a broadcast scalar join.
+    """
+    counts = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count("*").alias("__c")
+    )
+    moments = counts.agg(
+        F.sum("__c").alias("__rows"),
+        F.count("*").alias("__keys"),
+        F.max("__c").alias("__mx"),
+        F.sum((F.col("__c") * F.col("__c")).cast("decimal(38,0)")).alias(
+            "__c2"
+        ),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__single"),
+    )
+    top = (
+        counts.orderBy(F.col("__c").desc(), F.col("__k"))
+        .limit(top_k)
+        .agg(F.sum("__c").alias("__topc"))
+    )
+    rows_d = F.col("__rows").cast("double")
+    keys_d = F.col("__keys").cast("double")
+    mean_c = rows_d / keys_d
+    var_c = F.col("__c2").cast("double") / keys_d - (rows_d / keys_d) ** 2
+    cv = F.sqrt(F.greatest(var_c, F.lit(0.0))) / (rows_d / keys_d)
+    return moments.crossJoin(F.broadcast(top)).select(
+        F.col("__rows").alias("n_rows"),
+        F.col("__keys").alias("n_keys"),
+        F.col("__mx").alias("max_count"),
+        F.round(F.col("__mx").cast("double") / rows_d, 9).alias("max_share"),
+        F.col("__topc").alias("topk_count"),
+        F.round(F.col("__topc").cast("double") / rows_d, 9).alias(
+            "topk_share"
+        ),
+        F.col("__single").alias("singleton_keys"),
+        F.round(mean_c, 9).alias("avg_count"),
+        F.round(cv, 9).alias("count_cv"),
+    )

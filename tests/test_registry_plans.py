@@ -101,6 +101,7 @@ BNLJ_OK = {
     "distribution_drift_orders",  # 1-row (total_base, total_cur) frame
     "mutual_information_events",  # 1-row (N, n_cells) total frame
     "vocab_growth_documents",  # 1-row max-doc-id checkpoint frame
+    "skew_report_events",  # 1-row moments x 1-row top-k scalar join
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the
     # minhash/setsim sublinear paths — see COVERAGE.md); its nested

@@ -435,3 +435,26 @@ def test_gram_matrix_matches_numpy_and_layout(spark):
         for r in gram_matrix(df.repartition(11)).collect()
     }
     assert got == got2
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        covariance_matrix,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(60, 4).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance_matrix(df).collect()}
+    C = np.cov(X.astype(np.float64).T, bias=True)
+    assert len(got) == 10
+    for (i, j), c in got.items():
+        assert abs(c - C[i, j]) < 1e-3
+    got2 = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(df.repartition(7)).collect()
+    }
+    assert got == got2  # exact decimal numerator => layout-exact

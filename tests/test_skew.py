@@ -83,3 +83,35 @@ def test_salted_agg_fans_out_hot_key(skewed):
     n_groups = stage1.count()
     n_keys = skewed.select("k").distinct().count()
     assert n_groups > n_keys
+
+
+def test_skew_report_exact(spark):
+    from skylinemapreducehadoop_spark.operators.skew import skew_report
+
+    rows = (
+        [(i, "hot") for i in range(90)]
+        + [(100 + i, "warm") for i in range(8)]
+        + [(200, "c1"), (201, None)]
+    )
+    df = spark.createDataFrame(rows, "id long, k string")
+    r = skew_report(df, "k", top_k=2).collect()[0]
+    assert r["n_rows"] == 100 and r["n_keys"] == 4
+    assert r["max_count"] == 90 and r["max_share"] == 0.9
+    assert r["topk_count"] == 98 and r["topk_share"] == 0.98
+    assert r["singleton_keys"] == 2  # c1 and the NULL key
+    assert r["avg_count"] == 25.0
+    import math
+
+    ex_c2 = (90 * 90 + 64 + 1 + 1) / 4.0
+    cv = math.sqrt(ex_c2 - 625.0) / 25.0
+    assert abs(r["count_cv"] - cv) < 1e-8
+
+
+def test_skew_report_uniform_cv_zero(spark):
+    from skylinemapreducehadoop_spark.operators.skew import skew_report
+
+    rows = [(i, "k%d" % (i % 5)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    r = skew_report(df, "k").collect()[0]
+    assert r["count_cv"] == 0.0 and r["max_share"] == 0.2
+    assert r["topk_count"] == 50  # top_k=10 > n_keys sums everything
