@@ -1010,6 +1010,211 @@ def _props_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_field_stats(ev, "props", "$.k", group_by=["event_type"])
 
 
+def _cm_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable FREQUENCY-sketch columns, the count-min sibling of
+    # kmv_rollup_check: per-(type, day) CM sketches fold into per-type
+    # totals (CM is linear) and answer point queries without rescanning
+    # facts. Buckets are md5-derived (the hash_split cross-engine
+    # contract), so the oracle rebuilds the identical sketch in SQL —
+    # estimates match bit-for-bit INCLUDING collision overcounts, and
+    # the exact count rides along to show the one-sided error
+    from skylinemapreducehadoop_spark.operators.sketches import (
+        cm_merge,
+        cm_query,
+        cm_sketch,
+    )
+
+    W, D = 1024, 4
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    daily = cm_sketch(ev, ["event_type", "day"], "user_id", width=W, depth=D)
+    merged = cm_merge(daily, ["event_type"], width=W, depth=D)
+    probes = (
+        ev.where(F.col("user_id") % 50 == 0)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        probes.join(merged, "event_type")
+        .select(
+            "event_type",
+            "user_id",
+            cm_query("cm", "user_id", width=W, depth=D).alias("est_cnt"),
+            "exact_cnt",
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+def _hist_quantile_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable QUANTILE-sketch columns: per-(month, day) fixed-bin
+    # histograms of the order price fold into per-month arrays; p50/
+    # p90/p99 read off the merged column at bin granularity — monthly
+    # quantiles over a year of facts from ~30 array rows per month,
+    # never a raw rescan. Integer-grid bucketing + integer rank
+    # arithmetic keep every number engine-exact
+    from skylinemapreducehadoop_spark.operators.sketches import (
+        hist_merge,
+        hist_quantile_edge,
+        hist_sketch,
+    )
+
+    BINS, BW = 600, 100_000  # $1000-wide bins over [0, $600k) in cents
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = hist_sketch(
+        orders, ["month", "day"], "cents", lo=0, bin_width=BW, bins=BINS
+    )
+    monthly = hist_merge(daily, ["month"], bins=BINS)
+    return monthly.select(
+        "month",
+        F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "n_orders"
+        ),
+        hist_quantile_edge("hist", 1, 2, lo=0, bin_width=BW).alias("p50_edge"),
+        hist_quantile_edge("hist", 9, 10, lo=0, bin_width=BW).alias("p90_edge"),
+        hist_quantile_edge("hist", 99, 100, lo=0, bin_width=BW).alias("p99_edge"),
+    ).orderBy("month")
+
+
+def _cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # change-point detection on the daily event-volume series: Page's
+    # one-sided CUSUM per event type via its closed form (running sum
+    # minus running min — window-expressible, no recursion), scaled to
+    # exact longs. Top-3 days per type by the statistic = "where did
+    # volume shift upward"
+    from pyspark.sql import Window
+
+    from skylinemapreducehadoop_spark.operators.stats import cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    c = cusum(daily, "event_type", "day", "n_events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("cusum_scaled"), "day")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "day", "n_events", "cusum_scaled")
+        .orderBy("event_type", F.desc("cusum_scaled"), "day")
+    )
+
+
+def _rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFM (recency/frequency/monetary) quintile segmentation — the
+    # classic customer scoring. Each metric's quintile comes from a
+    # GLOBAL row_number via the distributed prefix sum
+    # (stats.global_row_number): a plain ntile() would funnel the whole
+    # key table through one task, the abc_classify scale-killer. Score
+    # = 1 + (rn-1)*5 div N, exact integer arithmetic; N rides along as
+    # a broadcast 1-row frame
+    from skylinemapreducehadoop_spark.operators.stats import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monet_cents"
+        ),
+    )
+    ranked = per
+    for metric, rn in [
+        ("last_order", "r_rn"),
+        ("freq", "f_rn"),
+        ("monet_cents", "m_rn"),
+    ]:
+        ranked = global_row_number(
+            ranked, [F.desc(metric), F.asc("o_custkey")], out_col=rn
+        )
+    n = per.agg(F.count(F.lit(1)).alias("__n"))
+    score = lambda c: (  # noqa: E731 - tiny local expression builder
+        F.lit(1) + F.expr(f"(({c} - 1) * 5) div __n")
+    ).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            score("r_rn").alias("r_score"),
+            score("f_rn").alias("f_score"),
+            score("m_rn").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _skipgram_cooc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skipgram co-occurrence counts (window <= 3 positions ahead) — the
+    # word2vec/GloVe co-occurrence table build. Pairs are generated
+    # INSIDE the token array with nested higher-order transforms
+    # (map-only, zero shuffle before the count aggregate) instead of a
+    # positional self-join; the token array binds to a lambda var once
+    # so the document is tokenized once per row (the ngrams() rule)
+    docs = load_table(spark, sf_dir, "documents")
+
+    def pairs_of(t):
+        return F.flatten(
+            F.transform(
+                t,
+                lambda x, i: F.transform(
+                    F.slice(t, i + 2, 3),
+                    lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+                ),
+            )
+        )
+
+    bound = F.transform(F.array(TX.tokens("text")), pairs_of)[0]
+    return (
+        docs.select(F.explode(bound).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(30)
+    )
+
+
+def _interval_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval-union coverage per user: events open a 300 s activity
+    # window; overlapping windows merge (gaps-and-islands: island
+    # starts where start > running max of prior ends), covered time =
+    # sum of island spans. One per-user ordered window + one aggregate
+    # — no interval self-join. The activity-coverage / uptime shape
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("s")
+    )
+    ev = ev.withColumn("e", F.col("s") + 300)
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "isl",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("e1") - F.col("s0")).alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length-asymmetric near-dup screen: k-gram CONTAINMENT
     # |A∩B|/min(|A|,|B|) >= 0.8 — catches a short doc pasted inside a
@@ -3565,6 +3770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covariance_embeddings": _covariance_embeddings,
         "skew_report_events": _skew_report_events,
         "props_stats_events": _props_stats_events,
+        "cm_rollup_check": _cm_rollup_check,
+        "hist_quantile_rollup_check": _hist_quantile_rollup_check,
+        "cusum_events": _cusum_events,
+        "rfm_segments_customers": _rfm_segments_customers,
+        "skipgram_cooc_documents": _skipgram_cooc_documents,
+        "interval_union_events": _interval_union_events,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -5014,6 +5225,172 @@ SELECT event_type, count(*) AS n_rows, count(vq) AS n_present,
        CAST(min(vq) AS DOUBLE) / 10000.0 AS vmin,
        CAST(max(vq) AS DOUBLE) / 10000.0 AS vmax
 FROM v GROUP BY event_type
+""",
+        "cm_rollup_check": """
+WITH keyed AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type, user_id
+),
+cells AS (
+  SELECT event_type, r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                             || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1024 AS b,
+         sum(cnt) AS c
+  FROM keyed CROSS JOIN (SELECT unnest(range(4)) AS r)
+  GROUP BY event_type, r, b
+),
+probes AS (
+  SELECT event_type, user_id, cnt AS exact_cnt
+  FROM keyed WHERE user_id % 50 = 0
+)
+SELECT p.event_type, p.user_id,
+       CAST(min(c.c) AS BIGINT) AS est_cnt,
+       CAST(p.exact_cnt AS BIGINT) AS exact_cnt
+FROM probes p JOIN cells c
+  ON c.event_type = p.event_type
+ AND c.b = ('0x' || substr(md5(CAST(c.r AS VARCHAR) || '|'
+                               || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1024
+GROUP BY p.event_type, p.user_id, p.exact_cnt
+ORDER BY p.event_type, p.user_id
+""",
+        "hist_quantile_rollup_check": """
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+b AS (
+  SELECT month,
+         least(greatest(cents // 100000, 0), 599) AS bucket,
+         count(*) AS c
+  FROM o GROUP BY month, bucket
+),
+r AS (
+  SELECT month, bucket, c,
+         sum(c) OVER (PARTITION BY month ORDER BY bucket) AS run,
+         sum(c) OVER (PARTITION BY month) AS n
+  FROM b
+),
+q AS (
+  SELECT month, max(n) AS n,
+         min(CASE WHEN run >= (n * 1 + 1) // 2 THEN bucket END) AS b50,
+         min(CASE WHEN run >= (n * 9 + 9) // 10 THEN bucket END) AS b90,
+         min(CASE WHEN run >= (n * 99 + 99) // 100 THEN bucket END) AS b99
+  FROM r GROUP BY month
+)
+SELECT month, CAST(n AS BIGINT) AS n_orders,
+       CAST(b50 * 100000 AS BIGINT) AS p50_edge,
+       CAST(b90 * 100000 AS BIGINT) AS p90_edge,
+       CAST(b99 * 100000 AS BIGINT) AS p99_edge
+FROM q ORDER BY month
+""",
+        "cusum_events": """
+WITH d AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+  FROM events GROUP BY event_type, day
+),
+t AS (
+  SELECT event_type, day, n_events,
+         sum(n_events) OVER (PARTITION BY event_type) AS tot,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+s AS (
+  SELECT event_type, day, n_events,
+         sum(n * n_events - tot)
+           OVER (PARTITION BY event_type ORDER BY day) AS run
+  FROM t
+),
+c AS (
+  SELECT event_type, day, n_events,
+         run - least(min(run) OVER (PARTITION BY event_type ORDER BY day),
+                     0) AS cusum_scaled
+  FROM s
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cusum_scaled DESC, day) AS rnk
+  FROM c
+)
+SELECT event_type, day, CAST(n_events AS BIGINT) AS n_events,
+       CAST(cusum_scaled AS BIGINT) AS cusum_scaled
+FROM rk WHERE rnk <= 3
+ORDER BY event_type, cusum_scaled DESC, day
+""",
+        "rfm_segments_customers": """
+WITH per AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS freq,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monet_cents
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT count(*) AS nn FROM per),
+r AS (
+  SELECT o_custkey,
+         row_number() OVER (ORDER BY last_order DESC, o_custkey) AS r_rn,
+         row_number() OVER (ORDER BY freq DESC, o_custkey) AS f_rn,
+         row_number() OVER (ORDER BY monet_cents DESC, o_custkey) AS m_rn
+  FROM per
+),
+s AS (
+  SELECT CAST(1 + ((r_rn - 1) * 5) // nn AS INT) AS r_score,
+         CAST(1 + ((f_rn - 1) * 5) // nn AS INT) AS f_score,
+         CAST(1 + ((m_rn - 1) * 5) // nn AS INT) AS m_score
+  FROM r CROSS JOIN n
+)
+SELECT r_score, f_score, m_score, count(*) AS n_customers
+FROM s GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+        "skipgram_cooc_documents": """
+WITH tk AS (
+  SELECT doc_id, unnest(range(1, len(t)+1)) AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents)
+),
+pr AS (
+  SELECT a.tok AS w1, b.tok AS w2
+  FROM tk a JOIN tk b
+    ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 3
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+FROM pr GROUP BY w1, w2
+ORDER BY cnt DESC, w1, w2 LIMIT 30
+""",
+        "interval_union_events": """
+WITH iv AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM iv
+),
+f AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END AS new_isl
+  FROM m
+),
+ii AS (
+  SELECT user_id, s, e,
+         sum(new_isl) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS isl
+  FROM f
+),
+pi AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1
+       FROM ii GROUP BY user_id, isl)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(e1 - s0) AS BIGINT) AS covered_s
+FROM pi GROUP BY user_id ORDER BY user_id
 """,
         "attribution_events": """
 WITH m AS (

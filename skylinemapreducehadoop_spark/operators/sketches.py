@@ -193,3 +193,233 @@ def kmv_estimate(sketch_col, *, k: int = 1024):
     return F.when(F.size(c) < k, F.size(c).cast("double")).otherwise(
         F.lit(float(k - 1)) / u_k
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch columns (Cormode & Muthukrishnan, J. Algorithms 2005)
+
+
+def _md5_bucket(col, salt: int, width: int):
+    """Deterministic bucket in [0, width) from md5('{salt}|{value}') —
+    the same cross-engine hash contract as sampling.hash_bucket
+    (DuckDB: ``('0x' || substr(md5(s), 1, 15))::BIGINT % width``), so a
+    sketch built here is reproducible byte-for-byte by the oracle."""
+    s = F.concat_ws("|", F.lit(str(salt)), col.cast("string"))
+    h = F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def _dense_cells(sparse: DataFrame, group_cols: "list[str]", n_cells: int, out_col: str) -> DataFrame:
+    """Assemble per-group (pos, c) sparse cells into one dense long
+    array column. The collect_list state is bounded by n_cells per
+    group (depth*width / bins), never by data volume.
+
+    Construction is O(n_cells) per group: entries sort by pos, each
+    emits its zero-gap run + its own count (array element_at is O(1)),
+    and the tail pads to n_cells — NOT the natural map_from_entries +
+    per-index element_at, whose MapType lookups are linear scans and
+    make assembly O(n_cells * entries)."""
+    zero = F.lit(0).cast("long")
+    agg = sparse.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("__e")
+    )
+    e = F.col("__e")
+    runs = F.transform(
+        e,
+        lambda x, i: F.concat(
+            F.array_repeat(
+                zero,
+                x["pos"]
+                - F.when(i == 0, F.lit(-1)).otherwise(
+                    F.element_at(e, i)["pos"]
+                )
+                - 1,
+            ),
+            F.array(x["c"].cast("long")),
+        ),
+    )
+    tail = F.array_repeat(
+        zero, F.lit(n_cells - 1) - F.element_at(e, -1)["pos"]
+    )
+    return agg.select(
+        *group_cols, F.concat(F.flatten(runs), tail).alias(out_col)
+    )
+
+
+def cm_sketch(
+    df: DataFrame,
+    group_cols: "list[str]",
+    key_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Per-group count-min frequency sketch as a dense ``depth*width``
+    long array column ``cm`` (row r occupies positions [r*width,
+    (r+1)*width)). Like :func:`kmv_sketch`, the sketch is a PLAIN
+    COLUMN: persist it per day, fold with :func:`cm_merge`
+    (elementwise +, CM is linear), probe with :func:`cm_query` —
+    frequency point-queries over a year of 100 TB facts without ever
+    rescanning them. Estimates never undercount; overcount per row is
+    < 2n/width w.p. 1 - (1/2)^depth.
+
+    Execution keeps every stage bounded: (1) one (group, key) combine
+    — the only shuffle that sees keys, with map-side partial counts;
+    (2) keys explode into depth (row, bucket) cells and combine down
+    to <= depth*width cells per group; (3) dense assembly per group
+    (collect_list bounded by depth*width). Buckets are md5-derived
+    (see :func:`_md5_bucket`) so an external system — or the DuckDB
+    oracle — can reproduce the sketch exactly.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2 and depth >= 1")
+    keyed = (
+        df.where(F.col(key_col).isNotNull())
+        .groupBy(*group_cols, F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    cells = (
+        keyed.select(
+            *group_cols,
+            F.explode(
+                F.array(
+                    *[
+                        (F.lit(r * width) + _md5_bucket(F.col("__k"), r, width)).cast(
+                            "int"
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("pos"),
+            F.col("__cnt"),
+        )
+        .groupBy(*group_cols, "pos")
+        .agg(F.sum("__cnt").alias("c"))
+    )
+    return _dense_cells(cells, group_cols, depth * width, "cm")
+
+
+def cm_merge(
+    df: DataFrame,
+    group_cols: "list[str]",
+    *,
+    sketch_col: str = "cm",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Fold CM sketches upward (day -> month -> total): elementwise
+    sum. Sketches explode to (pos, c) cells and combine — partial
+    aggregation applies, and no executor ever holds more than one
+    group's cell set (<= depth*width rows), unlike a collect_list-
+    of-arrays fold whose state grows with the number of days."""
+    cells = (
+        df.select(
+            *group_cols, F.posexplode(F.col(sketch_col)).alias("pos0", "v")
+        )
+        .groupBy(*group_cols, F.col("pos0").alias("pos"))
+        .agg(F.sum("v").alias("c"))
+    )
+    return _dense_cells(cells, group_cols, depth * width, sketch_col)
+
+
+def cm_query(sketch_col, key_col, *, width: int = 1024, depth: int = 4):
+    """Frequency point-estimate column: min over the depth rows of the
+    key's cell. Pure JVM expression — probing N keys against a joined
+    sketch column is one codegen'd projection."""
+    c = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.least(
+        *[
+            F.element_at(
+                c, (F.lit(r * width) + _md5_bucket(k, r, width) + 1).cast("int")
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-bin histogram columns (quantile rollup without raw rescans)
+
+
+def hist_sketch(
+    df: DataFrame,
+    group_cols: "list[str]",
+    value_col: str,
+    *,
+    lo: int,
+    bin_width: int,
+    bins: int,
+) -> DataFrame:
+    """Per-group equi-width histogram of an integer-valued column as a
+    dense long array ``hist`` (bucket = clamp((v - lo) div bin_width,
+    0, bins-1); integer division, so the bucketing is bit-exact on any
+    engine). Mergeable by elementwise + (:func:`hist_merge`);
+    :func:`hist_quantile_edge` answers quantile queries from the
+    merged column at bin granularity. The day->month->total fold is
+    the maintained-rollup pattern: quantiles over a year of facts from
+    365 array rows, never a raw rescan."""
+    if bins < 1 or bin_width < 1:
+        raise ValueError("need bins >= 1 and bin_width >= 1")
+    v = F.col(value_col).cast("long")
+    bucket = F.least(
+        F.greatest(
+            F.expr(f"({value_col} - {lo}) div {bin_width}").cast("int"), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    )
+    cells = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, bucket.alias("pos"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _dense_cells(cells, group_cols, bins, "hist")
+
+
+def hist_merge(
+    df: DataFrame,
+    group_cols: "list[str]",
+    *,
+    sketch_col: str = "hist",
+    bins: int = 128,
+) -> DataFrame:
+    """Elementwise-sum fold of histogram columns (same cell-explode
+    shape as :func:`cm_merge`)."""
+    cells = (
+        df.select(*group_cols, F.posexplode(F.col(sketch_col)).alias("pos0", "v"))
+        .groupBy(*group_cols, F.col("pos0").alias("pos"))
+        .agg(F.sum("v").alias("c"))
+    )
+    return _dense_cells(cells, group_cols, bins, sketch_col)
+
+
+def hist_quantile_edge(
+    sketch_col, q_num: int, q_den: int, *, lo: int, bin_width: int
+):
+    """Lower edge of the bucket holding the q-quantile (q = q_num/q_den,
+    rank = ceil(q * n) in integer arithmetic — no floating point
+    anywhere, so engine-reproducible): the first bucket whose running
+    count reaches the rank. One array fold, pure JVM."""
+    h = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+    # ceil(q*n) = (n*q_num + q_den-1) div q_den; the double quotient is
+    # correctly rounded and q_den >= 2 keeps true quotients > 1/q_den
+    # away from integer boundaries, so the truncating cast IS floor
+    target = ((total * q_num + (q_den - 1)) / q_den).cast("long")
+    found = F.aggregate(
+        h,
+        F.struct(
+            F.lit(0).cast("long").alias("run"),
+            F.lit(-1).alias("idx"),
+            F.lit(0).alias("pos"),
+        ),
+        lambda s, x: F.struct(
+            (s["run"] + x).alias("run"),
+            F.when(s["idx"] >= 0, s["idx"])
+            .when(s["run"] + x >= target, s["pos"])
+            .otherwise(F.lit(-1))
+            .alias("idx"),
+            (s["pos"] + 1).alias("pos"),
+        ),
+    )["idx"]
+    return (F.lit(lo) + found.cast("long") * F.lit(bin_width)).alias("edge")

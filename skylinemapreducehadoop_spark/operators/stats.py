@@ -863,3 +863,109 @@ def target_encode(
         )
     )
     return df.join(g, keys, "left").withColumn(out_col, loo).drop("__s", "__n")
+
+
+def cusum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "cusum_scaled",
+) -> DataFrame:
+    """One-sided CUSUM change-point statistic per group, in EXACT
+    integer arithmetic (Page 1954 — the classic sequential drift
+    detector, e.g. "did this event type's daily volume shift upward,
+    and when?").
+
+    The textbook recursion C_t = max(0, C_{t-1} + x_t - k) with drift
+    reference k = mean(x) is not window-expressible, but its closed
+    form is: C_t = S_t - min_{0<=i<=t} S_i with S_t = sum_{i<=t}
+    (x_i - k) and S_0 = 0. Scaling by n (the group's row count) clears
+    the division in k = total/n, so every term n*x_i - total is a
+    long and the statistic ``out_col`` = n * C_t is exact — identical
+    on any engine, no float fold anywhere.
+
+    Requires an integer-valued ``value_col`` (counts). Appends
+    ``out_col`` (and keeps all input columns); C_t in value units is
+    out_col / n, and a standard alarm rule is out_col > h * total
+    (i.e. C_t > h * mean) for a chosen h.
+
+    Scale shape: two window passes over the same (group, order)
+    partitioning — one Exchange + one Sort feed all four window
+    expressions; no self-join, no collect. Group cardinality bounds
+    per-task state at one partition's rows, as any ordered per-key
+    scan must.
+    """
+    grp = Window.partitionBy(group_col)
+    seq = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col(value_col).cast("long")
+    with_tot = df.withColumn("__tot", F.sum(x).over(grp)).withColumn(
+        "__n", F.count(F.lit(1)).over(grp)
+    )
+    run = F.sum(F.col("__n") * x - F.col("__tot")).over(seq)
+    stepped = with_tot.withColumn("__run", run)
+    low = F.least(F.min("__run").over(seq), F.lit(0).cast("long"))
+    return (
+        stepped.withColumn(out_col, F.col("__run") - low)
+        .withColumn("n_periods", F.col("__n"))
+        .withColumn("total", F.col("__tot"))
+        .drop("__tot", "__n", "__run")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence,
+    *,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number()`` over a total order WITHOUT a
+    single-partition window — the reusable form of the distributed
+    prefix sum behind ``abc_classify`` / ``percentile_ranks``, for any
+    transform that needs a global position (ntile-style scoring,
+    deterministic id assignment, pagination cuts).
+
+    ``order_cols`` must be a deterministic TOTAL order (include a
+    unique tie-break column); pass Column expressions (``F.desc(c)`` /
+    ``F.asc(c)``). Appends ``out_col`` (1-based long).
+
+    Shape: range partition on the order, per-partition local
+    ``row_number`` under a ``partitionBy(partition_id)`` window, a
+    #partitions-row count collect (config-bounded, never data-bounded),
+    broadcast-added offsets. The frame is ``localCheckpoint``-pinned so
+    the offsets and the final pass see identical range boundaries.
+    """
+    cols = list(order_cols)
+    if not cols:
+        raise ValueError("order_cols must be non-empty")
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*cols)
+    local = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(local_w))
+        .localCheckpoint()
+    )
+    pstats = sorted(
+        local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, cum = [], 0
+    for r in pstats:
+        offsets.append((r["__pid"], cum))
+        cum += int(r["__c"])
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )

@@ -102,6 +102,7 @@ BNLJ_OK = {
     "mutual_information_events",  # 1-row (N, n_cells) total frame
     "vocab_growth_documents",  # 1-row max-doc-id checkpoint frame
     "skew_report_events",  # 1-row moments x 1-row top-k scalar join
+    "rfm_segments_customers",  # 1-row customer-count (N) frame
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the
     # minhash/setsim sublinear paths — see COVERAGE.md); its nested

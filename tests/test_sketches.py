@@ -235,3 +235,109 @@ def test_kmv_guards_and_nulls(spark):
     assert len(out["kmv"]) == 1  # NULLs never hash in; dups collapse
     with pytest.raises(ValueError):
         kmv_sketch(df, ["g"], "u", k=1)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch columns
+
+
+def test_cm_never_undercounts_and_mostly_exact(spark):
+    from skylinemapreducehadoop_spark.operators.sketches import (
+        cm_merge,
+        cm_query,
+        cm_sketch,
+    )
+
+    rows = [("g", f"k{i % 37}") for i in range(1000)] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "grp string, k string")
+    sk = cm_sketch(df, ["grp"], "k", width=256, depth=4)
+    est = {
+        r["k"]: r["e"]
+        for r in df.where(F.col("k").isNotNull())
+        .select("k")
+        .distinct()
+        .crossJoin(sk.drop("grp"))
+        .select("k", cm_query("cm", "k", width=256, depth=4).alias("e"))
+        .collect()
+    }
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["k"] is not None
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, (k, est[k], n)
+    # 37 keys into 256 buckets x 4 rows: expect near-universal exactness
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits >= 30
+
+    # merge linearity: sketch(A) + sketch(B) == sketch(A u B)
+    a = df.where(F.crc32("k") % 2 == 0)
+    b = df.where((F.crc32("k") % 2 == 1) | F.col("k").isNull())
+    parts = cm_sketch(a, ["grp"], "k", width=256, depth=4).unionAll(
+        cm_sketch(b, ["grp"], "k", width=256, depth=4)
+    )
+    merged = cm_merge(parts, ["grp"], width=256, depth=4)
+    assert merged.collect()[0]["cm"] == sk.collect()[0]["cm"]
+
+
+def test_cm_dense_array_shape_and_guards(spark):
+    import pytest
+
+    from skylinemapreducehadoop_spark.operators.sketches import cm_sketch
+
+    df = spark.createDataFrame([("g", "x")], "grp string, k string")
+    out = cm_sketch(df, ["grp"], "k", width=32, depth=3).collect()[0]["cm"]
+    assert len(out) == 96 and sum(out) == 3 and min(out) == 0
+    with pytest.raises(ValueError):
+        cm_sketch(df, ["grp"], "k", width=1, depth=2)
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram columns
+
+
+def test_hist_quantile_matches_exact_percentile_on_grid(spark):
+    from skylinemapreducehadoop_spark.operators.sketches import (
+        hist_merge,
+        hist_quantile_edge,
+        hist_sketch,
+    )
+
+    # values 0..999 in two day-halves; bin width 10 over [0, 1000)
+    rows = [("d1", v) for v in range(500)] + [("d2", v) for v in range(500, 1000)]
+    df = spark.createDataFrame(rows, "day string, v long").withColumn(
+        "g", F.lit("all")
+    )
+    daily = hist_sketch(df, ["g", "day"], "v", lo=0, bin_width=10, bins=100)
+    total = hist_merge(daily, ["g"], bins=100)
+    got = total.select(
+        hist_quantile_edge("hist", 1, 2, lo=0, bin_width=10).alias("p50"),
+        hist_quantile_edge("hist", 9, 10, lo=0, bin_width=10).alias("p90"),
+        F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x).alias("n"),
+    ).collect()[0]
+    # rank ceil(0.5*1000)=500 -> value 499 -> bin 49 -> edge 490
+    assert got["p50"] == 490 and got["p90"] == 890 and got["n"] == 1000
+
+
+def test_hist_clamps_out_of_range_and_empty_bins(spark):
+    from skylinemapreducehadoop_spark.operators.sketches import (
+        hist_quantile_edge,
+        hist_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", -50), ("g", 5), ("g", 995), ("g", 10_000), ("g", None)],
+        "g string, v long",
+    )
+    out = hist_sketch(df, ["g"], "v", lo=0, bin_width=100, bins=10)
+    hist = out.collect()[0]["hist"]
+    assert len(hist) == 10
+    assert hist[0] == 2  # -50 clamps into bin 0 alongside 5
+    assert hist[9] == 2  # 995 natural + 10000 clamped; NULL dropped
+    assert sum(hist) == 4
+    edge = out.select(
+        hist_quantile_edge("hist", 1, 1, lo=0, bin_width=100).alias("e")
+    ).collect()[0]["e"]
+    assert edge == 900  # p100 lands in the last bin

@@ -487,3 +487,46 @@ def test_target_encode_layout_independent(spark):
         for r in target_encode(df.repartition(17), ["k"], "v").collect()
     }
     assert a == b  # decimal fold => bit-identical on any layout
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    # the closed form S_t - min(0, min S_i) must equal the literal
+    # Page recursion C_t = max(0, C_{t-1} + x_t - k), scaled by n
+    from skylinemapreducehadoop_spark.operators.stats import cusum
+
+    series = {"a": [5, 5, 5, 20, 25, 5], "b": [3, 3, 3, 3]}
+    rows = [
+        (g, f"d{i:02d}", x) for g, xs in series.items() for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "g string, day string, x long")
+    got = {
+        (r["g"], r["day"]): (r["cusum_scaled"], r["n_periods"], r["total"])
+        for r in cusum(df, "g", "day", "x").collect()
+    }
+    for g, xs in series.items():
+        n, tot = len(xs), sum(xs)
+        c = 0
+        for i, x in enumerate(xs):
+            c = max(0, c + n * x - tot)  # recursion scaled by n
+            assert got[(g, f"d{i:02d}")] == (c, n, tot), (g, i)
+
+
+def test_global_row_number_matches_serial_and_no_global_window(spark):
+    from skylinemapreducehadoop_spark.operators.stats import global_row_number
+
+    rows = [(f"k{i:03d}", (i * 37) % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = global_row_number(
+        df, [F.desc("v"), F.asc("k")], out_col="rn", num_partitions=8
+    )
+    got = {r["k"]: r["rn"] for r in out.collect()}
+    ref = sorted(rows, key=lambda kv: (-kv[1], kv[0]))
+    assert got == {k: i + 1 for i, (k, _) in enumerate(ref)}
+    # distributed prefix sum: no single-partition window in the plan
+    plan = out._jdf.queryExecution().executedPlan()
+    for w in _window_nodes(plan):
+        assert not w.partitionSpec().isEmpty()
+    import pytest
+
+    with pytest.raises(ValueError):
+        global_row_number(df, [])
