@@ -1215,6 +1215,83 @@ def _interval_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV SET OPERATIONS: distinct-user overlap between event-type
+    # pairs straight from the per-type sketch columns (array_intersect
+    # of hash sets) — audience-overlap analytics without rescanning or
+    # re-shuffling facts. K exceeds per-type distinct users at driver
+    # sfs, so sketches hold the full hash set and the intersection is
+    # exact (collision probability ~d^2/2^65); the capacity fail-fast
+    # mirrors kmv_rollup_check
+    from skylinemapreducehadoop_spark.operators.sketches import kmv_sketch
+
+    K = 65536
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=K).cache()
+    at_capacity = sk.where(F.size("kmv") >= K).count()
+    if at_capacity:
+        raise ValueError(
+            f"kmv_overlap_check out of its exact regime: {at_capacity} "
+            f"sketch(es) at capacity K={K}; raise K or drop the exact oracle"
+        )
+    a, b = sk.alias("a"), sk.alias("b")
+    # a handful of per-type sketch rows — the tiny theta self-join is
+    # the point (the fact table is long gone)
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.size(F.array_intersect("a.kmv", "b.kmv"))
+            .cast("long")
+            .alias("n_common_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _rrf_fusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hybrid-retrieval fusion: the BM25 lexical top-200 and a
+    # term-coverage ranking (distinct query terms hit, shorter docs
+    # first) fuse by reciprocal rank — the standard lexical+secondary
+    # ranker combiner. Ranks come from row_number over the LIMITed
+    # candidate frames (bounded, the documented limit-window pattern)
+    from pyspark.sql import Window
+
+    from skylinemapreducehadoop_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, _BM25_TERMS, k=200)
+    w_lex = Window.orderBy(F.desc("score"), "id")
+    lex_rn = lex.select("id", F.row_number().over(w_lex).alias("rn"))
+    tok = docs.select(
+        F.col("doc_id").alias("id"), F.explode(TX.tokens("text")).alias("tok")
+    )
+    cov = (
+        tok.groupBy("id")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("tok").isin(list(_BM25_TERMS)), F.col("tok"))
+            ).alias("n_hits"),
+            F.count(F.lit(1)).alias("dl"),
+        )
+        .where(F.col("n_hits") > 0)
+        .orderBy(F.desc("n_hits"), "dl", "id")
+        .limit(200)
+    )
+    w_cov = Window.orderBy(F.desc("n_hits"), "dl", "id")
+    cov_rn = cov.select("id", F.row_number().over(w_cov).alias("rn"))
+    return (
+        rrf_fuse([lex_rn, cov_rn], id_col="id", rank_col="rn")
+        .orderBy(F.desc("rrf_score"), "id")
+        .limit(20)
+        .select(F.col("id").alias("doc_id"), "n_lists", "rrf_score")
+    )
+
+
 def _containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length-asymmetric near-dup screen: k-gram CONTAINMENT
     # |A∩B|/min(|A|,|B|) >= 0.8 — catches a short doc pasted inside a
@@ -3776,6 +3853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments_customers": _rfm_segments_customers,
         "skipgram_cooc_documents": _skipgram_cooc_documents,
         "interval_union_events": _interval_union_events,
+        "kmv_overlap_check": _kmv_overlap_check,
+        "rrf_fusion_documents": _rrf_fusion_documents,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -5391,6 +5470,90 @@ pi AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
        CAST(sum(e1 - s0) AS BIGINT) AS covered_s
 FROM pi GROUP BY user_id ORDER BY user_id
+""",
+        "kmv_overlap_check": """
+WITH s AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+t AS (SELECT DISTINCT event_type FROM s),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM t a JOIN t b ON a.event_type < b.event_type
+),
+o AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS c
+  FROM s a JOIN s b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY ta, tb
+)
+SELECT type_a, type_b, CAST(coalesce(c, 0) AS BIGINT) AS n_common_users
+FROM p LEFT JOIN o ON ta = type_a AND tb = type_b
+ORDER BY type_a, type_b
+""",
+        "rrf_fusion_documents": """
+WITH tok AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_tokens
+  FROM dl
+),
+tf AS (
+  SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE tok IN ('hash', 'merge', 'spark', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.id,
+         (log2(CAST(2*c.n_docs + 2 AS DOUBLE)) - log2(CAST(2*d.df_t + 1 AS DOUBLE)))
+         * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+            / (CAST(tf.tf AS DOUBLE)
+               + CAST(1.2 AS DOUBLE)
+               * (1.0 - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE)
+                  * (CAST(dl.dl AS DOUBLE) * CAST(c.n_docs AS DOUBLE)
+                     / CAST(c.total_tokens AS DOUBLE))))) AS contrib
+  FROM tf JOIN dfreq d USING (tok) JOIN dl USING (id) CROSS JOIN corpus c
+),
+perdoc AS (
+  SELECT id,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(contrib))),
+                           (a, b) -> a + b), 6) AS score
+  FROM contrib GROUP BY id
+),
+lex AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rn
+  FROM perdoc ORDER BY score DESC, id LIMIT 200
+),
+cov0 AS (
+  SELECT id,
+         count(DISTINCT CASE WHEN tok IN ('hash', 'merge', 'spark', 'window')
+                             THEN tok END) AS n_hits,
+         count(*) AS dl
+  FROM tok GROUP BY id
+),
+cov AS (
+  SELECT id, row_number() OVER (ORDER BY n_hits DESC, dl, id) AS rn
+  FROM cov0 WHERE n_hits > 0 ORDER BY n_hits DESC, dl, id LIMIT 200
+),
+u AS (
+  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rn AS DOUBLE)) AS c
+  FROM lex
+  UNION ALL
+  SELECT id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(rn AS DOUBLE)) AS c
+  FROM cov
+),
+f AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_lists,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(c))),
+                           (a, b) -> a + b), 6) AS rrf_score
+  FROM u GROUP BY id
+)
+SELECT id AS doc_id, n_lists, rrf_score
+FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
 """,
         "attribution_events": """
 WITH m AS (

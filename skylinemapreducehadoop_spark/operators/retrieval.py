@@ -208,3 +208,54 @@ def bm25_probe(
         .crossJoin(F.broadcast(corpus))
     )
     return _bm25_score_topk(scored, k, k1, b)
+
+
+def rrf_fuse(
+    ranked: "Sequence[DataFrame]",
+    *,
+    id_col: str = "id",
+    rank_col: str = "rn",
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists: score(d) = sum over lists of 1/(k0 + rank_d). The standard
+    way to combine lexical (BM25) and dense (embedding) retrieval —
+    rank-based, so the lists' incomparable score scales never matter.
+
+    Each input frame carries (id_col, rank_col) with rank 1-based; a
+    document absent from a list contributes nothing for it (the usual
+    RRF convention). Returns (id, n_lists, rrf_score) with the score
+    summed by ascending sorted fold (deterministic at any N) and
+    rounded to 6 — engine-exact, same discipline as the BM25 tail.
+
+    Scale shape: candidate lists are top-k frames (bounded); the union
+    + groupBy touches at most sum(k) rows.
+    """
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    contribs = [
+        df.select(
+            F.col(id_col).alias("id"),
+            (
+                F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))
+            ).alias("__c"),
+        )
+        for df in ranked
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return (
+        allc.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sort_array(F.collect_list("__c")).alias("__cs"),
+        )
+        .select(
+            "id",
+            "n_lists",
+            F.round(
+                F.aggregate("__cs", F.lit(0.0), lambda a, c: a + c), 6
+            ).alias("rrf_score"),
+        )
+    )

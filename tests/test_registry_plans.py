@@ -103,6 +103,8 @@ BNLJ_OK = {
     "vocab_growth_documents",  # 1-row max-doc-id checkpoint frame
     "skew_report_events",  # 1-row moments x 1-row top-k scalar join
     "rfm_segments_customers",  # 1-row customer-count (N) frame
+    "kmv_overlap_check",  # per-type sketch-row theta self-join (5 rows)
+    "rrf_fusion_documents",  # 1-row corpus frame (the bm25_topk scalar)
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the
     # minhash/setsim sublinear paths — see COVERAGE.md); its nested

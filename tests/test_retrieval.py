@@ -121,3 +121,18 @@ def test_bm25_probe_equals_direct(spark, tmp_path):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
     assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in direct]
+
+
+def test_rrf_fuse_matches_hand_computed(spark):
+    from skylinemapreducehadoop_spark.operators.retrieval import rrf_fuse
+
+    l1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rn long")
+    l2 = spark.createDataFrame([(3, 1), (1, 2)], "id long, rn long")
+    got = {r["id"]: (r["n_lists"], r["rrf_score"]) for r in rrf_fuse([l1, l2]).collect()}
+    assert got[1] == (2, round(sorted([1 / 61, 1 / 62])[0] + sorted([1 / 61, 1 / 62])[1], 6))
+    assert got[2] == (1, round(1 / 62, 6))
+    assert got[3] == (2, round(1 / 63 + 1 / 61, 6))
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
