@@ -1215,6 +1215,155 @@ def _interval_union_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_sketch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable-sketch MAINTENANCE under micro-batches (11th streaming
+    # driver entry): each foreachBatch builds a per-type count-min
+    # sketch of its slice and folds it into the standing sketch table —
+    # CM is linear and the three event_id-sliced batches are disjoint,
+    # so the final standing column equals the batch-built sketch over
+    # ALL events. Point queries at the end reuse the cm_rollup_check
+    # oracle verbatim: stream == batch through the sketch algebra,
+    # never rescanning earlier batches' raw rows.
+    import os
+    import tempfile
+
+    from skylinemapreducehadoop_spark.operators.sketches import (
+        cm_merge,
+        cm_query,
+        cm_sketch,
+    )
+
+    W, D = 1024, 4
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_sketch_replay_")
+    src = os.path.join(tmp, "src")
+    sk_path = os.path.join(tmp, "sketch")
+    for i in range(3):
+        (
+            ev.where(F.col("event_id") % 3 == i)
+            .select("event_type", "user_id")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    cm_sketch(ev.limit(0), ["event_type"], "user_id", width=W, depth=D).write.mode(
+        "overwrite"
+    ).parquet(sk_path)
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.localCheckpoint(eager=True)
+        bsk = cm_sketch(batch, ["event_type"], "user_id", width=W, depth=D)
+        prev = spark.read.parquet(sk_path)
+        merged = cm_merge(
+            prev.unionByName(bsk), ["event_type"], width=W, depth=D
+        ).localCheckpoint(eager=True)  # materialize BEFORE overwriting its input path
+        merged.write.mode("overwrite").parquet(sk_path)
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("sketch replay did not finish within 600s")
+    merged = spark.read.parquet(sk_path)
+    probes = (
+        ev.where(F.col("user_id") % 50 == 0)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        probes.join(merged, "event_type")
+        .select(
+            "event_type",
+            "user_id",
+            cm_query("cm", "user_id", width=W, depth=D).alias("est_cnt"),
+            "exact_cnt",
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+def _ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-sample z-test per event type over a deterministic hash split
+    # of users (md5 parity — the hash_split contract, so assignment is
+    # engine-reproducible): Welch z = (mean_a - mean_b) /
+    # sqrt(var_a/n_a + var_b/n_b). Moments fold exactly on the integer
+    # grid (decimal(38,0) sums of q and q^2 — the linreg discipline);
+    # the closed-form floats happen once per (type, arm) pair, in a
+    # pinned order, rounded to 6
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    arm = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        == 0,
+        "A",
+    ).otherwise("B")
+    q = F.round(F.col("value") * 10000).cast("decimal(38,0)")
+    g = (
+        ev.select("event_type", arm.alias("arm"), q.alias("q"))
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("s"),
+            F.sum(F.col("q") * F.col("q")).alias("sxx"),
+        )
+    )
+    # mean and sample variance from exact moments, one float step each
+    mean = F.col("s").cast("double") / F.col("n") / 10000.0
+    var = (
+        (
+            F.col("sxx").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / 1e8
+    )
+    stats = g.select("event_type", "arm", "n", mean.alias("m"), var.alias("v"))
+    a = stats.where(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("m").alias("mean_a"),
+        F.col("v").alias("__va"),
+    )
+    b = stats.where(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("m").alias("mean_b"),
+        F.col("v").alias("__vb"),
+    )
+    z = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("__va") / F.col("n_a") + F.col("__vb") / F.col("n_b")
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            F.round(z, 6).alias("z_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _kmv_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV SET OPERATIONS: distinct-user overlap between event-type
     # pairs straight from the per-type sketch columns (array_intersect
@@ -1289,6 +1438,40 @@ def _rrf_fusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "id")
         .limit(20)
         .select(F.col("id").alias("doc_id"), "n_lists", "rrf_score")
+    )
+
+
+def _item_cf_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # item-item collaborative filtering over order baskets: cosine
+    # co-occurrence similarity, the "customers who bought a also
+    # bought b" recommender primitive — basket-bounded pair join,
+    # exact-integer counts, one rounded sqrt division
+    from skylinemapreducehadoop_spark.operators.stats import cooccur_similarity
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return cooccur_similarity(
+        li, "l_orderkey", "l_partkey", min_support=3, k=50
+    )
+
+
+def _winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MOSS-style winnowing fingerprints per document: md5-hashed word
+    # 3-grams, window-4 minima, dedup — all nested JVM array ops,
+    # map-only until the final per-doc profile. The sublinear robust
+    # fingerprint set a plagiarism/near-dup screen persists instead of
+    # full gram sets
+    docs = load_table(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints("text", gram_k=3, window=4)
+    return (
+        docs.select("doc_id", fps.alias("__fp"))
+        .where(F.size("__fp") > 0)
+        .select(
+            "doc_id",
+            F.size("__fp").cast("long").alias("n_fingerprints"),
+            F.array_min("__fp").alias("min_fp"),
+            F.array_max("__fp").alias("max_fp"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -3855,6 +4038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union_events": _interval_union_events,
         "kmv_overlap_check": _kmv_overlap_check,
         "rrf_fusion_documents": _rrf_fusion_documents,
+        "item_cf_parts": _item_cf_parts,
+        "winnow_fingerprints_documents": _winnow_fingerprints_documents,
+        "streaming_sketch_replay": _streaming_sketch_replay,
+        "ab_test_events": _ab_test_events,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4664,6 +4851,41 @@ SELECT * FROM (VALUES
 ) v(word, encoded)
 """
 
+# count-min probe oracle: rebuilds the md5-bucketed sketch cells in SQL
+# and answers the same point queries — shared by the batch rollup entry
+# (cm_rollup_check) and the streaming fold (streaming_sketch_replay),
+# which must converge to the identical standing sketch (CM linearity)
+_CM_PROBE_SQL = """
+WITH keyed AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY event_type, user_id
+),
+cells AS (
+  SELECT event_type, r,
+         ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                             || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1024 AS b,
+         sum(cnt) AS c
+  FROM keyed CROSS JOIN (SELECT unnest(range(4)) AS r)
+  GROUP BY event_type, r, b
+),
+probes AS (
+  SELECT event_type, user_id, cnt AS exact_cnt
+  FROM keyed WHERE user_id % 50 = 0
+)
+SELECT p.event_type, p.user_id,
+       CAST(min(c.c) AS BIGINT) AS est_cnt,
+       CAST(p.exact_cnt AS BIGINT) AS exact_cnt
+FROM probes p JOIN cells c
+  ON c.event_type = p.event_type
+ AND c.b = ('0x' || substr(md5(CAST(c.r AS VARCHAR) || '|'
+                               || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1024
+GROUP BY p.event_type, p.user_id, p.exact_cnt
+ORDER BY p.event_type, p.user_id
+"""
+
 _PMI_SQL = """
 WITH tk AS (
   SELECT doc_id, unnest(range(1, len(t)+1)) AS pos, unnest(t) AS tok
@@ -5305,36 +5527,10 @@ SELECT event_type, count(*) AS n_rows, count(vq) AS n_present,
        CAST(max(vq) AS DOUBLE) / 10000.0 AS vmax
 FROM v GROUP BY event_type
 """,
-        "cm_rollup_check": """
-WITH keyed AS (
-  SELECT event_type, user_id, count(*) AS cnt
-  FROM events WHERE user_id IS NOT NULL
-  GROUP BY event_type, user_id
-),
-cells AS (
-  SELECT event_type, r,
-         ('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
-                             || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
-           % 1024 AS b,
-         sum(cnt) AS c
-  FROM keyed CROSS JOIN (SELECT unnest(range(4)) AS r)
-  GROUP BY event_type, r, b
-),
-probes AS (
-  SELECT event_type, user_id, cnt AS exact_cnt
-  FROM keyed WHERE user_id % 50 = 0
-)
-SELECT p.event_type, p.user_id,
-       CAST(min(c.c) AS BIGINT) AS est_cnt,
-       CAST(p.exact_cnt AS BIGINT) AS exact_cnt
-FROM probes p JOIN cells c
-  ON c.event_type = p.event_type
- AND c.b = ('0x' || substr(md5(CAST(c.r AS VARCHAR) || '|'
-                               || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT
-           % 1024
-GROUP BY p.event_type, p.user_id, p.exact_cnt
-ORDER BY p.event_type, p.user_id
-""",
+        "cm_rollup_check": _CM_PROBE_SQL,
+        # the streaming fold is linear, so its final state answers the
+        # SAME probe queries as the batch-built sketch — one oracle
+        "streaming_sketch_replay": _CM_PROBE_SQL,
         "hist_quantile_rollup_check": """
 WITH o AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -5554,6 +5750,80 @@ f AS (
 )
 SELECT id AS doc_id, n_lists, rrf_score
 FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+        "ab_test_events": """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         CAST(round(value * 10000) AS HUGEINT) AS q
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT event_type, arm, count(*) AS n, sum(q) AS s, sum(q*q) AS sxx
+  FROM e GROUP BY event_type, arm
+),
+st AS (
+  SELECT event_type, arm, n,
+         CAST(s AS DOUBLE) / n / 10000.0 AS m,
+         (CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+           / (n - 1) / 1e8 AS v
+  FROM g
+)
+SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+       round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS z_stat
+FROM st a JOIN st b
+  ON a.event_type = b.event_type AND a.arm = 'A' AND b.arm = 'B'
+ORDER BY a.event_type
+""",
+        "item_cf_parts": """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+ic AS (SELECT i, count(*) AS c FROM bi GROUP BY i),
+p AS (
+  SELECT l.i AS item_a, r.i AS item_b, CAST(count(*) AS BIGINT) AS support
+  FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+  GROUP BY item_a, item_b HAVING count(*) >= 3
+)
+SELECT item_a, item_b, support,
+       round(CAST(support AS DOUBLE)
+             / sqrt(CAST(ca.c * cb.c AS DOUBLE)), 9) AS cosine
+FROM p JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b
+ORDER BY cosine DESC, item_a, item_b LIMIT 50
+""",
+        "winnow_fingerprints_documents": """
+WITH tk AS (
+  SELECT doc_id, unnest(range(1, len(t)+1)) AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents)
+),
+g AS (
+  SELECT a.doc_id, a.pos,
+         ('0x' || substr(md5(a.tok || ' ' || b.tok || ' ' || c.tok),
+                         1, 15))::BIGINT AS h
+  FROM tk a
+  JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+w AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+  FROM g
+),
+sel AS (SELECT DISTINCT doc_id, mh AS h FROM w WHERE wn = 4),
+short AS (
+  SELECT g.doc_id, min(h) AS h
+  FROM g JOIN n USING (doc_id) WHERE n.ng < 4 GROUP BY g.doc_id
+),
+fp AS (SELECT doc_id, h FROM sel UNION SELECT doc_id, h FROM short)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+       min(h) AS min_fp, max(h) AS max_fp
+FROM fp GROUP BY doc_id ORDER BY doc_id
 """,
         "attribution_events": """
 WITH m AS (

@@ -106,6 +106,14 @@ PROBE_QUERIES = [
     "novelty_documents",
     "golden_records_customers",
     "kcore_copurchase",
+    # late r10: the count-min cell explode (depth*width cells per
+    # group through the merge) and the skipgram in-array pair fan-out
+    # (3 pairs per token position, corpus-wide) are the new shapes
+    # whose constants scale with volume; interval_union rides the 10x
+    # denser per-user event timelines
+    "cm_rollup_check",
+    "skipgram_cooc_documents",
+    "interval_union_events",
 ]
 PROBE_REPLICAS = 10
 
@@ -301,6 +309,29 @@ EXTRA_QUERIES = [
     "length_buckets_documents",
     "vocab_coverage_documents",
     "temperature_mix_documents",
+    # new mid-round 10
+    "negative_pairs_documents",
+    "target_encode_events",
+    "embedding_dim_stats",
+    "gram_matrix_embeddings",
+    "vocab_growth_documents",
+    "attribution_events",
+    "covariance_embeddings",
+    "skew_report_events",
+    "props_stats_events",
+    "leakage_safe_split_documents",
+    # new late-round 10: mergeable sketch columns + analytics
+    "cm_rollup_check",
+    "hist_quantile_rollup_check",
+    "kmv_overlap_check",
+    "cusum_events",
+    "rfm_segments_customers",
+    "skipgram_cooc_documents",
+    "interval_union_events",
+    "rrf_fusion_documents",
+    "item_cf_parts",
+    "winnow_fingerprints_documents",
+    "ab_test_events",
 ]
 
 

@@ -1264,3 +1264,42 @@ def vocab_growth(
         )
         .orderBy("k")
     )
+
+
+def winnow_fingerprints(col: Column | str, *, gram_k: int = 3, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``gram_k``-gram,
+    slide a ``window`` over the hash sequence, keep each window's
+    minimum, dedup. Guarantees any shared run of ``gram_k + window - 1``
+    tokens yields a shared fingerprint, at ~2/(window+1) the density of
+    keeping every gram — the robust sublinear fingerprint set for
+    plagiarism / near-dup screens.
+
+    Gram hashes are md5-derived 60-bit longs (the cross-engine
+    hash_split contract, reproducible in SQL), and everything runs as
+    nested JVM array expressions — map-only, no UDF, no explode until
+    the caller chooses to. Fewer grams than ``window`` degrades to one
+    fingerprint (the global min); no grams yields an empty array.
+    """
+    if gram_k < 1 or window < 1:
+        raise ValueError("need gram_k >= 1 and window >= 1")
+
+    def _winnow(h: Column) -> Column:
+        n = F.size(h)
+        full = F.transform(
+            F.sequence(F.lit(1), n - F.lit(window - 1)),
+            lambda p: F.array_min(F.slice(h, p, window)),
+        )
+        return F.array_distinct(
+            F.when(n >= window, full)
+            .when(n > 0, F.array(F.array_min(h)))
+            .otherwise(F.array().cast("array<bigint>"))
+        )
+
+    hashes = F.transform(
+        ngrams(col, gram_k),
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    return F.element_at(F.transform(F.array(hashes), _winnow), 1)

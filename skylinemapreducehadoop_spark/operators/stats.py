@@ -969,3 +969,49 @@ def global_row_number(
         .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
         .drop("__pid", "__lrn", "__off")
     )
+
+
+def cooccur_similarity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Item-item co-occurrence COSINE — the classic memory-based
+    collaborative-filtering similarity ("customers who bought a also
+    bought b"): sim(a,b) = c_ab / sqrt(c_a * c_b) over basket
+    co-occurrence counts. Same exact-integer discipline as
+    :func:`frequent_pairs` (one sqrt + one division of exact integer
+    counts, rounded to 9 — engine-exact rank order); same scale shape
+    (distinct basket-item pairs, basket-bounded self-equi-join with
+    item_a < item_b, shuffle_hash count joins back, no cartesian).
+    Returns top-``k`` (item_a, item_b, support, cosine).
+    """
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    item_cnt = bi.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    l, r = bi.alias("l"), bi.alias("r")
+    pairs = (
+        l.join(r.hint("shuffle_hash"), "b")
+        .where(F.col("l.i") < F.col("r.i"))
+        .groupBy(F.col("l.i").alias("item_a"), F.col("r.i").alias("item_b"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    ca = item_cnt.select(F.col("i").alias("item_a"), F.col("c").alias("__ca"))
+    cb = item_cnt.select(F.col("i").alias("item_b"), F.col("c").alias("__cb"))
+    cosine = F.round(
+        F.col("support").cast("double")
+        / F.sqrt((F.col("__ca") * F.col("__cb")).cast("double")),
+        9,
+    )
+    return (
+        pairs.join(ca.hint("shuffle_hash"), "item_a")
+        .join(cb.hint("shuffle_hash"), "item_b")
+        .select("item_a", "item_b", "support", cosine.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "item_a", "item_b")
+        .limit(k)
+    )

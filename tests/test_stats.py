@@ -530,3 +530,18 @@ def test_global_row_number_matches_serial_and_no_global_window(spark):
 
     with pytest.raises(ValueError):
         global_row_number(df, [])
+
+
+def test_cooccur_similarity_hand_computed(spark):
+    from skylinemapreducehadoop_spark.operators.stats import cooccur_similarity
+
+    # items: a in baskets {1,2,3}, b in {1,2}, c in {1}
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["support"], r["cosine"])
+        for r in cooccur_similarity(df, "b", "i", min_support=1, k=10).collect()
+    }
+    assert got[("a", "b")] == (2, round(2 / (6**0.5), 9))
+    assert got[("a", "c")] == (1, round(1 / (3**0.5), 9))
+    assert got[("b", "c")] == (1, round(1 / (2**0.5), 9))

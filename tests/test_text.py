@@ -521,3 +521,34 @@ def test_vocab_growth_curve(spark):
 
     with _pytest.raises(ValueError):
         vocab_growth(df, checkpoints=0)
+
+
+def test_winnow_guarantee_and_degenerate_docs(spark):
+    # winnowing's contract: any shared token run of length
+    # gram_k + window - 1 (= 6 here) yields at least one shared
+    # fingerprint; short docs degrade to one fingerprint; empty to none
+    from skylinemapreducehadoop_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "x y z " + shared + " q r"),
+        (2, shared + " completely different tail words here"),
+        (3, "one two"),  # 2 tokens -> 0 grams -> no fingerprints
+        (4, "one two three four"),  # 2 grams < window -> global min
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", gram_k=3, window=4).alias("fp")
+        ).collect()
+    }
+    assert got[1] & got[2], "shared 6-token run must share a fingerprint"
+    assert got[3] == set()
+    assert len(got[4]) == 1
+    assert got[5] == set()
+    import pytest
+
+    with pytest.raises(ValueError):
+        winnow_fingerprints("text", gram_k=0)
