@@ -1364,6 +1364,28 @@ def _ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-customer top-3 orders WITHOUT a rank window: top-k as a
+    # map-side-combinable aggregate (two-level slice-sort, the
+    # kmv_sketch shape) — only k rows per (group, input partition)
+    # ever shuffle, vs the window's full Exchange+Sort of every row.
+    # Exact cents grid gives the deterministic total order
+    from skylinemapreducehadoop_spark.operators.sampling import grouped_topk
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    return grouped_topk(
+        orders,
+        ["o_custkey"],
+        ["cents", "o_orderkey"],
+        3,
+        payload_cols=["o_orderkey", "cents"],
+    ).orderBy("o_custkey", "rank")
+
+
 def _kmv_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV SET OPERATIONS: distinct-user overlap between event-type
     # pairs straight from the per-type sketch columns (array_intersect
@@ -4042,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_documents": _winnow_fingerprints_documents,
         "streaming_sketch_replay": _streaming_sketch_replay,
         "ab_test_events": _ab_test_events,
+        "grouped_topk_orders": _grouped_topk_orders,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -5750,6 +5773,21 @@ f AS (
 )
 SELECT id AS doc_id, n_lists, rrf_score
 FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+        "grouped_topk_orders": """
+WITH o AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, o_orderkey, cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY cents DESC, o_orderkey DESC) AS rk
+  FROM o
+)
+SELECT o_custkey, CAST(rk AS INT) AS rank, o_orderkey, cents
+FROM r WHERE rk <= 3 ORDER BY o_custkey, rank
 """,
         "ab_test_events": """
 WITH e AS (

@@ -332,6 +332,7 @@ EXTRA_QUERIES = [
     "item_cf_parts",
     "winnow_fingerprints_documents",
     "ab_test_events",
+    "grouped_topk_orders",
 ]
 
 

@@ -469,3 +469,76 @@ def negative_pairs(
         )
         pairs = pairs.join(ex, ["id", "neg_id"], "left_anti")
     return pairs
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    k: int,
+    *,
+    payload_cols: Sequence[str] | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-``k`` rows per group as a MAP-SIDE-COMBINABLE aggregate —
+    the scale-safe alternative to the ``row_number()`` window for
+    per-group leaderboards. A rank window shuffles EVERY row of every
+    group through one Exchange+Sort; this shape combines each input
+    partition's contribution down to k rows per (group, partition)
+    first (the kmv_sketch two-level bottom-k), so only
+    k x partials rows per group ever cross the wire — at 100 TB with
+    mega-groups that is the difference between shuffling the table and
+    shuffling a leaderboard.
+
+    ``order_cols`` must be a UNIQUE total order within each group
+    (append a key column as the last tie-break — with a non-unique
+    order the payload struct would silently become the tie-break);
+    ``descending`` applies to the whole composite key (the oracle twin
+    is ``ORDER BY o1 DESC, o2 DESC, ...``). Returns one row per kept
+    input row: group cols + ``rank`` (1-based) + payload cols
+    (defaults to the order cols).
+
+    Exactness: top-k is an algebraic aggregate (merge = concat, sort,
+    truncate), so the result is partitioning-independent — asserted by
+    the window-equality pytest.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    groups = list(group_cols)
+    orders = list(order_cols)
+    payload = list(payload_cols) if payload_cols is not None else orders
+    if not groups or not orders:
+        raise ValueError("group_cols and order_cols must be non-empty")
+    # sort key: negate nothing — array_sort on structs is ascending by
+    # field order, so for descending ranks we sort on inverted marker
+    # via reverse() after the ascending sort (exact, no float negation)
+    row = F.struct(
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(orders)],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__p"),
+    )
+    part = df.groupBy(*groups, F.spark_partition_id().alias("__pid")).agg(
+        F.slice(
+            F.reverse(F.array_sort(F.collect_list(row)))
+            if descending
+            else F.array_sort(F.collect_list(row)),
+            1,
+            k,
+        ).alias("__top")
+    )
+    merged = part.groupBy(*groups).agg(
+        F.slice(
+            F.reverse(F.array_sort(F.flatten(F.collect_list("__top"))))
+            if descending
+            else F.array_sort(F.flatten(F.collect_list("__top"))),
+            1,
+            k,
+        ).alias("__top")
+    )
+    out = merged.select(
+        *groups, F.posexplode("__top").alias("__i", "__r")
+    ).select(
+        *groups,
+        (F.col("__i") + 1).alias("rank"),
+        *[F.col(f"__r.__p.{c}").alias(c) for c in payload],
+    )
+    return out

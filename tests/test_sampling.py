@@ -340,3 +340,36 @@ def test_negative_pairs_validates_params(spark):
         negative_pairs(df, k=0)
     with _pytest.raises(ValueError):
         negative_pairs(df, buckets=1)
+
+
+def test_grouped_topk_equals_window_and_partitioning_invariant(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.sampling import grouped_topk
+
+    rows = [(i % 7, (i * 131) % 1000, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g int, v long, id long")
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.desc("id"))
+    ref = {
+        (r["g"], r["rk"]): (r["id"], r["v"])
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .collect()
+    }
+    for nparts in (1, 13):
+        got = {
+            (r["g"], r["rank"]): (r["id"], r["v"])
+            for r in grouped_topk(
+                df.repartition(nparts),
+                ["g"],
+                ["v", "id"],
+                5,
+                payload_cols=["id", "v"],
+            ).collect()
+        }
+        assert got == ref, f"nparts={nparts}"
+    import pytest
+
+    with pytest.raises(ValueError):
+        grouped_topk(df, ["g"], ["v"], 0)
