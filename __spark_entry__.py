@@ -1364,6 +1364,64 @@ def _ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bmp_pixel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SECOND real no-codec pixel-decode tier: 24-bit uncompressed
+    # BMPs (bottom-up BGR byte walk — multimodal._bmp_decode) carrying
+    # the same closed-form RGB planes as the PNG fixture, decoded by
+    # image_pixel_stats through the exact Rec.601 luma; the oracle
+    # recomputes every pixel arithmetically from doc_id, so the BMP
+    # encoder, the byte-walk decoder and the luma are all on the hash
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthesize_rgb_bmp_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_pixel_stats(synthesize_rgb_bmp_column(docs, "doc_id")).orderBy(
+        "doc_id"
+    )
+
+
+def _impute_values_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL imputation by per-group exact median — the standard feature
+    # prep step, with NULLs planted deterministically (every 13th
+    # event, the table_diff perturbation pattern) so the entry is
+    # non-vacuous at any sf. Median on the integer grid = exact
+    # half-integer (med_x2 long, the mad_outliers discipline); the
+    # imputed column's checksum rides along to prove the fills landed.
+    # Shape: one percentile aggregate to a |types|-row frame, broadcast
+    # back — the fact table never shuffles
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 13 == 0, F.lit(None).cast("long")
+        ).otherwise(F.round(F.col("value") * 10000).cast("long")).alias("q"),
+    )
+    med = (
+        ev.where(F.col("q").isNotNull())
+        .groupBy("event_type")
+        .agg((F.percentile("q", F.lit(0.5)) * 2).cast("long").alias("med_x2"))
+    )
+    j = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_x2",
+        F.when(F.col("q").isNull(), 1).otherwise(0).alias("was_null"),
+        F.coalesce(2 * F.col("q"), F.col("med_x2")).alias("q2"),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("was_null").alias("n_imputed"),
+            F.round(F.max("med_x2").cast("double") / 2 / 10000, 6).alias(
+                "median_value"
+            ),
+            F.sum("q2").alias("sum_q2"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _grouped_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-customer top-3 orders WITHOUT a rank window: top-k as a
     # map-side-combinable aggregate (two-level slice-sort, the
@@ -4065,6 +4123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sketch_replay": _streaming_sketch_replay,
         "ab_test_events": _ab_test_events,
         "grouped_topk_orders": _grouped_topk_orders,
+        "impute_values_events": _impute_values_events,
+        "bmp_pixel_check": _bmp_pixel_check,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -5773,6 +5833,49 @@ f AS (
 )
 SELECT id AS doc_id, n_lists, rrf_score
 FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+        "bmp_pixel_check": """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         (299 * ((doc_id + 5*x + 11*y) % 256)
+          + 587 * ((3*doc_id + 7*x + y) % 256)
+          + 114 * ((2*doc_id + x + 13*y) % 256)) // 1000 AS v
+  FROM d, range(0, 16) r1(x), range(0, 12) r2(y)
+  WHERE x < w AND y < h
+)
+SELECT doc_id,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(max(h) AS INTEGER) AS height,
+       CAST(sum(v) AS BIGINT) AS pixel_sum,
+       CAST(min(v) AS INTEGER) AS pixel_min,
+       CAST(max(v) AS INTEGER) AS pixel_max
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+        "impute_values_events": """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE CAST(round(value * 10000) AS BIGINT) END AS q
+  FROM events
+),
+m AS (
+  SELECT event_type, CAST(quantile_cont(q, 0.5) * 2 AS BIGINT) AS med_x2
+  FROM e WHERE q IS NOT NULL GROUP BY event_type
+),
+j AS (
+  SELECT e.event_type, m.med_x2,
+         CASE WHEN q IS NULL THEN 1 ELSE 0 END AS was_null,
+         coalesce(2 * q, med_x2) AS q2
+  FROM e JOIN m USING (event_type)
+)
+SELECT event_type, count(*) AS n_rows,
+       CAST(sum(was_null) AS BIGINT) AS n_imputed,
+       round(CAST(max(med_x2) AS DOUBLE) / 2 / 10000, 6) AS median_value,
+       CAST(sum(q2) AS BIGINT) AS sum_q2
+FROM j GROUP BY event_type ORDER BY event_type
 """,
         "grouped_topk_orders": """
 WITH o AS (

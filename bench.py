@@ -114,6 +114,11 @@ PROBE_QUERIES = [
     "cm_rollup_check",
     "skipgram_cooc_documents",
     "interval_union_events",
+    # the array-rollup fold, the corpus-wide winnow HOFs and the
+    # triple prefix-sum over a 10x customer key table
+    "hist_quantile_rollup_check",
+    "winnow_fingerprints_documents",
+    "rfm_segments_customers",
 ]
 PROBE_REPLICAS = 10
 
@@ -333,6 +338,8 @@ EXTRA_QUERIES = [
     "winnow_fingerprints_documents",
     "ab_test_events",
     "grouped_topk_orders",
+    "impute_values_events",
+    "bmp_pixel_check",
 ]
 
 

@@ -808,6 +808,77 @@ def _png_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
     return w, h, _png_to_gray(px)
 
 
+def make_bmp_pixels(width: int, height: int, rgb: "np.ndarray") -> bytes:
+    """Real 24-bit uncompressed BMP (BITMAPINFOHEADER, public format):
+    pixel rows bottom-up, BGR byte order, stride padded to 4 bytes —
+    the BMP twin of :func:`make_png` for driving an actual pixel
+    decode with no codec library. ``rgb`` is (h, w, 3) uint8."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    head = b"BM" + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0
+    )
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.shape != (height, width, 3):
+        raise ValueError("rgb must be (height, width, 3)")
+    pad = b"\x00" * (stride - width * 3)
+    rows = [
+        rgb[y, :, ::-1].tobytes() + pad for y in range(height - 1, -1, -1)
+    ]
+    return head + info + b"".join(rows)
+
+
+def _bmp_decode(b) -> "tuple[int, int, np.ndarray] | None":
+    """Decode a 24-bit uncompressed BITMAPINFOHEADER BMP to
+    (w, h, (h, w, 3) RGB uint8) — pure byte walking, no library.
+    Bottom-up (positive height) and top-down (negative) layouts both
+    handled; anything else (other bpp, compression, truncation) -> None.
+    """
+    import struct
+
+    if b is None:
+        return None
+    buf = bytes(b)
+    if len(buf) < 54 or buf[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size = struct.unpack_from("<I", buf, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h_raw = struct.unpack_from("<ii", buf, 18)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if w <= 0 or h_raw == 0 or planes != 1 or bpp != 24 or compression != 0:
+        return None
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    if len(buf) < data_off + stride * h:
+        return None
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_raw > 0:
+        px = px[::-1]  # bottom-up storage -> top-down array
+    return w, h, np.ascontiguousarray(px)
+
+
+def _stdlib_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
+    """No-codec-library decode dispatcher: 8-bit PNG (gray/RGB/palette)
+    or 24-bit uncompressed BMP, returned as exact-luma grayscale."""
+    dec = _png_decode_gray8(b)
+    if dec is not None:
+        return dec
+    bmp = _bmp_decode(b)
+    if bmp is None:
+        return None
+    w, h, px = bmp
+    return w, h, _png_to_gray(px)
+
+
 def resize_nearest(px: "np.ndarray", dst_w: int, dst_h: int) -> "np.ndarray":
     """Nearest-neighbor resize of an (h, w) array with the floor
     mapping ``src = (dst_index * src_extent) // dst_extent`` — integer
@@ -864,7 +935,7 @@ def resize_images(
     )
 
     def _resize_one(payload):
-        dec = None if decoder == "real" else _png_decode_gray8(payload)
+        dec = None if decoder == "real" else _stdlib_decode_gray8(payload)
         if dec is not None:
             _, _, px = dec
         elif use_pillow and payload is not None:
@@ -902,7 +973,8 @@ def image_pixel_stats(
     media_col: str = "media",
 ) -> DataFrame:
     """Decode 8-bit PNG payloads (stdlib tier: gray, RGB and palette
-    color types, RGB reduced by exact integer Rec.601 luma) and emit
+    color types) or 24-bit uncompressed BMPs (byte-walk decode, no
+    library), RGB reduced by exact integer Rec.601 luma, and emit
     exact pixel statistics: width, height, pixel_sum, pixel_min,
     pixel_max —
     the image feature-extraction twin of ``audio_features``.
@@ -925,7 +997,7 @@ def image_pixel_stats(
                 continue
             rows = []
             for p in pdf[media_col]:
-                dec = _png_decode_gray8(p)
+                dec = _stdlib_decode_gray8(p)
                 if dec is None:
                     rows.append((None, None, None, None, None))
                 else:
@@ -1000,6 +1072,36 @@ def synthesize_rgb_png_column(
                 axis=-1,
             ).astype(np.uint8)
             out.append(make_png(w, h, px.tobytes(), color_type=2))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, synth(F.col(seed_col)))
+
+
+def synthesize_rgb_bmp_column(
+    df: DataFrame, seed_col: str, *, out_col: str = "media"
+) -> DataFrame:
+    """Deterministic 24-bit BMP fixture: the same closed-form RGB
+    planes as :func:`synthesize_rgb_png_column` (``width = 1 + k % 16``,
+    ``height = 1 + k % 12``, R=(k+5x+11y)%256, G=(3k+7x+y)%256,
+    B=(2k+x+13y)%256) in a real BMP container — drives the byte-walk
+    BMP decode path with an arithmetic oracle."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ks: pd.Series) -> pd.Series:
+        out = []
+        for k in ks:
+            k = int(k)
+            w, h = 1 + k % 16, 1 + k % 12
+            y, x = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [
+                    (k + 5 * x + 11 * y) % 256,
+                    (3 * k + 7 * x + y) % 256,
+                    (2 * k + x + 13 * y) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            out.append(make_bmp_pixels(w, h, px))
         return pd.Series(out)
 
     return df.withColumn(out_col, synth(F.col(seed_col)))

@@ -565,3 +565,57 @@ def test_resize_images_stdlib_rgb_matches_reference(spark):
         assert st[k]["pixel_sum"] == int(want.sum()), k
         assert st[k]["pixel_min"] == int(want.min())
         assert st[k]["pixel_max"] == int(want.max())
+
+
+def test_bmp_decode_roundtrip_topdown_and_malformed(spark):
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _bmp_decode,
+        _stdlib_decode_gray8,
+        make_bmp_pixels,
+    )
+
+    rgb = (np.arange(4 * 6 * 3) * 7 % 256).astype(np.uint8).reshape(6, 4, 3)
+    b = make_bmp_pixels(4, 6, rgb)
+    w, h, px = _bmp_decode(b)
+    assert (w, h) == (4, 6) and np.array_equal(px, rgb)
+    # top-down variant: negate height in the info header
+    import struct
+
+    td = bytearray(b)
+    struct.pack_into("<i", td, 22, -6)
+    # rows must then be supplied top-down: rebuild payload unflipped
+    stride = (4 * 3 + 3) & ~3
+    pad = b"\x00" * (stride - 12)
+    td = bytes(td[:54]) + b"".join(rgb[y, :, ::-1].tobytes() + pad for y in range(6))
+    w2, h2, px2 = _bmp_decode(td)
+    assert (w2, h2) == (4, 6) and np.array_equal(px2, rgb)
+    # malformed: wrong magic, truncated, 8-bit
+    assert _bmp_decode(b"XX" + b[2:]) is None
+    assert _bmp_decode(b[:40]) is None
+    bad = bytearray(b)
+    struct.pack_into("<H", bad, 28, 8)
+    assert _bmp_decode(bytes(bad)) is None
+    # dispatcher: gray conversion matches the exact integer luma
+    _, _, g = _stdlib_decode_gray8(b)
+    xs = rgb.astype(np.int64)
+    ref = (299 * xs[..., 0] + 587 * xs[..., 1] + 114 * xs[..., 2]) // 1000
+    assert np.array_equal(g, ref.astype(np.uint8))
+
+
+def test_resize_accepts_bmp_inputs(spark):
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_pixel_stats,
+        resize_images,
+        synthesize_rgb_bmp_column,
+    )
+
+    df = spark.createDataFrame([(17,), (40,)], "doc_id long")
+    bmps = synthesize_rgb_bmp_column(df, "doc_id")
+    out = image_pixel_stats(
+        resize_images(bmps, 4, 3, decoder="stdlib").select("doc_id", "media")
+    ).collect()
+    got = {r["doc_id"]: (r["width"], r["height"]) for r in out}
+    assert got == {17: (4, 3), 40: (4, 3)}
+    assert all(r["pixel_sum"] is not None for r in out)
