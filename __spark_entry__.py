@@ -1364,6 +1364,71 @@ def _ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quantity-weighted exact lower median of the line price per
+    # return flag — the weighted "typical price" a plain median
+    # mis-states; integer-grid cents + integer weights, boundary
+    # cleared of division (stats.weighted_median)
+    from skylinemapreducehadoop_spark.operators.stats import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(li, "l_returnflag", "cents", "qty").orderBy(
+        "l_returnflag"
+    )
+
+
+def _time_travel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot versioning end-to-end (sources/versioned.py): commit
+    # the 1995 orders as v1, a deterministic upsert (every 97th key
+    # +500 cents, every 53rd key inserted re-keyed) as v2, then read
+    # BOTH versions back — VERSION AS OF. The oracle recomputes both
+    # states straight from orders, so the manifest protocol, the
+    # immutable data dirs and the anti-join upsert are all on the hash
+    import os
+    import tempfile
+
+    from skylinemapreducehadoop_spark.sources.versioned import (
+        read_version,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1995)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="time_travel_"), "tbl")
+    versioned_write(spark, path, base)
+    updates = base.where(F.col("k") % 97 == 0).select(
+        "k", (F.col("cents") + 500).alias("cents")
+    ).unionByName(
+        base.where(F.col("k") % 53 == 0).select(
+            (F.col("k") + 100_000_000).alias("k"), "cents"
+        )
+    )
+    versioned_upsert(spark, path, updates, ["k"])
+    out = None
+    for v in (1, 2):
+        snap = (
+            read_version(spark, path, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit(v).alias("version"), "n_rows", "sum_cents")
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version")
+
+
 def _bmp_pixel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SECOND real no-codec pixel-decode tier: 24-bit uncompressed
     # BMPs (bottom-up BGR byte walk — multimodal._bmp_decode) carrying
@@ -4125,6 +4190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_topk_orders": _grouped_topk_orders,
         "impute_values_events": _impute_values_events,
         "bmp_pixel_check": _bmp_pixel_check,
+        "time_travel_check": _time_travel_check,
+        "weighted_median_lineitem": _weighted_median_lineitem,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -5833,6 +5900,47 @@ f AS (
 )
 SELECT id AS doc_id, n_lists, rrf_score
 FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+        "weighted_median_lineitem": """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+pv AS (
+  SELECT l_returnflag, cents, sum(qty) AS w
+  FROM li GROUP BY l_returnflag, cents
+),
+c AS (
+  SELECT l_returnflag, cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM pv
+)
+SELECT l_returnflag,
+       CAST(min(cents) AS BIGINT) AS w_median,
+       CAST(max(tot) AS BIGINT) AS total_weight
+FROM c WHERE cum * 2 >= tot
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "time_travel_check": """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE year(o_orderdate) = 1995
+),
+v2 AS (
+  SELECT k, CASE WHEN k % 97 = 0 THEN cents + 500 ELSE cents END AS cents
+  FROM base
+  UNION ALL
+  SELECT k + 100000000 AS k, cents FROM base WHERE k % 53 = 0
+)
+SELECT 1 AS version, count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM base
+UNION ALL
+SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2
+ORDER BY version
 """,
         "bmp_pixel_check": """
 WITH d AS (

@@ -340,6 +340,8 @@ EXTRA_QUERIES = [
     "grouped_topk_orders",
     "impute_values_events",
     "bmp_pixel_check",
+    "time_travel_check",
+    "weighted_median_lineitem",
 ]
 
 

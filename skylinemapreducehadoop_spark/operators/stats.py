@@ -1015,3 +1015,50 @@ def cooccur_similarity(
         .orderBy(F.col("cosine").desc(), "item_a", "item_b")
         .limit(k)
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact LOWER weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total — the
+    quantity-weighted "typical price" a plain median mis-states.
+    Returns (group, w_median, total_weight).
+
+    Both columns must be integer-valued (grid-quantize first), so the
+    boundary test clears the division (cum*2 >= total in exact longs)
+    and the answer is engine-reproducible — no interpolation, no
+    floats.
+
+    Shape: one map-side-combined (group, value) aggregate shrinks the
+    data to the distinct-value table, then one ordered window over
+    THAT (state bounded by per-group distinct values, not rows) and
+    one min aggregate. The fact table is never sorted.
+    """
+    g, v = F.col(group_col), F.col(value_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    per_v = (
+        df.where(v.isNotNull() & w.isNotNull())
+        .groupBy(g.alias("__g"), v.alias("__v"))
+        .agg(F.sum(w).alias("__w"))
+    )
+    seq = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = Window.partitionBy("__g")
+    cum = per_v.withColumn("__cum", F.sum("__w").over(seq)).withColumn(
+        "__tot", F.sum("__w").over(grp)
+    )
+    return (
+        cum.where(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy(F.col("__g").alias(group_col))
+        .agg(
+            F.min("__v").alias("w_median"),
+            F.max("__tot").alias("total_weight"),
+        )
+    )

@@ -545,3 +545,19 @@ def test_cooccur_similarity_hand_computed(spark):
     assert got[("a", "b")] == (2, round(2 / (6**0.5), 9))
     assert got[("a", "c")] == (1, round(1 / (3**0.5), 9))
     assert got[("b", "c")] == (1, round(1 / (2**0.5), 9))
+
+
+def test_weighted_median_hand_computed(spark):
+    from skylinemapreducehadoop_spark.operators.stats import weighted_median
+
+    rows = [
+        ("a", 10, 1), ("a", 20, 1), ("a", 30, 8),   # cum/2 crossing at 30
+        ("b", 5, 3), ("b", 7, 3),                   # exact half at 5 (lower)
+        ("c", 1, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r["g"]: (r["w_median"], r["total_weight"])
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    assert got == {"a": (30, 10), "b": (5, 6), "c": (1, 1)}
