@@ -1381,6 +1381,45 @@ def _weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _version_diff_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC between SNAPSHOTS: the versioned table's v1 -> v2 delta via
+    # the key-level diff (operators/diff.py) — "what did that upsert
+    # actually do" answered from history alone, no change log kept.
+    # Composition of two existing primitives; the oracle recomputes
+    # the delta from the base table arithmetically
+    import os
+    import tempfile
+
+    from skylinemapreducehadoop_spark.operators.diff import table_diff_summary
+    from skylinemapreducehadoop_spark.sources.versioned import (
+        read_version,
+        versioned_upsert,
+        versioned_write,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1995)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="version_diff_"), "tbl")
+    versioned_write(spark, path, base)
+    updates = base.where(F.col("k") % 97 == 0).select(
+        "k", (F.col("cents") + 500).alias("cents")
+    ).unionByName(
+        base.where(F.col("k") % 53 == 0).select(
+            (F.col("k") + 100_000_000).alias("k"), "cents"
+        )
+    )
+    versioned_upsert(spark, path, updates, ["k"])
+    return table_diff_summary(
+        read_version(spark, path, 1), read_version(spark, path, 2), ["k"]
+    )
+
+
 def _time_travel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot versioning end-to-end (sources/versioned.py): commit
     # the 1995 orders as v1, a deterministic upsert (every 97th key
@@ -4192,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_pixel_check": _bmp_pixel_check,
         "time_travel_check": _time_travel_check,
         "weighted_median_lineitem": _weighted_median_lineitem,
+        "version_diff_check": _version_diff_check,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -5900,6 +5940,19 @@ f AS (
 )
 SELECT id AS doc_id, n_lists, rrf_score
 FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+        "version_diff_check": """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE year(o_orderdate) = 1995
+)
+SELECT 'added' AS status, count(*) AS n FROM base WHERE k % 53 = 0
+UNION ALL
+SELECT 'changed', count(*) FROM base WHERE k % 97 = 0
+UNION ALL
+SELECT 'unchanged', count(*) FROM base WHERE k % 97 <> 0
+ORDER BY status
 """,
         "weighted_median_lineitem": """
 WITH li AS (

@@ -342,6 +342,7 @@ EXTRA_QUERIES = [
     "bmp_pixel_check",
     "time_travel_check",
     "weighted_median_lineitem",
+    "version_diff_check",
 ]
 
 

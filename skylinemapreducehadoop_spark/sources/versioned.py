@@ -165,18 +165,25 @@ def vacuum_versions(
         raise ValueError("keep_last must be >= 1")
     vs = list_versions(spark, path)
     keep = set(vs[-keep_last:])
-    referenced, removed = set(), []
+    removed = []
     fs, _ = _fs(spark, path)
-    for n in vs:
-        m = json.loads(
+    # two passes: learn every KEPT version's data dir first, so a data
+    # directory shared by a kept and a dropped manifest (possible after
+    # hand-healed races) is never deleted out from under the kept one
+    dirs = {
+        n: json.loads(
             _read_file(spark, f"{path}/{_MANIFEST_PREFIX}{n:08d}.json").decode()
-        )
+        )["data_dir"]
+        for n in vs
+    }
+    referenced = {dirs[n] for n in keep}
+    for n in vs:
         if n in keep:
-            referenced.add(m["data_dir"])
-        else:
-            fs.delete(_hpath(spark, f"{path}/{_MANIFEST_PREFIX}{n:08d}.json"), False)
-            fs.delete(_hpath(spark, f"{path}/{m['data_dir']}"), True)
-            removed.append(f"v{n}")
+            continue
+        fs.delete(_hpath(spark, f"{path}/{_MANIFEST_PREFIX}{n:08d}.json"), False)
+        if dirs[n] not in referenced:
+            fs.delete(_hpath(spark, f"{path}/{dirs[n]}"), True)
+        removed.append(f"v{n}")
     if remove_orphans:
         for name, is_dir in _list_names(spark, path):
             if is_dir and name.startswith(_DATA_PREFIX) and name not in referenced:

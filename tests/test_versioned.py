@@ -90,3 +90,26 @@ def test_optimistic_concurrency_version_race(spark):
     # our writer retries past the taken number and lands on 3
     assert versioned_write(spark, path, df1) == 3
     assert list_versions(spark, path) == [1, 2, 3]
+
+
+def test_vacuum_never_deletes_shared_data_dir(spark):
+    import json
+
+    from skylinemapreducehadoop_spark.sources.versioned import (
+        _MANIFEST_PREFIX,
+        _publish_manifest,
+    )
+
+    path = tempfile.mkdtemp(prefix="vtbl_") + "/tbl"
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    versioned_write(spark, path, df1)
+    # v2 shares v1's data dir (a hand-healed race can produce this)
+    m1 = json.loads(open(path + f"/{_MANIFEST_PREFIX}00000001.json", "rb").read())
+    assert _publish_manifest(
+        spark,
+        path + f"/{_MANIFEST_PREFIX}00000002.json",
+        json.dumps({"version": 2, "parent": 1, "data_dir": m1["data_dir"]}).encode(),
+    )
+    assert vacuum_versions(spark, path, keep_last=1) == ["v1"]
+    # the kept v2 must still read: its (shared) data dir survived
+    assert _rows(read_version(spark, path, 2)) == {(1, "a")}
