@@ -1381,6 +1381,26 @@ def _weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trend_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-series trend detection: OLS slope of the daily event count
+    # over the day index, one fit per event type in a single pass
+    # (stats.linear_fit_by) — "which event streams are growing".
+    # x = exact integer day offset, y = exact count; the oracle mirrors
+    # the moment algebra and the float op order
+    from skylinemapreducehadoop_spark.operators.stats import linear_fit_by
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = daily.withColumn(
+        "day_idx", F.datediff("day", F.lit("2024-01-01").cast("date"))
+    )
+    return linear_fit_by(
+        daily, ["event_type"], "day_idx", "n_events"
+    ).orderBy("event_type")
+
+
 def _version_diff_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC between SNAPSHOTS: the versioned table's v1 -> v2 delta via
     # the key-level diff (operators/diff.py) — "what did that upsert
@@ -4232,6 +4252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_check": _time_travel_check,
         "weighted_median_lineitem": _weighted_median_lineitem,
         "version_diff_check": _version_diff_check,
+        "trend_by_type_events": _trend_by_type_events,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -5940,6 +5961,40 @@ f AS (
 )
 SELECT id AS doc_id, n_lists, rrf_score
 FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+        "trend_by_type_events": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY event_type, day
+),
+q AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '2024-01-01', day) AS HUGEINT) AS x,
+         CAST(n_events AS HUGEINT) AS y
+  FROM daily
+),
+m AS (
+  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+  FROM q GROUP BY event_type
+),
+d AS (
+  SELECT event_type, CAST(n AS DOUBLE) AS nd, n,
+         CAST(sx AS DOUBLE) / 1.0 AS sx, CAST(sy AS DOUBLE) / 1.0 AS sy,
+         CAST(sxx AS DOUBLE) / 1.0 AS sxx, CAST(sxy AS DOUBLE) / 1.0 AS sxy,
+         CAST(syy AS DOUBLE) / 1.0 AS syy
+  FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN nd*sxx - sx*sx > 0
+                  THEN (nd*sxy - sx*sy) / (nd*sxx - sx*sx) END, 9) AS slope,
+       round(CASE WHEN nd*sxx - sx*sx > 0
+                  THEN (sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx)) * sx) / nd
+             END, 9) AS intercept,
+       round(CASE WHEN nd*sxx - sx*sx > 0 AND nd*syy - sy*sy > 0
+                  THEN ((nd*sxy - sx*sy) * (nd*sxy - sx*sy))
+                       / ((nd*sxx - sx*sx) * (nd*syy - sy*sy)) END, 9) AS r2
+FROM d ORDER BY event_type
 """,
         "version_diff_check": """
 WITH base AS (

@@ -343,6 +343,7 @@ EXTRA_QUERIES = [
     "time_travel_check",
     "weighted_median_lineitem",
     "version_diff_check",
+    "trend_by_type_events",
 ]
 
 

@@ -1062,3 +1062,69 @@ def weighted_median(
             F.max("__tot").alias("total_weight"),
         )
     )
+
+
+def linear_fit_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    *,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Per-GROUP least-squares fit ``y ~ a + b*x`` — trend detection
+    over many series in one pass (slope of daily volume per key, drift
+    per segment). Returns (group..., n, slope, intercept, r2), floats
+    rounded to 9.
+
+    Same exactness contract as :func:`linear_fit` (exact decimal
+    moments in ONE map-side-combined aggregate; a fixed handful of
+    float ops per group row) with one deliberate difference: a
+    degenerate group (all x equal, or n < 2) yields NULL
+    slope/intercept/r2 instead of inf/NaN — grouped fits hit
+    degenerate series routinely, and NULL is the hashable, joinable
+    answer. Kept separate from ``linear_fit`` so that operator's code
+    (and its rotation bookkeeping) stays untouched.
+
+    Shape: the fact table reduces to one moments row per group
+    (map-side combined); closed forms are a projection on the key
+    table. Nothing else shuffles.
+    """
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must be non-empty (use linear_fit)")
+    x, y = _q(x_col, x_scale), _q(y_col, y_scale)
+    agg = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(_DEC)).alias("sx"),
+            F.sum(y.cast(_DEC)).alias("sy"),
+            F.sum((x.cast(_DEC) * x).cast(_DEC)).alias("sxx"),
+            F.sum((x.cast(_DEC) * y).cast(_DEC)).alias("sxy"),
+            F.sum((y.cast(_DEC) * y).cast(_DEC)).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    xs, ys = F.lit(float(x_scale)), F.lit(float(y_scale))
+    sx = F.col("sx").cast("double") / xs
+    sy = F.col("sy").cast("double") / ys
+    sxx = F.col("sxx").cast("double") / (xs * xs)
+    sxy = F.col("sxy").cast("double") / (xs * ys)
+    syy = F.col("syy").cast("double") / (ys * ys)
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    ok = varx_n > 0
+    slope = F.when(ok, cov_n / varx_n)
+    intercept = F.when(ok, (sy - (cov_n / varx_n) * sx) / n)
+    r2 = F.when(ok & (vary_n > 0), (cov_n * cov_n) / (varx_n * vary_n))
+    return agg.select(
+        *groups,
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 9).alias("intercept"),
+        F.round(r2, 9).alias("r2"),
+    )

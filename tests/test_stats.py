@@ -561,3 +561,27 @@ def test_weighted_median_hand_computed(spark):
         for r in weighted_median(df, "g", "v", "w").collect()
     }
     assert got == {"a": (30, 10), "b": (5, 6), "c": (1, 1)}
+
+
+def test_linear_fit_by_matches_numpy_and_degenerate_null(spark):
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.stats import linear_fit_by
+
+    rows = [("a", i, 3 * i + 5 + (i % 3)) for i in range(20)]
+    rows += [("flat", 4, v) for v in (1, 2, 3)]  # all-equal x -> NULL fit
+    rows += [("one", 1, 9)]  # single point -> NULL fit
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in linear_fit_by(df, ["g"], "x", "y").collect()}
+    xs = np.array([r[1] for r in rows if r[0] == "a"], dtype=float)
+    ys = np.array([r[2] for r in rows if r[0] == "a"], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(got["a"]["slope"] - slope) < 1e-6
+    assert abs(got["a"]["intercept"] - intercept) < 1e-6
+    assert 0.9 < got["a"]["r2"] <= 1.0
+    for g in ("flat", "one"):
+        assert got[g]["slope"] is None and got[g]["r2"] is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        linear_fit_by(df, [], "x", "y")
