@@ -1381,6 +1381,23 @@ def _weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _langid_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # model EVALUATION against real ground truth: the heuristic
+    # language-ID's confusion matrix vs the corpus's lang column —
+    # (actual, predicted, n), the quality gate a curation pipeline
+    # puts around any classifier it deploys. One scoring pass + one
+    # count aggregate
+    from skylinemapreducehadoop_spark.functions.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs, "text", out_col="predicted")
+    return (
+        pred.groupBy(F.col("lang").alias("actual"), "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
 def _trend_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-series trend detection: OLS slope of the daily event count
     # over the day index, one fit per event type in a single pass
@@ -4253,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median_lineitem": _weighted_median_lineitem,
         "version_diff_check": _version_diff_check,
         "trend_by_type_events": _trend_by_type_events,
+        "langid_confusion_documents": _langid_confusion_documents,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -4789,6 +4807,11 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 _STOPWORDS_SQL = "('the','a','an','of','to','and','in','is','it')"
+
+
+def _lang_id_oracle_indent() -> str:
+    """The lang_id oracle as a CTE body (confusion-matrix wrapper)."""
+    return _lang_id_oracle().strip()
 
 
 def _lang_id_oracle() -> str:
@@ -6831,6 +6854,14 @@ FROM toks t LEFT JOIN scores s USING (doc_id)
             "SELECT doc_id, lang, n_chars, length(text)::BIGINT AS text_len FROM documents"
         ),
         "lang_id_documents": _lang_id_oracle(),
+        "langid_confusion_documents": f"""
+WITH pred AS ({_lang_id_oracle_indent()})
+SELECT d.lang AS actual, p.lang_pred AS predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY actual, predicted
+ORDER BY actual, predicted
+""",
         "reverse_skyline_part": _reverse_skyline_oracle(),
         "ngram_jaccard_documents": _JACCARD_PAIRS_SQL,
         # prefix-filtered EXACT join shares the all-pairs brute-force

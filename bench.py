@@ -344,6 +344,7 @@ EXTRA_QUERIES = [
     "weighted_median_lineitem",
     "version_diff_check",
     "trend_by_type_events",
+    "langid_confusion_documents",
 ]
 
 
