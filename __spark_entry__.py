@@ -1381,6 +1381,34 @@ def _weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_setops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the remaining KMV SET OPERATIONS: per-type-pair distinct-user
+    # UNION and DIFFERENCE sizes straight from the sketch columns
+    # (array_union / array_except on the hash sets — exact below
+    # capacity, same fail-fast regime as kmv_overlap_check). With
+    # intersection this completes the audience set-algebra suite: any
+    # boolean combination of segments answered without fact rescans
+    from skylinemapreducehadoop_spark.operators.sketches import kmv_sketch
+
+    K = 65536
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=K).cache()
+    if sk.where(F.size("kmv") >= K).count():
+        raise ValueError(f"kmv_setops_check out of its exact regime (K={K})")
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.size(F.array_union("a.kmv", "b.kmv")).cast("long").alias("n_union"),
+            F.size(F.array_except("a.kmv", "b.kmv")).cast("long").alias("n_a_only"),
+            F.size(F.array_except("b.kmv", "a.kmv")).cast("long").alias("n_b_only"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def _langid_confusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # model EVALUATION against real ground truth: the heuristic
     # language-ID's confusion matrix vs the corpus's lang column —
@@ -4271,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_diff_check": _version_diff_check,
         "trend_by_type_events": _trend_by_type_events,
         "langid_confusion_documents": _langid_confusion_documents,
+        "kmv_setops_check": _kmv_setops_check,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -5900,6 +5929,29 @@ pi AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
        CAST(sum(e1 - s0) AS BIGINT) AS covered_s
 FROM pi GROUP BY user_id ORDER BY user_id
+""",
+        "kmv_setops_check": """
+WITH s AS (
+  SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL
+),
+t AS (SELECT DISTINCT event_type FROM s),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM t a JOIN t b ON a.event_type < b.event_type
+),
+m AS (
+  SELECT p.type_a, p.type_b,
+         count(DISTINCT s.user_id) AS n_union
+  FROM p JOIN s ON s.event_type IN (p.type_a, p.type_b)
+  GROUP BY p.type_a, p.type_b
+),
+ca AS (SELECT event_type, count(*) AS c FROM s GROUP BY event_type)
+SELECT type_a, type_b,
+       CAST(n_union AS BIGINT) AS n_union,
+       CAST(n_union - cb.c AS BIGINT) AS n_a_only,
+       CAST(n_union - ca.c AS BIGINT) AS n_b_only
+FROM m JOIN ca ON ca.event_type = type_a JOIN ca cb ON cb.event_type = type_b
+ORDER BY type_a, type_b
 """,
         "kmv_overlap_check": """
 WITH s AS (

@@ -345,6 +345,7 @@ EXTRA_QUERIES = [
     "version_diff_check",
     "trend_by_type_events",
     "langid_confusion_documents",
+    "kmv_setops_check",
 ]
 
 

@@ -104,6 +104,7 @@ BNLJ_OK = {
     "skew_report_events",  # 1-row moments x 1-row top-k scalar join
     "rfm_segments_customers",  # 1-row customer-count (N) frame
     "kmv_overlap_check",  # per-type sketch-row theta self-join (5 rows)
+    "kmv_setops_check",  # same 5-row sketch-frame theta self-join
     "rrf_fusion_documents",  # 1-row corpus frame (the bm25_topk scalar)
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the

@@ -373,3 +373,19 @@ def test_grouped_topk_equals_window_and_partitioning_invariant(spark):
 
     with pytest.raises(ValueError):
         grouped_topk(df, ["g"], ["v"], 0)
+
+
+def test_grouped_topk_ascending(spark):
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.sampling import grouped_topk
+
+    rows = [(1, v, v) for v in (30, 10, 20, 40)]
+    df = spark.createDataFrame(rows, "g int, v long, id long")
+    got = [
+        (r["rank"], r["v"])
+        for r in grouped_topk(
+            df, ["g"], ["v", "id"], 2, descending=False
+        ).orderBy("rank").collect()
+    ]
+    assert got == [(1, 10), (2, 20)]
