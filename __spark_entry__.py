@@ -1381,6 +1381,91 @@ def _weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _class_scatter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # supervised embedding-store diagnostics: per-label WITHIN-class
+    # scatter (trace of the class scatter matrix / n, i.e. summed
+    # per-dim variance) and BETWEEN-class distance (label centroid vs
+    # global centroid, squared) — the Fisher-separability screen run
+    # before training on a labeled embedding table. All moments are
+    # exact decimal sums on the 1e6 grid; denominators clear via
+    # n*ssq - |s|^2 and (N*s_d - n*S_d)^2, so the only float steps are
+    # pinned-order divisions per label row. One fact-scan shuffle to
+    # the (label, dim) frame (640 rows); everything after is key-table
+    # algebra
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    q = F.round(F.col("x").cast("double") * 1000000).cast("decimal(38,0)")
+    u = emb.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    ).select("label", "i", q.alias("q"))
+    per = u.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("q").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sq"),
+    )
+    lab = per.groupBy("label").agg(
+        F.max("cnt").alias("n"),
+        F.sum("sq").alias("ssq"),
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias("s2"),
+    )
+    # every derived frame renames its columns up front: they all share
+    # per's lineage, and Spark's self-join attribute dedup reports
+    # spurious ambiguity on same-named attributes otherwise
+    glob = (
+        per.select(F.col("i").alias("__gi"), F.col("s").alias("__gs"))
+        .groupBy("__gi")
+        .agg(F.sum("__gs").alias("S"))
+    )
+    tot = per.where(F.col("i") == 0).agg(F.sum("cnt").alias("__N"))
+    lab_n = (
+        per.select(F.col("label").alias("__gl"), F.col("cnt").alias("__gc"))
+        .groupBy("__gl")
+        .agg(F.max("__gc").alias("__nb"))
+    )
+    bt_in = per.select(
+        F.col("label").alias("__bl"),
+        F.col("i").alias("__bi"),
+        F.col("s").alias("__bs"),
+    )
+    bt = (
+        bt_in.join(glob, F.col("__bi") == F.col("__gi"))
+        .join(lab_n, F.col("__bl") == F.col("__gl"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__bl").alias("label"),
+            "__nb",
+            "__N",
+            (
+                (F.col("__N") * F.col("__bs") - F.col("__nb") * F.col("S"))
+                * (F.col("__N") * F.col("__bs") - F.col("__nb") * F.col("S"))
+            ).cast("decimal(38,0)").alias("term"),
+        )
+        .groupBy("label", "__nb", "__N")
+        .agg(F.sum("term").alias("bnum"))
+    )
+    nd, Nd = F.col("__nb").cast("double"), F.col("__N").cast("double")
+    within = (
+        (F.col("n") * F.col("ssq") - F.col("s2")).cast("double")
+        / F.col("n").cast("double")
+        / F.col("n").cast("double")
+        / F.lit(1e12)
+    )
+    between = (
+        F.col("bnum").cast("double") / (nd * Nd) / (nd * Nd) / F.lit(1e12)
+    )
+    return (
+        lab.join(bt, "label")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.round(within, 9).alias("within_var"),
+            F.round(between, 9).alias("between_dist2"),
+        )
+        .orderBy("label")
+    )
+
+
 def _kmv_setops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the remaining KMV SET OPERATIONS: per-type-pair distinct-user
     # UNION and DIFFERENCE sizes straight from the sketch columns
@@ -4300,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_by_type_events": _trend_by_type_events,
         "langid_confusion_documents": _langid_confusion_documents,
         "kmv_setops_check": _kmv_setops_check,
+        "class_scatter_embeddings": _class_scatter_embeddings,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -5929,6 +6015,40 @@ pi AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
        CAST(sum(e1 - s0) AS BIGINT) AS covered_s
 FROM pi GROUP BY user_id ORDER BY user_id
+""",
+        "class_scatter_embeddings": """
+WITH u AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding)::DOUBLE * 1000000) AS HUGEINT) AS q
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+per AS (
+  SELECT label, i, count(*) AS cnt, sum(q) AS s, sum(q*q) AS sq
+  FROM u GROUP BY label, i
+),
+lab AS (
+  SELECT label, max(cnt) AS n, sum(sq) AS ssq, sum(s*s) AS s2
+  FROM per GROUP BY label
+),
+gm AS (SELECT i, sum(s) AS sg FROM per GROUP BY i),
+tot AS (SELECT sum(n) AS nn FROM lab),
+bt AS (
+  SELECT per.label, lab.n, tot.nn,
+         sum((tot.nn * per.s - lab.n * gm.sg)
+             * (tot.nn * per.s - lab.n * gm.sg)) AS bnum
+  FROM per JOIN gm USING (i) JOIN lab USING (label) CROSS JOIN tot
+  GROUP BY per.label, lab.n, tot.nn
+)
+SELECT lab.label, CAST(lab.n AS BIGINT) AS n,
+       round(CAST(lab.n * lab.ssq - lab.s2 AS DOUBLE)
+             / CAST(lab.n AS DOUBLE) / CAST(lab.n AS DOUBLE)
+             / 1000000000000.0, 9) AS within_var,
+       round(CAST(bt.bnum AS DOUBLE)
+             / (CAST(bt.n AS DOUBLE) * CAST(bt.nn AS DOUBLE))
+             / (CAST(bt.n AS DOUBLE) * CAST(bt.nn AS DOUBLE))
+             / 1000000000000.0, 9) AS between_dist2
+FROM lab JOIN bt USING (label)
+ORDER BY lab.label
 """,
         "kmv_setops_check": """
 WITH s AS (

@@ -346,6 +346,7 @@ EXTRA_QUERIES = [
     "trend_by_type_events",
     "langid_confusion_documents",
     "kmv_setops_check",
+    "class_scatter_embeddings",
 ]
 
 

@@ -105,6 +105,7 @@ BNLJ_OK = {
     "rfm_segments_customers",  # 1-row customer-count (N) frame
     "kmv_overlap_check",  # per-type sketch-row theta self-join (5 rows)
     "kmv_setops_check",  # same 5-row sketch-frame theta self-join
+    "class_scatter_embeddings",  # 1-row total-count (N) frame
     "rrf_fusion_documents",  # 1-row corpus frame (the bm25_topk scalar)
     # NOT a scalar join: ngram_jaccard_pairs is the repo's DECLARED
     # brute-force all-pairs baseline (the exactness twin of the
