@@ -1381,6 +1381,22 @@ def _weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _weighted_deciles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the weighted-median family generalized: quantity-weighted exact
+    # p10/p50/p90 of the line price per return flag in ONE pass —
+    # adding quantiles adds projection columns, not passes
+    from skylinemapreducehadoop_spark.operators.stats import weighted_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_quantiles(
+        li, "l_returnflag", "cents", "qty", [(1, 10), (1, 2), (9, 10)]
+    ).orderBy("l_returnflag")
+
+
 def _class_scatter_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # supervised embedding-store diagnostics: per-label WITHIN-class
     # scatter (trace of the class scatter matrix / n, i.e. summed
@@ -4386,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion_documents": _langid_confusion_documents,
         "kmv_setops_check": _kmv_setops_check,
         "class_scatter_embeddings": _class_scatter_embeddings,
+        "weighted_deciles_lineitem": _weighted_deciles_lineitem,
         # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
         # COVERAGE.md) — first in line for the r11 window:
         "histogram_orders": _histogram_orders,
@@ -6015,6 +6032,30 @@ pi AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
        CAST(sum(e1 - s0) AS BIGINT) AS covered_s
 FROM pi GROUP BY user_id ORDER BY user_id
+""",
+        "weighted_deciles_lineitem": """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+),
+pv AS (
+  SELECT l_returnflag, cents, sum(qty) AS w
+  FROM li GROUP BY l_returnflag, cents
+),
+c AS (
+  SELECT l_returnflag, cents, w,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cum,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM pv
+)
+SELECT l_returnflag,
+       CAST(max(tot) AS BIGINT) AS total_weight,
+       CAST(min(CASE WHEN cum * 10 >= tot * 1 THEN cents END) AS BIGINT) AS wq_1_10,
+       CAST(min(CASE WHEN cum * 2 >= tot * 1 THEN cents END) AS BIGINT) AS wq_1_2,
+       CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN cents END) AS BIGINT) AS wq_9_10
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         "class_scatter_embeddings": """
 WITH u AS (

@@ -347,6 +347,7 @@ EXTRA_QUERIES = [
     "langid_confusion_documents",
     "kmv_setops_check",
     "class_scatter_embeddings",
+    "weighted_deciles_lineitem",
 ]
 
 

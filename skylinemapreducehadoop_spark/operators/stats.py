@@ -1128,3 +1128,50 @@ def linear_fit_by(
         F.round(intercept, 9).alias("intercept"),
         F.round(r2, 9).alias("r2"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    quantiles: "Sequence[tuple[int, int]]",
+) -> DataFrame:
+    """Exact LOWER weighted quantiles per group for several q at once:
+    for each q = q_num/q_den, the smallest value whose cumulative
+    weight reaches q of the group total (``cum * q_den >= tot *
+    q_num`` — division-free exact longs; q=1/2 reproduces
+    :func:`weighted_median`). Returns (group, total_weight,
+    wq_<num>_<den>...).
+
+    Same shape as the median: one map-side-combined (group, value)
+    aggregate to the distinct-value table, ONE ordered window over it,
+    then one conditional-min aggregate per requested quantile — adding
+    quantiles adds projection columns, not passes.
+    """
+    qs = list(quantiles)
+    if not qs or any(n < 0 or d < 1 or n > d for n, d in qs):
+        raise ValueError("quantiles must be (num, den) with 0 <= num <= den")
+    g, v = F.col(group_col), F.col(value_col).cast("long")
+    w = F.col(weight_col).cast("long")
+    per_v = (
+        df.where(v.isNotNull() & w.isNotNull())
+        .groupBy(g.alias("__g"), v.alias("__v"))
+        .agg(F.sum(w).alias("__w"))
+    )
+    seq = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = Window.partitionBy("__g")
+    cum = per_v.withColumn("__cum", F.sum("__w").over(seq)).withColumn(
+        "__tot", F.sum("__w").over(grp)
+    )
+    aggs = [F.max("__tot").alias("total_weight")]
+    for num, den in qs:
+        hit = F.col("__cum") * den >= F.col("__tot") * num
+        aggs.append(
+            F.min(F.when(hit, F.col("__v"))).alias(f"wq_{num}_{den}")
+        )
+    return cum.groupBy(F.col("__g").alias(group_col)).agg(*aggs)

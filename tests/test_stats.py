@@ -585,3 +585,26 @@ def test_linear_fit_by_matches_numpy_and_degenerate_null(spark):
 
     with pytest.raises(ValueError):
         linear_fit_by(df, [], "x", "y")
+
+
+def test_weighted_quantiles_brackets_median_and_guards(spark):
+    from skylinemapreducehadoop_spark.operators.stats import (
+        weighted_median,
+        weighted_quantiles,
+    )
+
+    rows = [("a", v, 1) for v in range(1, 101)]  # uniform weights 1..100
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = weighted_quantiles(
+        df, "g", "v", "w", [(1, 10), (1, 2), (9, 10)]
+    ).collect()[0]
+    # rank ceil(q*100): p10 -> 10, p50 -> 50, p90 -> 90
+    assert (got["wq_1_10"], got["wq_1_2"], got["wq_9_10"]) == (10, 50, 90)
+    med = weighted_median(df, "g", "v", "w").collect()[0]["w_median"]
+    assert med == got["wq_1_2"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "g", "v", "w", [(3, 2)])
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "g", "v", "w", [])
