@@ -42,6 +42,7 @@ from skylinemapreducehadoop_spark.functions import text as TX
 
 _DIMS3 = [("l_extendedprice", "min"), ("l_discount", "min"), ("l_quantity", "max")]
 _SKY_COLS = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"]
+_BANNER = "subscribe to our newsletter click here for more"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4283,6 +4284,98 @@ def _distribution_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/RefinedWeb line-frequency boilerplate detection over
+    # aligned 8-token segments, with a PLANTED banner fixture: every
+    # 10th doc re-appears (doc_id+700000) behind a fixed 8-token
+    # banner, which detection must flag alongside the corpus's natural
+    # cross-doc repeats
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.lit(_BANNER + " "), F.col("text")).alias("text"),
+    )
+    return D.boilerplate_segments(
+        docs.unionByName(planted), width=8, min_docs=3
+    ).orderBy("segment")
+
+
+def _strip_boilerplate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the strip half of the boilerplate pass on the same planted
+    # corpus: per-doc segment/flag counts plus the rebuilt text's md5
+    # (hashing keeps the compared payload small; rebuild order is
+    # position-deterministic)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.lit(_BANNER + " "), F.col("text")).alias("text"),
+    )
+    out = D.strip_boilerplate(docs.unionByName(planted), width=8, min_docs=3)
+    return out.where(F.col("n_flagged") > 0).select(
+        "doc_id",
+        "n_segments",
+        "n_flagged",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def _gini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-priority revenue concentration: exact integer Gini on the
+    # cents grid (stats.gini_by — value-aggregated closed form, no
+    # per-row ranking)
+    from skylinemapreducehadoop_spark.operators.stats import gini_by
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return gini_by(o, "o_orderpriority", "cents").orderBy("o_orderpriority")
+
+
+def _ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # monthly revenue per priority smoothed by the exact truncated
+    # EWMA (temporal.ewma_smooth — integer lag weights 7^k*10^(11-k),
+    # one window pass)
+    from skylinemapreducehadoop_spark.operators.temporal import ewma_smooth
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    monthly = o.groupBy("o_orderpriority", "month").agg(
+        F.sum("cents").alias("revenue_cents")
+    )
+    return ewma_smooth(
+        monthly, "o_orderpriority", "month", "revenue_cents", round_digits=4
+    ).orderBy("o_orderpriority", "month")
+
+
+def _auc_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-classifier evaluation shape: exact Mann-Whitney ROC-AUC
+    # of the event value "score" against the purchase label, via the
+    # distributed prefix sum (stats.roc_auc — no global window)
+    from skylinemapreducehadoop_spark.operators.stats import roc_auc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("is_purchase")
+    )
+    return roc_auc(ev, "value", "is_purchase")
+
+
+def _chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dataset-bias screen: chi-square contingency cells of event type
+    # vs ISO weekday — exact integer deviations, one pinned division
+    # per cell (stats.chi2_independence)
+    from skylinemapreducehadoop_spark.operators.stats import chi2_independence
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    return chi2_independence(ev, "event_type", "dow")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4522,6 +4615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt": _q16_supplier_cnt,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_sales_opportunity": _q22_sales_opportunity,
+        "boilerplate_documents": _boilerplate_documents,
+        "strip_boilerplate_documents": _strip_boilerplate_documents,
+        "gini_orders": _gini_orders,
+        "ewma_orders": _ewma_orders,
+        "auc_purchase_events": _auc_purchase_events,
+        "chi2_events": _chi2_events,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -7908,6 +8007,178 @@ SELECT doc_id,
 FROM documents
 """,
         # approx_distinct_users: HLL sketch, approximate by design -> rows-only
+        'boilerplate_documents': """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000,
+         'subscribe to our newsletter click here for more ' || text
+  FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM base
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+segs AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(t[(i-1)*8+1 : i*8], ' ')
+                 FOR i IN range(1, greatest((len(t)+7)//8, 1)+1)]) AS segment
+  FROM toks
+)
+SELECT segment, count(*) AS doc_freq, min(doc_id) AS first_doc
+FROM segs GROUP BY segment HAVING count(*) >= 3 ORDER BY segment
+""",
+        'strip_boilerplate_documents': """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 700000,
+         'subscribe to our newsletter click here for more ' || text
+  FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM base
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+segs AS (
+  SELECT doc_id,
+         unnest(range(1, greatest((len(t)+7)//8, 1)+1)) AS pos,
+         unnest([array_to_string(t[(i-1)*8+1 : i*8], ' ')
+                 FOR i IN range(1, greatest((len(t)+7)//8, 1)+1)]) AS seg
+  FROM toks
+),
+flagged AS (
+  SELECT seg FROM (
+    SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg
+  ) WHERE df >= 3
+),
+marked AS (
+  SELECT s.doc_id, s.pos, s.seg, f.seg IS NOT NULL AS flag
+  FROM segs s LEFT JOIN flagged f USING (seg)
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_segments,
+         sum(CASE WHEN flag THEN 1 ELSE 0 END) AS n_flagged,
+         md5(coalesce(
+           array_to_string(list(seg ORDER BY pos) FILTER (WHERE NOT flag), ' '),
+           '')) AS clean_md5
+  FROM marked GROUP BY doc_id
+)
+SELECT doc_id, n_segments, n_flagged, clean_md5
+FROM rebuilt WHERE n_flagged > 0 ORDER BY doc_id
+""",
+        'gini_orders': """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+pv AS (SELECT g, v, CAST(count(*) AS HUGEINT) AS c FROM o GROUP BY g, v),
+cw AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM pv
+),
+ag AS (
+  SELECT g,
+         sum(CAST(v AS HUGEINT) * (cc*(cc+1) - (cc-c)*(cc-c+1))) AS tr,
+         sum(CAST(v AS HUGEINT) * c) AS total,
+         sum(c) AS n
+  FROM cw GROUP BY g
+)
+SELECT g AS o_orderpriority,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(total AS BIGINT) AS total,
+       CASE WHEN total > 0 THEN
+         round(CAST(tr - (n+1)*total AS DOUBLE) / CAST(n*total AS DOUBLE), 9)
+       END AS gini
+FROM ag ORDER BY o_orderpriority
+""",
+        'ewma_orders': """
+WITH m AS (
+  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, revenue_cents,
+       round(
+         CAST(coalesce(CAST((revenue_cents) AS HUGEINT), 0) * 100000000000
+           + coalesce(CAST((lag(revenue_cents, 1) OVER w) AS HUGEINT), 0) * 70000000000
+           + coalesce(CAST((lag(revenue_cents, 2) OVER w) AS HUGEINT), 0) * 49000000000
+           + coalesce(CAST((lag(revenue_cents, 3) OVER w) AS HUGEINT), 0) * 34300000000
+           + coalesce(CAST((lag(revenue_cents, 4) OVER w) AS HUGEINT), 0) * 24010000000
+           + coalesce(CAST((lag(revenue_cents, 5) OVER w) AS HUGEINT), 0) * 16807000000
+           + coalesce(CAST((lag(revenue_cents, 6) OVER w) AS HUGEINT), 0) * 11764900000
+           + coalesce(CAST((lag(revenue_cents, 7) OVER w) AS HUGEINT), 0) * 8235430000
+           + coalesce(CAST((lag(revenue_cents, 8) OVER w) AS HUGEINT), 0) * 5764801000
+           + coalesce(CAST((lag(revenue_cents, 9) OVER w) AS HUGEINT), 0) * 4035360700
+           + coalesce(CAST((lag(revenue_cents, 10) OVER w) AS HUGEINT), 0) * 2824752490
+           + coalesce(CAST((lag(revenue_cents, 11) OVER w) AS HUGEINT), 0) * 1977326743 AS DOUBLE)
+         / CAST(CASE WHEN (revenue_cents) IS NOT NULL THEN CAST(100000000000 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 1) OVER w) IS NOT NULL THEN CAST(70000000000 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 2) OVER w) IS NOT NULL THEN CAST(49000000000 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 3) OVER w) IS NOT NULL THEN CAST(34300000000 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 4) OVER w) IS NOT NULL THEN CAST(24010000000 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 5) OVER w) IS NOT NULL THEN CAST(16807000000 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 6) OVER w) IS NOT NULL THEN CAST(11764900000 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 7) OVER w) IS NOT NULL THEN CAST(8235430000 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 8) OVER w) IS NOT NULL THEN CAST(5764801000 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 9) OVER w) IS NOT NULL THEN CAST(4035360700 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 10) OVER w) IS NOT NULL THEN CAST(2824752490 AS HUGEINT) ELSE 0 END
+           + CASE WHEN (lag(revenue_cents, 11) OVER w) IS NOT NULL THEN CAST(1977326743 AS HUGEINT) ELSE 0 END AS DOUBLE), 4) AS ewma
+FROM m
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+ORDER BY o_orderpriority, month
+""",
+        'auc_purchase_events': """
+WITH e AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+ps AS (
+  SELECT s, CAST(sum(lab) AS HUGEINT) AS p,
+         CAST(count(*) - sum(lab) AS HUGEINT) AS n
+  FROM e GROUP BY s
+),
+c AS (
+  SELECT s, p, n,
+         sum(n) OVER (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS below
+  FROM ps
+)
+SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       CAST(sum(n) AS BIGINT) AS n_neg,
+       CAST(count(*) AS BIGINT) AS n_scores,
+       CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+         round(CAST(sum(p * (2*below + n)) AS DOUBLE)
+               / CAST(2 * sum(p) * sum(n) AS DOUBLE), 9)
+       END AS auc
+FROM c
+""",
+        'chi2_events': """
+WITH e AS (
+  SELECT event_type AS a, dayofweek(ts) + 1 AS b
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS o FROM e GROUP BY a, b),
+ra AS (SELECT a, sum(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, sum(o) AS cb FROM cells GROUP BY b),
+nn AS (SELECT sum(o) AS nn FROM cells)
+SELECT cells.a AS event_type, CAST(cells.b AS INTEGER) AS dow,
+       CAST(cells.o AS BIGINT) AS observed,
+       round(CAST(ra.ra * cb.cb AS DOUBLE) / CAST(nn.nn AS DOUBLE), 9)
+         AS expected,
+       round(CAST((nn.nn*cells.o - ra.ra*cb.cb)
+                  * (nn.nn*cells.o - ra.ra*cb.cb) AS DOUBLE)
+             / CAST(nn.nn * ra.ra * cb.cb AS DOUBLE), 9) AS contrib
+FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn
+ORDER BY event_type, dow
+""",
         "curate_corpus": f"""
 WITH t AS (
   SELECT doc_id,

@@ -1175,3 +1175,225 @@ def weighted_quantiles(
             F.min(F.when(hit, F.col("__v"))).alias(f"wq_{num}_{den}")
         )
     return cum.groupBy(F.col("__g").alias(group_col)).agg(*aggs)
+
+
+def gini_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini concentration coefficient in EXACT integer
+    arithmetic — the classic inequality / concentration screen
+    ("how concentrated is revenue across customers per nation?",
+    "is one source dominating the training mix?").
+
+    ``value_col`` must be a NON-NEGATIVE integer column (put money on
+    the cents grid first). Uses the sorted-rank closed form
+    ``G = (2*sum_i(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` with rows
+    sorted ascending — but evaluated on the VALUE-AGGREGATED frame:
+    for a distinct value ``v`` with count ``c`` and cumulative count
+    ``C`` the tie block contributes ``v * (C*(C+1) - (C-c)*(C-c+1))/2``
+    to ``sum_i(i*x_i)`` regardless of how ties were ordered, so the
+    statistic is deterministic with no per-row ranking at all.
+
+    Exactness: every sum folds in decimal(38,0); the single float
+    step is the final numerator/denominator division, rounded to 9 —
+    bit-identical on any engine/layout.
+
+    Scale shape: one map-side-combined aggregate to the (group,
+    distinct value) frame, one window over THAT frame partitioned by
+    group (value-cardinality sized, not row sized — the
+    weighted_quantiles defense), one final per-group aggregate.
+    Groups with total == 0 (all-zero values) emit NULL gini.
+    """
+    v = F.col("__v").cast("decimal(38,0)")
+    per_val = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # NB: name the running sum with a case-DISTINCT identifier — Spark
+    # resolves column names case-insensitively by default, so "__C"
+    # next to "__c" silently aliases the same attribute
+    cum = per_val.withColumn("__cum", F.sum("__c").over(w))
+    lo = F.col("__cum") - F.col("__c")
+    block = v * (
+        F.col("__cum") * (F.col("__cum") + 1) - lo * (lo + 1)
+    )
+    agg = cum.groupBy("__g").agg(
+        F.sum(block).alias("__twice_ranked"),
+        F.sum(v * F.col("__c")).alias("__total"),
+        F.sum("__c").alias("__n"),
+    )
+    num = (
+        F.col("__twice_ranked")
+        - (F.col("__n") + 1) * F.col("__total")
+    )
+    den = F.col("__n") * F.col("__total")
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("__total").cast("long").alias("total"),
+        F.when(
+            F.col("__total") > 0,
+            F.round(num.cast("double") / den.cast("double"), 9),
+        ).alias("gini"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    scale: int = 1000000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label WITHOUT a
+    single-partition window — the evaluation step of every
+    quality-classifier gate in a data pipeline ("does this heuristic
+    score actually separate keep from drop?").
+
+    AUC is the Mann-Whitney U statistic normalized: with the score
+    quantized to an integer grid (``scale``), for each distinct score
+    ``s`` holding ``p_s`` positives and ``n_s`` negatives,
+    ``2U = sum_s p_s * (2 * N_below(s) + n_s)`` where ``N_below`` is
+    the count of negatives at strictly smaller scores (ties get the
+    conventional 1/2 credit — the ``+ n_s`` term). All counts are
+    exact longs; the single float step is the final ``2U / (2*P*N)``
+    division, rounded to 9.
+
+    Scale shape: one map-side-combined aggregate to the distinct-score
+    frame, then the distributed prefix sum of :func:`percentile_ranks`
+    (range partition, per-partition running sums under a
+    partition_id-keyed window, #partitions-row offsets collect,
+    broadcast-add). No window in the plan has an empty partition spec.
+
+    Returns one row: (n_pos, n_neg, n_scores, auc). NULL auc when
+    either class is empty.
+    """
+    lab = F.col(label_col).cast("long")
+    q = _q(score_col, scale)
+    per_score = (
+        df.where(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(q.alias("__s"))
+        .agg(
+            F.sum(lab).alias("__p"),
+            (F.count(F.lit(1)) - F.sum(lab)).alias("__n"),
+        )
+    )
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    local_w = Window.partitionBy("__pid").orderBy(F.asc("__s"))
+    local = (
+        per_score.repartitionByRange(nparts, F.asc("__s"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lcum",
+            F.sum("__n").over(
+                local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .localCheckpoint()
+    )
+    pstats = sorted(
+        local.groupBy("__pid").agg(F.sum("__n").alias("__t")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, cum = [], 0
+    for r in pstats:
+        offsets.append((r["__pid"], cum))
+        cum += int(r["__t"] or 0)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    below = F.col("__lcum") + F.col("__off") - F.col("__n")
+    twice_u = F.sum(
+        (F.col("__p") * (2 * below + F.col("__n"))).cast("decimal(38,0)")
+    )
+    out = local.join(F.broadcast(off_df), "__pid").agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        twice_u.alias("__2u"),
+    )
+    return out.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("__2u").cast("double")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                9,
+            ),
+        ).alias("auc"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Pearson chi-square contingency cells for two categorical
+    columns — the dataset-bias screen ("is event type independent of
+    weekday?", "is language independent of source?") that complements
+    :func:`mutual_information` with the classical test statistic.
+
+    Per cell (a, b): observed count ``O``, expected count
+    ``E = R_a * C_b / N`` and the contribution
+    ``(O - E)^2 / E = (N*O - R_a*C_b)^2 / (N * R_a * C_b)``. The
+    right-hand form clears every subtraction into exact decimal(38,0)
+    integer algebra; each cell's single division is pinned and rounded
+    to 9, so the frame is engine-exact. The total statistic is the
+    exact decimal SUM of the rounded per-cell contributions (rounding
+    before the fold makes the sum order-free — the pinned-division
+    discipline of class_scatter generalized to a reduction).
+
+    Scale shape: one map-side-combined aggregate to the |A|x|B| cell
+    frame; row/column marginals are cell-frame aggregates joined back
+    (AQE broadcasts them — they are category-cardinality sized); the
+    grand total is a 1-row broadcast join. No shuffle touches the
+    fact table twice.
+
+    Returns the per-cell frame (a, b, observed, expected, contrib)
+    ordered by (a, b).
+    """
+    cells = (
+        df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__o"))
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    nn = cells.agg(F.sum("__o").alias("__nn"))
+    j = (
+        cells.join(ra.hint("shuffle_hash"), "__a")
+        .join(cb.hint("shuffle_hash"), "__b")
+        .crossJoin(F.broadcast(nn))
+    )
+    dev = F.col("__nn") * F.col("__o") - F.col("__ra") * F.col("__cb")
+    contrib = (dev * dev).cast("double") / (
+        F.col("__nn") * F.col("__ra") * F.col("__cb")
+    ).cast("double")
+    return j.select(
+        F.col("__a").alias(a_col),
+        F.col("__b").alias(b_col),
+        F.col("__o").cast("long").alias("observed"),
+        F.round(
+            (F.col("__ra") * F.col("__cb")).cast("double")
+            / F.col("__nn").cast("double"),
+            9,
+        ).alias("expected"),
+        F.round(contrib, 9).alias("contrib"),
+    ).orderBy(a_col, b_col)

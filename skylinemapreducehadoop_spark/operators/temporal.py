@@ -571,3 +571,74 @@ def last_touch_attribution(
         F.when(keep, F.col("__lt.ts")).alias("touch_ts"),
         F.when(keep, F.round(lag_s, 6)).alias("lag_seconds"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    *,
+    decay_num: int = 7,
+    decay_den: int = 10,
+    lookback: int = 12,
+    out_col: str = "ewma",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per group, in
+    EXACT integer arithmetic — the standard trend smoother for period
+    metrics (daily volumes, monthly revenue) whose textbook recursion
+    ``s_t = a*x_t + (1-a)*s_{t-1}`` is not window-expressible.
+
+    The truncation makes it both window-expressible AND exact: with
+    decay ``d = decay_num/decay_den`` (i.e. alpha = 1 - d) and a
+    ``lookback`` of L observations, the weight of the k-th lag is
+    ``d^k`` — rational, so scaling every weight by ``decay_den^(L-1)``
+    gives INTEGER weights ``w_k = decay_num^k * decay_den^(L-1-k)``
+    and ``ewma_t = sum_k w_k*x_{t-k} / sum_k w_k`` over the lags that
+    exist. Every product folds in decimal(38,0); the single float step
+    is the final division, rounded to 9 — engine-exact, unlike the
+    recursive form whose float error depends on series length. The
+    dropped tail carries weight ``d^L`` (~1.4% at the defaults) of an
+    untruncated EWMA — the standard "effective window" truncation.
+
+    ``value_col`` must be integer-valued (put money on the cents
+    grid); ``order_col`` must be a deterministic per-group order.
+    Semantics are over the OBSERVATION sequence (lag k = k-th previous
+    row); run :func:`gapfill_time_series` first for calendar lags.
+
+    ``round_digits`` bounds the output grid; for cross-engine
+    bit-parity keep ``|ewma| * 10^round_digits < 2^53`` (rounding a
+    double to d decimals is engine-divergent once the scaled value
+    leaves the exact-integer range of doubles — pick d from the
+    value magnitude, e.g. 4 for cents-grid monthly revenues).
+
+    Scale shape: ONE window pass (one Exchange on the group, one sort)
+    evaluates all L lag expressions — static codegen, no self-join, no
+    iteration. Per-task state is one partition's rows, as any ordered
+    per-key scan must be.
+    """
+    if lookback < 1:
+        raise ValueError("lookback must be >= 1")
+    if not (0 < decay_num < decay_den):
+        raise ValueError("need 0 < decay_num < decay_den (decay in (0,1))")
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    x = F.col(value_col).cast("decimal(38,0)")
+    weights = [
+        decay_num**k * decay_den ** (lookback - 1 - k) for k in range(lookback)
+    ]
+    num = None
+    den = None
+    for k, wk in enumerate(weights):
+        lagged = F.lag(x, k).over(w) if k else x
+        wk_lit = F.lit(wk).cast("decimal(38,0)")
+        term = F.coalesce(lagged, F.lit(0).cast("decimal(38,0)")) * wk_lit
+        have = F.when(lagged.isNotNull(), wk_lit).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )
+        num = term if num is None else num + term
+        den = have if den is None else den + have
+    return df.withColumn(
+        out_col,
+        F.round(num.cast("double") / den.cast("double"), round_digits),
+    )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import random
 
+from pyspark.sql import functions as F
+
 from skylinemapreducehadoop_spark.operators import dedup as D
 
 
@@ -618,3 +620,84 @@ def test_containment_pairs_stop_gram_ceiling(spark):
     assert containment_pairs(df, threshold=0.01).count() == 10  # all pairs share boiler grams
     pruned = containment_pairs(df, threshold=0.01, max_gram_df=2)
     assert pruned.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_segments / strip_boilerplate (round 10)
+
+
+def _banner_corpus(spark):
+    # 6 unique docs; docs 0,1,2 share an 8-token banner prefix;
+    # doc 5 is whitespace-only (empty-doc contract)
+    banner = "one two three four five six seven eight"
+    bodies = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "red orange yellow green blue indigo violet ultra infra deep",
+        "spark shuffles keys across partitions when grouping by a key",
+        "ducks swim in rows under bridges at dawn every single day",
+    ]
+    rows = [(i, (banner + " " + b) if i < 3 else b) for i, b in enumerate(bodies)]
+    rows.append((5, "   "))
+    return spark.createDataFrame(rows, "doc_id long, text string"), banner
+
+
+def test_boilerplate_flags_planted_banner(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import boilerplate_segments
+
+    df, banner = _banner_corpus(spark)
+    out = boilerplate_segments(df, width=8, min_docs=3).collect()
+    assert len(out) == 1
+    assert out[0]["segment"] == banner
+    assert out[0]["doc_freq"] == 3
+    assert out[0]["first_doc"] == 0
+
+
+def test_boilerplate_within_doc_repeat_counts_once(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import boilerplate_segments
+
+    seg = "a b c d e f g h"
+    # one doc repeating the segment 5 times is ONE document
+    df = spark.createDataFrame(
+        [(1, " ".join([seg] * 5)), (2, seg), (3, "x y z w v u t s")],
+        "doc_id long, text string",
+    )
+    out = {r["segment"]: r for r in boilerplate_segments(df, width=8, min_docs=2).collect()}
+    assert out[seg]["doc_freq"] == 2
+
+
+def test_strip_boilerplate_removes_and_rebuilds(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import strip_boilerplate
+
+    df, banner = _banner_corpus(spark)
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, width=8, min_docs=3).collect()}
+    assert len(out) == 6
+    # banner docs lose exactly the banner segment, keep their body
+    for i in (0, 1, 2):
+        assert out[i]["n_flagged"] == 1
+        assert banner not in out[i]["clean_text"]
+        assert out[i]["clean_text"].split()  # body survives
+    # clean docs unchanged
+    for i in (3, 4):
+        assert out[i]["n_flagged"] == 0
+        assert out[i]["clean_text"] == df.where(F.col("doc_id") == i).collect()[0]["text"]
+    # empty doc contract: stays, zero segments
+    assert out[5]["clean_text"] == ""
+    assert out[5]["n_segments"] == 0 and out[5]["n_flagged"] == 0
+
+
+def test_strip_boilerplate_order_preserved(spark):
+    from skylinemapreducehadoop_spark.operators.dedup import strip_boilerplate
+
+    seg = "p q r s t u v w"
+    # doc where boilerplate sits in the MIDDLE: surviving segments
+    # must rejoin in original order
+    body_a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    body_b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame(
+        [(1, f"{body_a} {seg} {body_b}"), (2, seg), (3, seg)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, width=8, min_docs=3).collect()}
+    assert out[1]["clean_text"] == f"{body_a} {body_b}"
+    assert out[2]["clean_text"] == "" and out[2]["n_flagged"] == 1

@@ -71,6 +71,7 @@ SKIP_EAGER = {
     "bfs_hops_copurchase",  # iterative: localCheckpoint + isEmpty per level
     "shortest_paths_copurchase",  # iterative Bellman-Ford rounds
     "leakage_safe_split_documents",  # hash-min component fixed point
+    "auc_purchase_events",  # prefix-sum offsets collect (percentile_ranks shape)
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a 1-row (or
@@ -112,6 +113,7 @@ BNLJ_OK = {
     # minhash/setsim sublinear paths — see COVERAGE.md); its nested
     # loop is the point of the operator, not an accident
     "ngram_jaccard_documents",
+    "chi2_events",  # 1-row grand-total (N) frame
 }
 
 

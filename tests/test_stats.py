@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from skylinemapreducehadoop_spark.operators.stats import (
     corr_matrix,
+    gini_by,
     linear_fit,
     zscore_outliers,
 )
@@ -608,3 +609,136 @@ def test_weighted_quantiles_brackets_median_and_guards(spark):
         weighted_quantiles(df, "g", "v", "w", [(3, 2)])
     with pytest.raises(ValueError):
         weighted_quantiles(df, "g", "v", "w", [])
+
+
+# ---------------------------------------------------------------------------
+# gini_by / roc_auc / chi2_independence (round 10 additions)
+
+
+def test_gini_uniform_is_zero(spark):
+    df = spark.createDataFrame([("a", 7)] * 40, "g string, v long")
+    row = gini_by(df, "g", "v").collect()[0]
+    assert row["gini"] == 0.0
+    assert row["n_rows"] == 40
+    assert row["total"] == 280
+
+
+def test_gini_extreme_concentration(spark):
+    # n-1 zeros + one holder of everything: G = (n-1)/n
+    n = 25
+    rows = [("g", 0)] * (n - 1) + [("g", 1000)]
+    row = gini_by(spark.createDataFrame(rows, "g string, v long"), "g", "v").collect()[0]
+    assert row["gini"] == pytest.approx((n - 1) / n, abs=1e-9)
+
+
+def test_gini_matches_sorted_rank_formula(spark):
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 500, 300).tolist()
+    df = spark.createDataFrame([("g", int(v)) for v in vals], "g string, v long")
+    row = gini_by(df, "g", "v").collect()[0]
+    xs = sorted(vals)
+    n, tot = len(xs), sum(xs)
+    ranked = sum((i + 1) * x for i, x in enumerate(xs))
+    expect = (2 * ranked - (n + 1) * tot) / (n * tot)
+    assert row["gini"] == pytest.approx(expect, abs=1e-9)
+    # value-aggregated form is tie-order independent by construction:
+    # shuffling input rows changes nothing
+    row2 = gini_by(df.repartition(17), "g", "v").collect()[0]
+    assert row2["gini"] == row["gini"]
+
+
+def test_gini_all_zero_group_is_null(spark):
+    df = spark.createDataFrame([("z", 0)] * 5, "g string, v long")
+    assert gini_by(df, "g", "v").collect()[0]["gini"] is None
+
+
+def test_roc_auc_perfect_and_random(spark):
+    from skylinemapreducehadoop_spark.operators.stats import roc_auc
+
+    # perfect separation -> 1.0
+    rows = [(float(i), 1 if i >= 50 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    row = roc_auc(df, "s", "y").collect()[0]
+    assert row["auc"] == 1.0
+    assert row["n_pos"] == 50 and row["n_neg"] == 50
+    # single tied score -> 0.5 by the tie convention
+    df2 = spark.createDataFrame([(1.0, 1)] * 5 + [(1.0, 0)] * 7, "s double, y int")
+    assert roc_auc(df2, "s", "y").collect()[0]["auc"] == 0.5
+
+
+def test_roc_auc_matches_sklearn_formula(spark):
+    from skylinemapreducehadoop_spark.operators.stats import roc_auc
+
+    rng = np.random.default_rng(5)
+    scores = rng.integers(0, 20, 400)  # heavy ties
+    labels = (rng.random(400) < (scores / 25.0)).astype(int)
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in zip(scores, labels)], "s double, y int"
+    )
+    row = roc_auc(df, "s", "y").collect()[0]
+    # reference: Mann-Whitney with average ranks (scipy-free)
+    import collections
+
+    cnt = collections.Counter()
+    pos = collections.Counter()
+    for s, y in zip(scores.tolist(), labels.tolist()):
+        cnt[s] += 1
+        pos[s] += y
+    below = 0
+    two_u = 0
+    for s in sorted(cnt):
+        p = pos[s]
+        n = cnt[s] - p
+        two_u += p * (2 * below + n)
+        below += n
+    P = int(labels.sum())
+    N = len(labels) - P
+    assert row["auc"] == pytest.approx(two_u / (2 * P * N), abs=1e-9)
+
+
+def test_roc_auc_single_class_null(spark):
+    from skylinemapreducehadoop_spark.operators.stats import roc_auc
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] is None
+
+
+def test_roc_auc_no_global_window(spark):
+    from skylinemapreducehadoop_spark.operators.stats import roc_auc
+
+    rows = [(float(i % 37), i % 2) for i in range(300)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    plan = roc_auc(df, "s", "y")._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, f"global window in plan: {line}"
+
+
+def test_chi2_independent_uniform_is_zero(spark):
+    from skylinemapreducehadoop_spark.operators.stats import chi2_independence
+
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi2_independence(df, "a", "b").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["observed"] == 25
+        assert r["expected"] == 25.0
+        assert r["contrib"] == 0.0
+
+
+def test_chi2_matches_closed_form(spark):
+    from skylinemapreducehadoop_spark.operators.stats import chi2_independence
+
+    # skewed 2x2 table with known chi2
+    counts = {("x", "p"): 30, ("x", "q"): 10, ("y", "p"): 20, ("y", "q"): 40}
+    rows = [(a, b) for (a, b), c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {(r["a"], r["b"]): r for r in chi2_independence(df, "a", "b").collect()}
+    n = sum(counts.values())
+    ra = {"x": 40, "y": 60}
+    cb = {"p": 50, "q": 50}
+    for (a, b), c in counts.items():
+        e = ra[a] * cb[b] / n
+        assert out[(a, b)]["expected"] == pytest.approx(e, abs=1e-9)
+        assert out[(a, b)]["contrib"] == pytest.approx((c - e) ** 2 / e, abs=1e-9)

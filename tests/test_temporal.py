@@ -6,6 +6,7 @@ import datetime
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from skylinemapreducehadoop_spark.operators.temporal import asof_join, range_join
 
@@ -462,3 +463,80 @@ def test_last_touch_attribution_max_lag(spark):
     assert ok["touch_event_id"] == 1
     cut = last_touch_attribution(df, max_lag="2 hours").collect()[0]
     assert cut["touch_event_id"] is None and cut["lag_seconds"] is None
+
+
+# ---------------------------------------------------------------------------
+# ewma_smooth (round 10)
+
+
+def _ewma_truncated_ref(xs, decay=0.7, lookback=12):
+    out = []
+    for t in range(len(xs)):
+        lo = max(0, t - lookback + 1)
+        num = den = 0.0
+        for i in range(lo, t + 1):
+            w = decay ** (t - i)
+            num += w * xs[i]
+            den += w
+        out.append(num / den)
+    return out
+
+
+def test_ewma_matches_truncated_reference(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import ewma_smooth
+
+    xs = [100, 120, 90, 200, 150, 170, 80, 300, 250, 240, 260, 90, 110, 400]
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, t int, x long")
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma_smooth(df, "g", "t", "x").collect()
+    }
+    ref = _ewma_truncated_ref(xs)
+    for t, want in enumerate(ref):
+        assert got[t] == pytest.approx(want, abs=1e-6), t
+
+
+def test_ewma_head_renormalizes(spark):
+    # first row has only itself in the window -> ewma == x exactly
+    from skylinemapreducehadoop_spark.operators.temporal import ewma_smooth
+
+    df = spark.createDataFrame([("g", 0, 12345)], "g string, t int, x long")
+    assert ewma_smooth(df, "g", "t", "x").collect()[0]["ewma"] == 12345.0
+
+
+def test_ewma_groups_independent(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import ewma_smooth
+
+    rows = [("a", 0, 10), ("a", 1, 20), ("b", 0, 1000)]
+    df = spark.createDataFrame(rows, "g string, t int, x long")
+    got = {(r["g"], r["t"]): r["ewma"] for r in ewma_smooth(df, "g", "t", "x").collect()}
+    assert got[("b", 0)] == 1000.0
+    # a@1 = (0.3*? no: truncated weights 1, 0.7 -> (20 + 0.7*10)/1.7
+    assert got[("a", 1)] == pytest.approx(27.0 / 1.7, abs=1e-6)
+
+
+def test_ewma_validation(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import ewma_smooth
+
+    df = spark.createDataFrame([("g", 0, 1)], "g string, t int, x long")
+    with pytest.raises(ValueError):
+        ewma_smooth(df, "g", "t", "x", lookback=0)
+    with pytest.raises(ValueError):
+        ewma_smooth(df, "g", "t", "x", decay_num=10, decay_den=10)
+
+
+def test_ewma_single_window_pass(spark):
+    # all L lags ride ONE window spec: exactly one Exchange on the
+    # group key and one Sort in the plan
+    from skylinemapreducehadoop_spark.operators.temporal import ewma_smooth
+
+    rows = [("g%d" % (i % 4), i, i * 3) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, t int, x long")
+    plan = (
+        ewma_smooth(df, "g", "t", "x")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1
