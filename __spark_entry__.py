@@ -4376,6 +4376,89 @@ def _chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(ev, "event_type", "dow")
 
 
+
+def _survival_km_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kaplan-Meier time-to-purchase per first-event cohort: duration =
+    # days from a user's first event to their first purchase (event=1)
+    # or to their last observed event (censored); the cumulative
+    # product runs as an order-free rounded-log decimal sum
+    # (stats.survival_km)
+    from skylinemapreducehadoop_spark.operators.stats import survival_km
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", F.to_date("ts").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type", "d")).alias("__first"),
+        F.max("d").alias("__last_d"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("d"))).alias(
+            "__purchase_d"
+        ),
+    )
+    subj = per_user.select(
+        F.col("__first.event_type").alias("cohort"),
+        F.datediff(
+            F.coalesce("__purchase_d", "__last_d"), F.col("__first.d")
+        ).alias("duration"),
+        F.col("__purchase_d").isNotNull().cast("int").alias("event"),
+    )
+    return survival_km(subj, "cohort", "duration", "event").orderBy(
+        "cohort", "t"
+    )
+
+
+def _benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-significant-digit screen on order totals (cents
+    # grid; leading digit via decimal-string substr — no float log10
+    # in the bucketing)
+    from skylinemapreducehadoop_spark.operators.stats import benford_digits
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return benford_digits(o, "cents")
+
+
+def _trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 5%-each-side trimmed mean of order totals per priority, exact on
+    # the value-aggregated frame (stats.trimmed_mean); dollars out to
+    # respect the round-parity magnitude rule
+    from skylinemapreducehadoop_spark.operators.stats import trimmed_mean
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return trimmed_mean(
+        o, "o_orderpriority", "cents", trim_num=1, trim_den=20,
+        out_scale_den=100, round_digits=6,
+    ).orderBy("o_orderpriority")
+
+
+def _position_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U-shaped multi-touch attribution over per-user journeys
+    # (temporal.position_attribution): exact rational credits, one
+    # pinned division each
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        position_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return position_attribution(ev).orderBy(
+        "conversion_event_id", "position"
+    )
+
+
+def _mix_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language source-mix diversity: Shannon (order-free rounded
+    # decimal fold), Hill-1 effective source count, Gini-Simpson
+    # (sampling.mix_diversity)
+    from skylinemapreducehadoop_spark.operators.sampling import mix_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_diversity(docs, "lang", "source").orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4621,6 +4704,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_orders": _ewma_orders,
         "auc_purchase_events": _auc_purchase_events,
         "chi2_events": _chi2_events,
+        "survival_km_users": _survival_km_users,
+        "benford_orders": _benford_orders,
+        "trimmed_mean_orders": _trimmed_mean_orders,
+        "position_attribution_events": _position_attribution_events,
+        "mix_diversity_documents": _mix_diversity_documents,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -8178,6 +8266,165 @@ SELECT cells.a AS event_type, CAST(cells.b AS INTEGER) AS dow,
              / CAST(nn.nn * ra.ra * cb.cb AS DOUBLE), 9) AS contrib
 FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn
 ORDER BY event_type, dow
+""",
+        'survival_km_users': """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type, CAST(ts AS DATE) AS d FROM events
+),
+fe AS (
+  SELECT user_id, event_type AS cohort, d AS first_d,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM ev
+),
+firsts AS (SELECT user_id, cohort, first_d FROM fe WHERE rn = 1),
+per_u AS (
+  SELECT user_id, max(d) AS last_d,
+         min(CASE WHEN event_type = 'purchase' THEN d END) AS purchase_d
+  FROM ev GROUP BY user_id
+),
+subj AS (
+  SELECT f.cohort,
+         date_diff('day', f.first_d, coalesce(p.purchase_d, p.last_d))
+           AS duration,
+         CASE WHEN p.purchase_d IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM firsts f JOIN per_u p USING (user_id)
+),
+per_t AS (
+  SELECT cohort, duration AS t, sum(event) AS d,
+         count(*) - sum(event) AS c
+  FROM subj GROUP BY cohort, duration
+),
+st AS (
+  SELECT cohort, t, d, c,
+         sum(d + c) OVER (PARTITION BY cohort)
+         - sum(d + c) OVER (PARTITION BY cohort ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         + d + c AS n
+  FROM per_t
+),
+lg AS (
+  SELECT cohort, t, d, c, n,
+         sum(CASE WHEN d > 0 AND n > d THEN
+               CAST(round(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+                    AS DECIMAL(38,12))
+             ELSE CAST(0 AS DECIMAL(38,12)) END)
+           OVER (PARTITION BY cohort ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS slog,
+         max(CASE WHEN d >= n THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cohort ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+  FROM st
+)
+SELECT cohort, CAST(t AS BIGINT) AS t, CAST(n AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+       CASE WHEN z = 1 THEN 0.0
+            ELSE round(exp(CAST(slog AS DOUBLE)), 6) END AS survival
+FROM lg WHERE d > 0 ORDER BY cohort, t
+""",
+        'benford_orders': """
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+d AS (
+  SELECT substr(CAST(v AS VARCHAR), 1, 1) AS digit, count(*) AS observed
+  FROM o WHERE v > 0 GROUP BY 1
+),
+t AS (SELECT sum(observed) AS n FROM d)
+SELECT d.digit, d.observed,
+       round(CAST(d.observed AS DOUBLE) / CAST(t.n AS DOUBLE), 9) AS frequency,
+       CASE d.digit WHEN '1' THEN 0.301029996 WHEN '2' THEN 0.176091259 WHEN '3' THEN 0.124938737 WHEN '4' THEN 0.096910013 WHEN '5' THEN 0.079181246 WHEN '6' THEN 0.06694679 WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522 WHEN '9' THEN 0.045757491 END AS benford_expected,
+       round(round(CAST(d.observed AS DOUBLE) / CAST(t.n AS DOUBLE), 9)
+             - CASE d.digit WHEN '1' THEN 0.301029996 WHEN '2' THEN 0.176091259 WHEN '3' THEN 0.124938737 WHEN '4' THEN 0.096910013 WHEN '5' THEN 0.079181246 WHEN '6' THEN 0.06694679 WHEN '7' THEN 0.057991947 WHEN '8' THEN 0.051152522 WHEN '9' THEN 0.045757491 END, 9) AS deviation
+FROM d CROSS JOIN t ORDER BY d.digit
+""",
+        'trimmed_mean_orders': """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+pv AS (SELECT g, v, CAST(count(*) AS HUGEINT) AS c FROM o GROUP BY g, v),
+cw AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM pv
+),
+kk AS (SELECT *, (n * 1) // 20 AS k FROM cw),
+kept AS (
+  SELECT g, n, k, v,
+         greatest(least(cum, n - k) - greatest(cum - c, k), 0) AS kc
+  FROM kk
+),
+ag AS (
+  SELECT g, max(n) AS n, max(k) AS k,
+         sum(kc * CAST(v AS HUGEINT)) AS s, sum(kc) AS kept
+  FROM kept GROUP BY g
+)
+SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(k AS BIGINT) AS n_trimmed_each_side,
+       CASE WHEN kept > 0 THEN
+         round(CAST(s AS DOUBLE) / CAST(kept * 100 AS DOUBLE), 6)
+       END AS trimmed_mean
+FROM ag ORDER BY o_orderpriority
+""",
+        'position_attribution_events': """
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+         coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+  FROM events
+),
+convs AS (
+  SELECT user_id, j, event_id AS conversion_event_id
+  FROM seq WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id, j, event_id AS touch_event_id, event_type AS touch_type,
+         row_number() OVER (PARTITION BY user_id, j ORDER BY ts, event_id)
+           AS position,
+         count(*) OVER (PARTITION BY user_id, j) AS n_touches
+  FROM seq WHERE event_type IN ('click', 'view')
+)
+SELECT t.user_id, c.conversion_event_id, t.touch_event_id, t.touch_type,
+       CAST(t.position AS INTEGER) AS position,
+       CAST(t.n_touches AS BIGINT) AS n_touches,
+       round(
+         CAST(CASE WHEN t.n_touches = 1 THEN 1 WHEN t.n_touches = 2 THEN 1
+                   WHEN t.position = 1 OR t.position = t.n_touches THEN 2
+                   ELSE 1 END AS DOUBLE)
+         / CAST(CASE WHEN t.n_touches = 1 THEN 1 WHEN t.n_touches = 2 THEN 2
+                     WHEN t.position = 1 OR t.position = t.n_touches THEN 5
+                     ELSE 5 * (t.n_touches - 2) END AS DOUBLE), 9) AS credit
+FROM tch t JOIN convs c USING (user_id, j)
+ORDER BY conversion_event_id, position
+""",
+        'mix_diversity_documents': """
+WITH pu AS (
+  SELECT lang, source, count(*) AS n FROM documents
+  WHERE source IS NOT NULL GROUP BY 1, 2
+),
+ag AS (
+  SELECT lang, sum(n) AS nn, count(*) AS k,
+         sum(CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)), 6)
+                  AS DECIMAL(38,6))) AS slog,
+         sum(CAST(n AS HUGEINT) * (n - 1)) AS pairs
+  FROM pu GROUP BY lang
+)
+SELECT lang, CAST(nn AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_units,
+       round(ln(CAST(nn AS DOUBLE)) - CAST(slog AS DOUBLE) / CAST(nn AS DOUBLE),
+             6) AS shannon_h,
+       round(exp(round(ln(CAST(nn AS DOUBLE))
+                       - CAST(slog AS DOUBLE) / CAST(nn AS DOUBLE), 6)), 6)
+         AS effective_units,
+       CASE WHEN nn > 1 THEN
+         round(1.0 - CAST(pairs AS DOUBLE)
+               / CAST(CAST(nn AS HUGEINT) * (nn - 1) AS DOUBLE), 9)
+       ELSE 0.0 END AS simpson
+FROM ag ORDER BY lang
 """,
         "curate_corpus": f"""
 WITH t AS (

@@ -542,3 +542,68 @@ def grouped_topk(
         *[F.col(f"__r.__p.{c}").alias(c) for c in payload],
     )
     return out
+
+
+def mix_diversity(
+    df: DataFrame,
+    group_col: str,
+    unit_col: str,
+) -> DataFrame:
+    """Diversity indices of a categorical mix per group — the
+    training-mix health screen ("how many EFFECTIVE sources feed each
+    language slice?", "did the crawl collapse onto one domain?").
+
+    Per group over the ``unit_col`` share distribution p_i = n_i / N:
+
+    - ``shannon_h`` = -sum p_i ln p_i, computed as
+      ``ln N - (sum n_i ln n_i) / N`` with each term
+      ``round(n_i * ln n_i, 6)`` summed in decimal — rounding BEFORE
+      the fold makes the sum order-free (the survival_km / chi2
+      discipline), and ln sits at the libm edge per token_entropy.
+    - ``effective_units`` = exp(shannon_h) (Hill number of order 1 —
+      "equivalent number of equally-sized sources"), exp applied to
+      the ALREADY-ROUNDED entropy so both factors of the composition
+      are pinned.
+    - ``simpson`` = 1 - sum n_i(n_i-1) / (N(N-1)) (Gini-Simpson,
+      unbiased form) — exact integer algebra, one pinned division.
+
+    Scale shape: one map-side-combined aggregate to the (group, unit)
+    frame, one aggregate to the group frame. No window, no collect.
+    """
+    per_unit = (
+        df.where(F.col(unit_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"), F.col(unit_col).alias("__u")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    nd = F.col("__n").cast("double")
+    term = F.round(nd * F.log(nd), 6).cast("decimal(38,6)")
+    pair = (F.col("__n") * (F.col("__n") - 1)).cast("decimal(38,0)")
+    agg = per_unit.groupBy("__g").agg(
+        F.sum("__n").alias("__N"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(term).alias("__slog"),
+        F.sum(pair).alias("__pairs"),
+    )
+    big_n = F.col("__N").cast("double")
+    h = F.round(
+        F.log(big_n) - F.col("__slog").cast("double") / big_n, 6
+    )
+    simpson = F.when(
+        F.col("__N") > 1,
+        F.round(
+            F.lit(1.0)
+            - F.col("__pairs").cast("double")
+            / (F.col("__N") * (F.col("__N") - 1)).cast("double"),
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__N").cast("long").alias("n_rows"),
+        F.col("__k").cast("long").alias("n_units"),
+        h.alias("shannon_h"),
+        F.round(F.exp(h), 6).alias("effective_units"),
+        simpson.alias("simpson"),
+    )

@@ -1397,3 +1397,214 @@ def chi2_independence(
         ).alias("expected"),
         F.round(contrib, 9).alias("contrib"),
     ).orderBy(a_col, b_col)
+
+
+def survival_km(
+    df: DataFrame,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate per group — the
+    standard churn / time-to-conversion curve ("how long until a user
+    purchases, accounting for users we stopped observing?").
+
+    Input: one row per subject with an integer ``duration_col`` and
+    ``event_col`` = 1 if the event was observed at that duration, 0 if
+    the subject was censored there. Output: one row per (group,
+    distinct EVENT time t): ``n_at_risk`` (subjects with duration >=
+    t), ``n_events``, ``n_censored`` (censorings recorded at exactly
+    t), and ``survival`` = prod_{s<=t} (1 - d_s/n_s) rounded to 6.
+
+    Exactness discipline: the cumulative PRODUCT is a float fold, so
+    it is rewritten as exp(sum(log)) with each step's log rounded to
+    12 decimals and summed in decimal(38,12) — rounding BEFORE the
+    fold makes the sum order-free (the chi2_independence trick), and
+    the final exp + round(6) sits at the libm edge like token_entropy.
+
+    Scale shape: one map-side-combined aggregate to the (group,
+    distinct duration) frame; both windows (the at-risk suffix sum and
+    the log prefix sum) run over THAT frame partitioned by group —
+    value-cardinality sized, never row sized.
+    """
+    ev = F.col(event_col).cast("long")
+    per_t = (
+        df.where(F.col(duration_col).isNotNull() & ev.isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"),
+            F.col(duration_col).cast("long").alias("__t"),
+        )
+        .agg(
+            F.sum(ev).alias("__d"),
+            (F.count(F.lit(1)) - F.sum(ev)).alias("__c"),
+        )
+    )
+    pre = (
+        Window.partitionBy("__g")
+        .orderBy(F.asc("__t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = Window.partitionBy("__g")
+    at_risk = (
+        F.sum(F.col("__d") + F.col("__c")).over(grp)
+        - F.sum(F.col("__d") + F.col("__c")).over(pre)
+        + F.col("__d")
+        + F.col("__c")
+    )
+    stepped = per_t.withColumn("__n", at_risk)
+    # a step where EVERYONE at risk experiences the event (d == n) has
+    # factor 0 — ln(0) is not summable (Spark log(0) yields NULL and
+    # would silently vanish from the fold), so carry an explicit
+    # cumulative went-to-zero flag instead
+    step_log = F.when(
+        (F.col("__d") > 0) & (F.col("__n") > F.col("__d")),
+        F.round(
+            F.log(
+                (F.col("__n") - F.col("__d")).cast("double")
+                / F.col("__n").cast("double")
+            ),
+            12,
+        ),
+    ).otherwise(F.lit(0.0))
+    cum_log = F.sum(step_log.cast("decimal(38,12)")).over(pre)
+    hit_zero = F.max((F.col("__d") >= F.col("__n")).cast("int")).over(pre)
+    return (
+        stepped.withColumn("__slog", cum_log)
+        .withColumn("__z", hit_zero)
+        .where(F.col("__d") > 0)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__t").alias("t"),
+            F.col("__n").cast("long").alias("n_at_risk"),
+            F.col("__d").cast("long").alias("n_events"),
+            F.col("__c").cast("long").alias("n_censored"),
+            F.when(F.col("__z") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("__slog").cast("double")), 6))
+            .alias("survival"),
+        )
+    )
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-significant-digit screen over a POSITIVE
+    integer column — the classic forensic data-quality check for
+    fabricated or truncated numeric data (naturally-occurring
+    multi-magnitude amounts follow P(d) = log10(1 + 1/d)).
+
+    The leading digit is extracted from the integer's decimal string
+    (``substr(cast(v as string), 1, 1)``) — pure integer/string ops,
+    no float log10, so the bucketing is engine-exact. Output per digit
+    1-9: observed count, observed frequency (one pinned division,
+    round 9), Benford expectation (round 9), and the signed deviation.
+
+    Scale shape: one map-side-combined aggregate to a 9-row frame and
+    a 1-row total ridden along by a broadcast join.
+    """
+    import math
+
+    v = F.col(value_col).cast("long")
+    digits = (
+        df.where(v.isNotNull() & (v > 0))
+        .groupBy(F.substring(v.cast("string"), 1, 1).alias("digit"))
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = digits.agg(F.sum("observed").alias("__n"))
+    expected = F.element_at(
+        F.array(
+            *[F.lit(round(math.log10(1 + 1 / d), 9)) for d in range(1, 10)]
+        ),
+        F.col("digit").cast("int"),
+    )
+    freq = F.round(
+        F.col("observed").cast("double") / F.col("__n").cast("double"), 9
+    )
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            freq.alias("frequency"),
+            expected.alias("benford_expected"),
+            F.round(freq - expected, 9).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    trim_num: int = 1,
+    trim_den: int = 20,
+    out_scale_den: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group symmetric trimmed mean in EXACT integer arithmetic —
+    the robust central-tendency screen between the mean (outlier
+    sensitive) and the median (throws away too much): drop the lowest
+    and highest ``floor(n * trim_num/trim_den)`` values, average the
+    rest.
+
+    ``value_col`` must be integer (cents grid). The per-value overlap
+    of the sorted-position interval [C_prev, C] with the kept band
+    [k, n-k] is computed on the value-aggregated frame, so ties need
+    no per-row ranking and the kept-sum folds in decimal(38,0). The
+    single float step divides kept-sum by (kept-count *
+    ``out_scale_den``) — pass out_scale_den=100 to emit dollars from
+    cents and keep ``|mean| * 10^round_digits`` inside the exact
+    double range (the ewma_smooth parity rule).
+
+    Scale shape: one map-side-combined aggregate to the (group,
+    distinct value) frame, one group-partitioned window over that
+    frame, one final per-group aggregate.
+    """
+    if not (0 <= trim_num * 2 < trim_den):
+        raise ValueError("need trim fraction in [0, 0.5)")
+    per_val = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
+    )
+    pre = (
+        Window.partitionBy("__g")
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = Window.partitionBy("__g")
+    cum = per_val.withColumn("__cumc", F.sum("__c").over(pre)).withColumn(
+        "__n", F.sum("__c").over(grp)
+    )
+    k = F.floor(
+        (F.col("__n") * F.lit(trim_num) / F.lit(trim_den)).cast("double")
+    ).cast("decimal(38,0)")
+    lo_pos = F.col("__cumc") - F.col("__c")  # values before this block
+    kept_lo = F.greatest(lo_pos, k)
+    kept_hi = F.least(F.col("__cumc"), F.col("__n") - k)
+    kept_cnt = F.greatest(kept_hi - kept_lo, F.lit(0).cast("decimal(38,0)"))
+    agg = cum.groupBy("__g").agg(
+        F.sum(kept_cnt * F.col("__v").cast("decimal(38,0)")).alias("__s"),
+        F.sum(kept_cnt).alias("__kept"),
+        F.max("__n").alias("__nn"),
+        F.max(k).alias("__k"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__nn").cast("long").alias("n_rows"),
+        F.col("__k").cast("long").alias("n_trimmed_each_side"),
+        F.when(
+            F.col("__kept") > 0,
+            F.round(
+                F.col("__s").cast("double")
+                / (F.col("__kept") * F.lit(out_scale_den)).cast("double"),
+                round_digits,
+            ),
+        ).alias("trimmed_mean"),
+    )

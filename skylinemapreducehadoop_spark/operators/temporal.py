@@ -642,3 +642,95 @@ def ewma_smooth(
         out_col,
         F.round(num.cast("double") / den.cast("double"), round_digits),
     )
+
+
+def position_attribution(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+    touches: Sequence[str] = ("click", "view"),
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    complement of :func:`last_touch_attribution`: every touch in the
+    journey leading to a conversion gets credit, weighted 40% first /
+    40% last / 20% split across the middle (the standard U-curve).
+    A journey is the run of a user's touch events since their
+    previous conversion (exclusive) up to the converting event.
+
+    Credits are EXACT rationals — 1 (single touch), 1/2 each (two
+    touches), else 2/5 for first and last and 1/(5*(k-2)) for each
+    middle — emitted through one pinned integer division rounded to
+    9, so the frame is engine-exact and each journey's credits sum to
+    1 (up to the output rounding).
+
+    Output: (user_id, conversion_event_id, touch_event_id,
+    touch_type, position, n_touches, credit), touches ordered by the
+    total (ts, event_id) order within the journey; conversions with
+    no prior touch in their journey contribute no rows.
+
+    Scale shape: ONE window partitioning (user, ordered by ts/id)
+    computes the journey index as a running conversion count; the
+    touch->conversion pairing is an equi-join on (user, journey) —
+    both sides journey-bounded, no theta join; positions come from a
+    (user, journey)-partitioned window, bounded by journey length.
+    """
+    is_conv = (F.col(type_col) == conversion).cast("long")
+    pre = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = df.withColumn(
+        "__j", F.coalesce(F.sum(is_conv).over(pre), F.lit(0))
+    )
+    convs = seq.where(F.col(type_col) == conversion).select(
+        F.col(user_col).alias("__u"),
+        F.col("__j").alias("__jid"),
+        F.col(id_col).alias("conversion_event_id"),
+    )
+    tch = seq.where(F.col(type_col).isin(*touches)).select(
+        F.col(user_col).alias("__u"),
+        F.col("__j").alias("__jid"),
+        F.col(id_col).alias("touch_event_id"),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("__ts"),
+    )
+    jw = Window.partitionBy("__u", "__jid").orderBy(
+        F.col("__ts"), F.col("touch_event_id")
+    )
+    pos = tch.withColumn("position", F.row_number().over(jw)).withColumn(
+        "n_touches",
+        F.count(F.lit(1)).over(Window.partitionBy("__u", "__jid")),
+    )
+    k = F.col("n_touches")
+    p = F.col("position")
+    # exact rational numerator/denominator, ONE pinned division
+    num = (
+        F.when(k == 1, F.lit(1))
+        .when(k == 2, F.lit(1))
+        .when((p == 1) | (p == k), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    den = (
+        F.when(k == 1, F.lit(1))
+        .when(k == 2, F.lit(2))
+        .when((p == 1) | (p == k), F.lit(5))
+        .otherwise(F.lit(5) * (k - 2))
+    )
+    credit = F.round(num.cast("double") / den.cast("double"), 9)
+    return (
+        pos.join(convs.hint("shuffle_hash"), ["__u", "__jid"])
+        .select(
+            F.col("__u").alias("user_id"),
+            "conversion_event_id",
+            "touch_event_id",
+            "touch_type",
+            "position",
+            "n_touches",
+            credit.alias("credit"),
+        )
+    )

@@ -114,6 +114,7 @@ BNLJ_OK = {
     # loop is the point of the operator, not an accident
     "ngram_jaccard_documents",
     "chi2_events",  # 1-row grand-total (N) frame
+    "benford_orders",  # 1-row digit-total (N) frame
 }
 
 

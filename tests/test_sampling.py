@@ -389,3 +389,41 @@ def test_grouped_topk_ascending(spark):
         ).orderBy("rank").collect()
     ]
     assert got == [(1, 10), (2, 20)]
+
+
+# ---------------------------------------------------------------------------
+# mix_diversity (round 10)
+
+
+def test_mix_diversity_uniform_and_degenerate(spark):
+    import math
+    import pytest
+    from skylinemapreducehadoop_spark.operators.sampling import mix_diversity
+
+    rows = [("en", f"s{i % 4}") for i in range(40)] + [("zh", "only")] * 7
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = {r["lang"]: r for r in mix_diversity(df, "lang", "source").collect()}
+    # uniform over 4 sources: H = ln 4, effective = 4
+    assert out["en"]["n_units"] == 4
+    assert out["en"]["shannon_h"] == pytest.approx(math.log(4), abs=1e-5)
+    assert out["en"]["effective_units"] == pytest.approx(4.0, abs=1e-4)
+    assert out["en"]["simpson"] == pytest.approx(1 - (10 * 9 * 4) / (40 * 39), abs=1e-9)
+    # single source: zero diversity
+    assert out["zh"]["shannon_h"] == 0.0
+    assert out["zh"]["effective_units"] == 1.0
+    assert out["zh"]["simpson"] == 0.0
+
+
+def test_mix_diversity_matches_reference(spark):
+    import math
+    import pytest
+    from skylinemapreducehadoop_spark.operators.sampling import mix_diversity
+
+    counts = {"a": 7, "b": 3, "c": 15, "d": 1}
+    rows = [("g", u) for u, c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    row = mix_diversity(df, "lang", "source").collect()[0]
+    n = sum(counts.values())
+    h = -sum(c / n * math.log(c / n) for c in counts.values())
+    assert row["shannon_h"] == pytest.approx(h, abs=1e-5)
+    assert row["effective_units"] == pytest.approx(math.exp(h), abs=1e-4)

@@ -742,3 +742,103 @@ def test_chi2_matches_closed_form(spark):
         e = ra[a] * cb[b] / n
         assert out[(a, b)]["expected"] == pytest.approx(e, abs=1e-9)
         assert out[(a, b)]["contrib"] == pytest.approx((c - e) ** 2 / e, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# survival_km / benford_digits / trimmed_mean (round 10, batch 2)
+
+
+def test_survival_km_matches_manual_product_limit(spark):
+    from skylinemapreducehadoop_spark.operators.stats import survival_km
+
+    # classic toy: durations with events (e=1) and censorings (e=0)
+    rows = [
+        ("g", 1, 1), ("g", 2, 1), ("g", 2, 0), ("g", 3, 1),
+        ("g", 4, 0), ("g", 5, 1), ("g", 5, 1), ("g", 6, 0),
+    ]
+    df = spark.createDataFrame(rows, "g string, t int, e int")
+    out = {r["t"]: r for r in survival_km(df, "g", "t", "e").collect()}
+    # manual KM: t=1 n=8 d=1 -> 7/8; t=2 n=7 d=1 -> *6/7; t=3 n=5 d=1
+    # -> *4/5; t=5 n=3 d=2 -> *1/3
+    assert out[1]["n_at_risk"] == 8 and out[1]["n_events"] == 1
+    assert out[1]["survival"] == pytest.approx(7 / 8, abs=1e-6)
+    assert out[2]["survival"] == pytest.approx(7 / 8 * 6 / 7, abs=1e-6)
+    assert out[3]["survival"] == pytest.approx(7 / 8 * 6 / 7 * 4 / 5, abs=1e-6)
+    assert out[5]["survival"] == pytest.approx(
+        7 / 8 * 6 / 7 * 4 / 5 * 1 / 3, abs=1e-6
+    )
+    assert 4 not in out and 6 not in out  # censoring-only times emit no row
+
+
+def test_survival_km_terminal_zero(spark):
+    from skylinemapreducehadoop_spark.operators.stats import survival_km
+
+    # everyone converts at the last time: survival must reach exactly 0
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 2, 1)]
+    df = spark.createDataFrame(rows, "g string, t int, e int")
+    out = {r["t"]: r for r in survival_km(df, "g", "t", "e").collect()}
+    assert out[1]["survival"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["survival"] == 0.0
+
+
+def test_survival_km_groups_and_censored_counts(spark):
+    from skylinemapreducehadoop_spark.operators.stats import survival_km
+
+    rows = [("a", 1, 1), ("a", 1, 0), ("b", 4, 1)]
+    df = spark.createDataFrame(rows, "g string, t int, e int")
+    out = {(r["g"], r["t"]): r for r in survival_km(df, "g", "t", "e").collect()}
+    assert out[("a", 1)]["n_censored"] == 1
+    assert out[("a", 1)]["survival"] == pytest.approx(0.5, abs=1e-6)
+    assert out[("b", 4)]["survival"] == 0.0  # 1 at risk, 1 event
+
+
+def test_benford_digits_counts_and_expectation(spark):
+    from skylinemapreducehadoop_spark.operators.stats import benford_digits
+    import math
+
+    vals = [123, 19, 1, 2999, 35, 41, 99, 888, 70000, 1000001]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert out["1"]["observed"] == 4
+    assert out["2"]["observed"] == 1
+    assert out["9"]["observed"] == 1
+    assert out["1"]["frequency"] == pytest.approx(0.4, abs=1e-9)
+    assert out["1"]["benford_expected"] == pytest.approx(
+        math.log10(2), abs=1e-6
+    )
+    # zero and negative values are excluded from the screen
+    df2 = spark.createDataFrame([(0,), (-5,), (7,)], "v long")
+    out2 = benford_digits(df2, "v").collect()
+    assert len(out2) == 1 and out2[0]["digit"] == "7"
+
+
+def test_trimmed_mean_matches_python(spark):
+    from skylinemapreducehadoop_spark.operators.stats import trimmed_mean
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 1000, 237).tolist() + [10**6, -(10**5)]
+    df = spark.createDataFrame([("g", int(v)) for v in vals], "g string, v long")
+    row = trimmed_mean(df, "g", "v", trim_num=1, trim_den=10).collect()[0]
+    xs = sorted(vals)
+    k = len(xs) * 1 // 10
+    kept = xs[k: len(xs) - k]
+    assert row["n_trimmed_each_side"] == k
+    assert row["trimmed_mean"] == pytest.approx(sum(kept) / len(kept), abs=1e-6)
+    # the huge outliers must be gone from the estimate
+    assert abs(row["trimmed_mean"]) < 1000
+
+
+def test_trimmed_mean_zero_trim_is_mean(spark):
+    from skylinemapreducehadoop_spark.operators.stats import trimmed_mean
+
+    df = spark.createDataFrame([("g", v) for v in (1, 2, 3, 4)], "g string, v long")
+    row = trimmed_mean(df, "g", "v", trim_num=0, trim_den=1).collect()[0]
+    assert row["trimmed_mean"] == 2.5
+
+
+def test_trimmed_mean_validation(spark):
+    from skylinemapreducehadoop_spark.operators.stats import trimmed_mean
+
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError):
+        trimmed_mean(df, "g", "v", trim_num=1, trim_den=2)

@@ -540,3 +540,73 @@ def test_ewma_single_window_pass(spark):
         .toString()
     )
     assert plan.count("Window") == 1
+
+
+# ---------------------------------------------------------------------------
+# position_attribution (round 10, batch 2)
+
+
+def _attr_events(spark):
+    # user 1: v c v -> purchase (3 touches), then c -> purchase (1)
+    # user 2: purchase with NO prior touch; then v v -> purchase (2)
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+
+    def ev(eid, uid, sec, typ):
+        rows.append((eid, uid, t0 + dt.timedelta(seconds=sec), typ))
+
+    ev(1, 1, 0, "view"); ev(2, 1, 10, "click"); ev(3, 1, 20, "view")
+    ev(4, 1, 30, "purchase")
+    ev(5, 1, 40, "click"); ev(6, 1, 50, "purchase")
+    ev(7, 2, 0, "purchase")
+    ev(8, 2, 10, "view"); ev(9, 2, 20, "view"); ev(10, 2, 30, "purchase")
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_position_attribution_u_curve(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        position_attribution,
+    )
+
+    df = _attr_events(spark)
+    out = position_attribution(df).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conversion_event_id"], []).append(r)
+    # conversion 4: 3 touches -> 0.4 / 0.2 / 0.4
+    c4 = sorted(by_conv[4], key=lambda r: r["position"])
+    assert [r["touch_event_id"] for r in c4] == [1, 2, 3]
+    assert [r["credit"] for r in c4] == [0.4, 0.2, 0.4]
+    assert all(r["n_touches"] == 3 for r in c4)
+    # conversion 6: single touch -> full credit
+    assert by_conv[6][0]["credit"] == 1.0
+    # conversion 7 (no prior touch): absent
+    assert 7 not in by_conv
+    # conversion 10: two touches -> 0.5 each
+    assert sorted(r["credit"] for r in by_conv[10]) == [0.5, 0.5]
+    # credits sum to 1 per attributed conversion
+    for cid, rs in by_conv.items():
+        assert sum(r["credit"] for r in rs) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_position_attribution_middle_split(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        position_attribution,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [(i, 1, t0 + dt.timedelta(seconds=i), "view") for i in range(5)]
+    rows.append((99, 1, t0 + dt.timedelta(seconds=99), "purchase"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = sorted(position_attribution(df).collect(), key=lambda r: r["position"])
+    # 5 touches: 0.4, 0.2/3, 0.2/3, 0.2/3, 0.4
+    assert out[0]["credit"] == 0.4 and out[4]["credit"] == 0.4
+    for r in out[1:4]:
+        assert r["credit"] == pytest.approx(0.2 / 3, abs=1e-9)
