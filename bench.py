@@ -348,6 +348,18 @@ EXTRA_QUERIES = [
     "kmv_setops_check",
     "class_scatter_embeddings",
     "weighted_deciles_lineitem",
+    # new end-round 10: curation + analytics additions
+    "boilerplate_documents",
+    "strip_boilerplate_documents",
+    "gini_orders",
+    "ewma_orders",
+    "auc_purchase_events",
+    "chi2_events",
+    "survival_km_users",
+    "benford_orders",
+    "trimmed_mean_orders",
+    "position_attribution_events",
+    "mix_diversity_documents",
 ]
 
 
