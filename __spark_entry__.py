@@ -4459,6 +4459,62 @@ def _mix_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_diversity(docs, "lang", "source").orderBy("lang")
 
 
+
+def _pca_invariant_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PCA correctness via its spectral invariant: the eigenvalues of
+    # the engine-computed exact covariance must sum to its trace
+    # (total variance). The eigendecomposition is driver-side on the
+    # dim x dim collect (similarity.pca_components — the kmeans
+    # centroid contract); trace is an exact decimal sum of the
+    # engine's round(9) diagonal, so the oracle recomputes it from
+    # integer sufficient statistics. Projection-level behavior is
+    # pytest-verified (variance of proj_c == eigval_c vs numpy).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        covariance_matrix,
+        pca_components,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eigvals, _, means = pca_components(emb)
+    diag = covariance_matrix(emb).where(F.col("i") == F.col("j")).collect()
+    grid = Decimal("0.000001")
+    trace = sum(Decimal(str(r["cov"])) for r in diag).quantize(
+        grid, rounding=ROUND_HALF_UP
+    )
+    eig_sum = Decimal(str(float(eigvals.sum()))).quantize(
+        grid, rounding=ROUND_HALF_UP
+    )
+    return spark.createDataFrame(
+        [(int(len(means)), float(trace), float(eig_sum))],
+        "dim int, trace_var double, eig_sum double",
+    )
+
+
+def _l_diversity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # privacy screen beyond k-anonymity: how many distinct sensitive
+    # values (account-balance band) each (nation, segment) class holds
+    from skylinemapreducehadoop_spark.operators.stats import l_diversity
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    return l_diversity(c, ["c_nationkey", "c_mktsegment"], "bal_band", l=3)
+
+
+def _ntile_buckets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global decile binning WITHOUT the NTILE single-partition window:
+    # value-based bins over the distributed-prefix-sum CDF
+    # (stats.ntile_global)
+    from skylinemapreducehadoop_spark.operators.stats import ntile_global
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return ntile_global(li, "l_extendedprice", n_tiles=10, scale=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4709,6 +4765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_orders": _trimmed_mean_orders,
         "position_attribution_events": _position_attribution_events,
         "mix_diversity_documents": _mix_diversity_documents,
+        "pca_invariant_check": _pca_invariant_check,
+        "l_diversity_customers": _l_diversity_customers,
+        "ntile_buckets_lineitem": _ntile_buckets_lineitem,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -8425,6 +8484,67 @@ SELECT lang, CAST(nn AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_units,
                / CAST(CAST(nn AS HUGEINT) * (nn - 1) AS DOUBLE), 9)
        ELSE 0.0 END AS simpson
 FROM ag ORDER BY lang
+""",
+        'pca_invariant_check': """
+WITH u AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(round(unnest(embedding)::DOUBLE * 1000000) AS HUGEINT) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+per AS (SELECT i, count(*) AS n, sum(v) AS s, sum(v*v) AS p FROM u GROUP BY i),
+diag AS (
+  SELECT i,
+         round(CAST(n*p - s*s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * 1000000.0 * 1000000.0), 9) AS cov
+  FROM per
+)
+SELECT CAST(count(*) AS INTEGER) AS dim,
+       round(CAST(sum(CAST(cov AS DECIMAL(38,9))) AS DOUBLE), 6) AS trace_var,
+       round(CAST(sum(CAST(cov AS DECIMAL(38,9))) AS DOUBLE), 6) AS eig_sum
+FROM diag
+""",
+        'l_diversity_customers': """
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+),
+pv AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS cnt
+  FROM c GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT c_nationkey, c_mktsegment, sum(cnt) AS class_size,
+         count(*) AS n_sensitive
+  FROM pv GROUP BY 1, 2
+)
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       CAST(n_sensitive AS BIGINT) AS n_sensitive,
+       count(*) AS n_classes,
+       CAST(class_size * count(*) AS BIGINT) AS n_rows,
+       n_sensitive < 3 AS at_risk
+FROM cls GROUP BY class_size, n_sensitive
+ORDER BY class_size, n_sensitive
+""",
+        'ntile_buckets_lineitem': """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS q
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+pv AS (SELECT q, count(*) AS c FROM v GROUP BY q),
+cw AS (
+  SELECT q, c,
+         sum(c) OVER (ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+           AS n_smaller,
+         sum(c) OVER () AS n
+  FROM pv
+)
+SELECT CAST((n_smaller * 10) // n AS INTEGER) AS bin,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       min(q) AS min_value_q, max(q) AS max_value_q
+FROM cw GROUP BY 1 ORDER BY bin
 """,
         "curate_corpus": f"""
 WITH t AS (

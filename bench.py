@@ -360,6 +360,9 @@ EXTRA_QUERIES = [
     "trimmed_mean_orders",
     "position_attribution_events",
     "mix_diversity_documents",
+    "l_diversity_customers",
+    "ntile_buckets_lineitem",
+    "pca_invariant_check",
 ]
 
 

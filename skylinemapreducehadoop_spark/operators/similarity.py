@@ -931,3 +931,90 @@ def covariance_matrix(
         .join(F.broadcast(sj), "j")
         .select("i", "j", F.round(num / den, 9).alias("cov"))
     )
+
+
+def pca_components(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int | None = None,
+    quant: int = 1_000_000,
+):
+    """Principal components of an ``array<float>`` column: the exact
+    distributed :func:`covariance_matrix` (dim^2-bounded frame), then
+    a DRIVER-SIDE eigendecomposition of the collected dim x dim
+    matrix — the kmeans-centroid contract: the collect is bounded by
+    the embedding dimension squared (64-dim -> 2080 upper-triangle
+    rows), never by data, and the expensive pass (the pair-sum scan)
+    is fully distributed.
+
+    Returns ``(eigvals, eigvecs, means)`` as numpy arrays, components
+    sorted by descending eigenvalue, truncated to ``k`` when given.
+    Sign convention: each component's largest-|loading| coordinate is
+    made positive (eigenvectors are sign-ambiguous; pin one).
+    """
+    import numpy as np
+
+    cov_rows = covariance_matrix(df, vec_col=vec_col, quant=quant).collect()
+    dim = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    means_rows = embedding_dim_stats(df, vec_col=vec_col).collect()
+    means = np.zeros(dim)
+    for r in means_rows:
+        means[r["dim"]] = r["mean"]
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
+    for c in range(eigvecs.shape[1]):
+        pivot = int(np.argmax(np.abs(eigvecs[:, c])))
+        if eigvecs[pivot, c] < 0:
+            eigvecs[:, c] = -eigvecs[:, c]
+    if k is not None:
+        eigvals, eigvecs = eigvals[:k], eigvecs[:, :k]
+    return eigvals, eigvecs, means
+
+
+def pca_project(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 2,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Project every row onto the top-``k`` principal components —
+    the dimensionality-reduction / whitening-prep transform. The
+    components come from :func:`pca_components` (driver-side eigh of
+    the exact distributed covariance); the projection itself is a
+    pure JVM expression: proj_c = sum_i v_i * w_ci - bias_c with the
+    centering folded into the scalar ``bias_c = sum_i mean_i * w_ci``
+    — zip_with + aggregate over dim-length literal arrays, no UDF,
+    no shuffle (a map-only plan over the fact table).
+
+    Returns (id, proj_0..proj_{k-1}) rounded to ``round_digits``.
+    """
+    import numpy as np
+
+    eigvals, eigvecs, means = pca_components(
+        df, vec_col=vec_col, k=k, quant=quant
+    )
+    out = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    )
+    cols = [F.col("id")]
+    for c in range(eigvecs.shape[1]):
+        w = F.array(*[F.lit(float(x)) for x in eigvecs[:, c]])
+        bias = float(np.dot(means, eigvecs[:, c]))
+        dot = F.aggregate(
+            F.zip_with(
+                "__v", w, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+        cols.append(F.round(dot - F.lit(bias), round_digits).alias(f"proj_{c}"))
+    return out.select(*cols)

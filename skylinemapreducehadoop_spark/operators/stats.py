@@ -1608,3 +1608,109 @@ def trimmed_mean(
             ),
         ).alias("trimmed_mean"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    *,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity profile — :func:`k_anonymity`'s stronger sibling:
+    an equivalence class can be large (k-anonymous) yet leak the
+    sensitive attribute if every member shares one sensitive value.
+    A class is l-diverse when it contains at least ``l`` DISTINCT
+    sensitive values.
+
+    Returns one row per distinct (class_size, n_sensitive) pair:
+    (class_size, n_sensitive, n_classes, n_rows, at_risk) with
+    ``at_risk = n_sensitive < l`` — the joint histogram, from which
+    the l the table actually satisfies (min n_sensitive) and the
+    leaking row count read off directly. NULL is a value on both
+    sides (SQL GROUP BY semantics).
+
+    Scale shape: one map-side-combined aggregate to the (QI class x
+    sensitive value) frame, one to the class table, one to the
+    histogram — each strictly smaller than the last; the fact table
+    is scanned once and never shuffled wider than the QI+sensitive
+    key.
+    """
+    if not qi_cols:
+        raise ValueError("qi_cols must be non-empty")
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    per_val = df.groupBy(
+        *qi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    classes = per_val.groupBy(*qi_cols).agg(
+        F.sum("__c").alias("class_size"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+    )
+    return (
+        classes.groupBy("class_size", "n_sensitive")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            F.col("class_size").cast("long").alias("class_size"),
+            F.col("n_sensitive").cast("long").alias("n_sensitive"),
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes"))
+            .cast("long")
+            .alias("n_rows"),
+            (F.col("n_sensitive") < l).alias("at_risk"),
+        )
+        .orderBy("class_size", "n_sensitive")
+    )
+
+
+def ntile_global(
+    df: DataFrame,
+    value_col: str,
+    *,
+    n_tiles: int = 10,
+    scale: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global quantile binning WITHOUT the single-partition window
+    that SQL ``NTILE(k) OVER (ORDER BY x)`` requires — the feature
+    bucketizer / score-band transform at scale. VALUE-BASED: every
+    row with the same value lands in the same bin (row-based NTILE
+    splits ties arbitrarily across bins, which is layout-dependent
+    and unreproducible); bin = floor(n_smaller * k / N) over the
+    distinct-value CDF from the :func:`percentile_ranks` distributed
+    prefix sum.
+
+    Returns the bin summary (bin, n_rows, min_value_q, max_value_q)
+    — join :func:`percentile_ranks` back on value_q for the per-row
+    transform. Bins are 0..k-1; skew can leave some bins empty (a
+    value holding more than N/k rows swallows its whole band), which
+    is the honest value-based semantics.
+
+    Scale shape: everything after the map-side-combined aggregate
+    operates on the distinct-value frame; the only collect is the
+    #partitions-row offsets frame.
+    """
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    cdf = percentile_ranks(
+        df, value_col, scale=scale, num_partitions=num_partitions
+    )
+    # n_total = n_smaller + n_rows_at on the LAST value; reconstruct
+    # without another pass: every row carries the same total via
+    # max over the frame? Avoid a window: total = sum(n_rows_at).
+    tot = cdf.agg(F.sum("n_rows_at").alias("__N"))
+    binned = cdf.crossJoin(F.broadcast(tot)).withColumn(
+        "bin",
+        F.floor(
+            F.col("n_smaller") * F.lit(n_tiles) / F.col("__N")
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("n_rows_at").cast("long").alias("n_rows"),
+            F.min("value_q").alias("min_value_q"),
+            F.max("value_q").alias("max_value_q"),
+        )
+        .orderBy("bin")
+    )

@@ -72,6 +72,8 @@ SKIP_EAGER = {
     "shortest_paths_copurchase",  # iterative Bellman-Ford rounds
     "leakage_safe_split_documents",  # hash-min component fixed point
     "auc_purchase_events",  # prefix-sum offsets collect (percentile_ranks shape)
+    "pca_invariant_check",  # dim^2-bounded covariance collect + driver eigh
+    "ntile_buckets_lineitem",  # prefix-sum offsets collect
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a 1-row (or

@@ -458,3 +458,73 @@ def test_covariance_matrix_matches_numpy(spark):
         for r in covariance_matrix(df.repartition(7)).collect()
     }
     assert got == got2  # exact decimal numerator => layout-exact
+
+
+# ---------------------------------------------------------------------------
+# pca_components / pca_project (round 10)
+
+
+def test_pca_matches_numpy_eigh(spark):
+    import numpy as np
+    import pytest
+    from skylinemapreducehadoop_spark.operators.similarity import pca_components
+
+    rng = np.random.default_rng(7)
+    # anisotropic 6-dim blob: variance concentrated on a known axis
+    base = rng.normal(0, 1, (300, 6))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    eigvals, eigvecs, means = pca_components(df)
+    # reference on the float32-then-quantized data the engine saw
+    q = np.round(base.astype(np.float32).astype(np.float64) * 1e6) / 1e6
+    cov = np.cov(q.T, bias=True)
+    ref = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert eigvals == pytest.approx(ref, abs=1e-6)
+    # orthonormal components
+    assert np.allclose(eigvecs.T @ eigvecs, np.eye(6), atol=1e-9)
+    # sign convention: largest-|loading| coordinate positive
+    for c in range(eigvecs.shape[1]):
+        assert eigvecs[np.argmax(np.abs(eigvecs[:, c])), c] > 0
+    # dominant axis is dim 0
+    assert np.argmax(np.abs(eigvecs[:, 0])) == 0
+
+
+def test_pca_project_variance_equals_eigenvalue(spark):
+    import numpy as np
+    import pytest
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        pca_components,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (200, 4))
+    base[:, 2] *= 4.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    eigvals, _, _ = pca_components(df, k=2)
+    proj = pca_project(df, k=2, round_digits=9).toPandas()
+    for c in range(2):
+        v = proj[f"proj_{c}"].to_numpy()
+        assert float(np.var(v)) == pytest.approx(float(eigvals[c]), rel=1e-4)
+    # components are uncorrelated in projection space
+    assert float(np.corrcoef(proj["proj_0"], proj["proj_1"])[0, 1]) == pytest.approx(
+        0.0, abs=1e-3
+    )
+
+
+def test_pca_project_is_map_only(spark):
+    import numpy as np
+    from skylinemapreducehadoop_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 3)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        pca_project(df, k=1)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the projection itself adds no shuffle: no Exchange in the final
+    # projection plan (the covariance pass ran eagerly at build time)
+    assert "Exchange" not in plan

@@ -842,3 +842,83 @@ def test_trimmed_mean_validation(spark):
     df = spark.createDataFrame([("g", 1)], "g string, v long")
     with pytest.raises(ValueError):
         trimmed_mean(df, "g", "v", trim_num=1, trim_den=2)
+
+
+# ---------------------------------------------------------------------------
+# l_diversity / ntile_global (round 10, batch 3)
+
+
+def test_l_diversity_histogram_and_risk(spark):
+    from skylinemapreducehadoop_spark.operators.stats import l_diversity
+
+    # class (a): 4 rows, 1 sensitive value -> at risk for l=2
+    # class (b): 3 rows, 3 sensitive values -> safe
+    # class (c): 2 rows incl. NULL sensitive -> NULL is a value: 2 distinct
+    rows = [
+        ("a", "s1"), ("a", "s1"), ("a", "s1"), ("a", "s1"),
+        ("b", "s1"), ("b", "s2"), ("b", "s3"),
+        ("c", None), ("c", "s9"),
+    ]
+    df = spark.createDataFrame(rows, "qi string, sv string")
+    out = {
+        (r["class_size"], r["n_sensitive"]): r
+        for r in l_diversity(df, ["qi"], "sv", l=2).collect()
+    }
+    assert out[(4, 1)]["at_risk"] is True
+    assert out[(3, 3)]["at_risk"] is False
+    assert out[(2, 2)]["at_risk"] is False
+    assert out[(4, 1)]["n_rows"] == 4
+
+
+def test_l_diversity_validation(spark):
+    from skylinemapreducehadoop_spark.operators.stats import l_diversity
+
+    df = spark.createDataFrame([("a", "x")], "qi string, sv string")
+    with pytest.raises(ValueError):
+        l_diversity(df, [], "sv")
+    with pytest.raises(ValueError):
+        l_diversity(df, ["qi"], "sv", l=0)
+
+
+def test_ntile_global_matches_manual_value_bins(spark):
+    from skylinemapreducehadoop_spark.operators.stats import ntile_global
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 400).tolist()  # heavy ties
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = {r["bin"]: r for r in ntile_global(df, "x", n_tiles=4, scale=1).collect()}
+    # manual: value-based bin = floor(n_smaller * k / N)
+    import collections
+
+    cnt = collections.Counter(vals)
+    n = len(vals)
+    below = 0
+    manual = collections.Counter()
+    for v in sorted(cnt):
+        manual[below * 4 // n] += cnt[v]
+        below += cnt[v]
+    assert {b: r["n_rows"] for b, r in out.items()} == dict(manual)
+    # bins tile the value range in order
+    bins = sorted(out)
+    for a, b in zip(bins, bins[1:]):
+        assert out[a]["max_value_q"] < out[b]["min_value_q"]
+
+
+def test_ntile_global_skew_swallows_band(spark):
+    from skylinemapreducehadoop_spark.operators.stats import ntile_global
+
+    # one value holds 80% of rows: it owns several bands; value-based
+    # semantics puts ALL its rows in ONE bin and leaves gaps
+    rows = [(5.0,)] * 80 + [(float(v),) for v in range(20)]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r["bin"]: r["n_rows"] for r in ntile_global(df, "x", n_tiles=10, scale=1).collect()}
+    assert out[max(b for b in out if b <= 0)] >= 80 or 80 in out.values()
+    assert sum(out.values()) == 100
+
+
+def test_ntile_global_validation(spark):
+    from skylinemapreducehadoop_spark.operators.stats import ntile_global
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError):
+        ntile_global(df, "x", n_tiles=0)
