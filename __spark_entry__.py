@@ -4515,6 +4515,38 @@ def _ntile_buckets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ntile_global(li, "l_extendedprice", n_tiles=10, scale=100)
 
 
+
+def _calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the calibration half of classifier evaluation (roc_auc is the
+    # ranking half): reliability bins of the deterministic
+    # hashing-trick quality score against the English label
+    from skylinemapreducehadoop_spark.operators.stats import calibration_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TX.classifier_score(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("is_en")),
+        "doc_id",
+    )
+    return calibration_bins(scored, "prob", "is_en", n_bins=10)
+
+
+def _vocab_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer planning: smallest frequency-ranked vocab reaching
+    # 50/90/95/99% token coverage, on the distributed prefix sum
+    # (text.vocab_budget / stats.global_prefix_sum)
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.vocab_budget(docs).orderBy("target_num")
+
+
+def _balanced_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-shard balancing: striped-LPT assignment over the
+    # global_row_number prefix sum; per-shard size summary
+    from skylinemapreducehadoop_spark.operators.sampling import balanced_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return balanced_shards(docs, "n_chars", n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4768,6 +4800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_invariant_check": _pca_invariant_check,
         "l_diversity_customers": _l_diversity_customers,
         "ntile_buckets_lineitem": _ntile_buckets_lineitem,
+        "calibration_documents": _calibration_documents,
+        "vocab_budget_documents": _vocab_budget_documents,
+        "balanced_shards_documents": _balanced_shards_documents,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -8545,6 +8580,80 @@ SELECT CAST((n_smaller * 10) // n AS INTEGER) AS bin,
        CAST(sum(c) AS BIGINT) AS n_rows,
        min(q) AS min_value_q, max(q) AS max_value_q
 FROM cw GROUP BY 1 ORDER BY bin
+""",
+        'calibration_documents': """
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(tok), 1, 15))::BIGINT % 10007) * 2654435761)
+           % 10007 - 5003 AS wt
+  FROM tk
+),
+agg AS (
+  SELECT doc_id, sum(wt)::BIGINT AS sw, count(*)::BIGINT AS n_tokens
+  FROM w GROUP BY doc_id
+),
+scored AS (
+  SELECT agg.doc_id,
+         round(1.0 / (1.0 + exp(-(sw::DOUBLE / (n_tokens::DOUBLE * 5003.0)))),
+               6) AS prob,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM agg JOIN documents d ON agg.doc_id = d.doc_id
+),
+b AS (
+  SELECT least(CAST(floor(prob * 10) AS INTEGER), 9) AS bin,
+         count(*) AS n, sum(is_en) AS n_pos,
+         sum(CAST(prob AS DECIMAL(38,6))) AS sp
+  FROM scored GROUP BY 1
+)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_prob,
+       round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS observed_rate,
+       round(round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9)
+             - round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 9), 9) AS gap
+FROM b ORDER BY bin
+""",
+        'vocab_budget_documents': """
+WITH tk AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+r AS (
+  SELECT tok, c,
+         sum(c) OVER (ORDER BY c DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (ORDER BY c DESC, tok) AS rank,
+         sum(c) OVER () AS total
+  FROM c
+),
+t(num, den) AS (VALUES (50, 100), (90, 100), (95, 100), (99, 100))
+SELECT t.num AS target_num, t.den AS target_den,
+       min(r.rank) AS vocab_size,
+       CAST(min_by(r.cum, r.rank) AS BIGINT) AS covered_tokens,
+       CAST(max(r.total) AS BIGINT) AS total_tokens
+FROM t JOIN r ON r.cum * t.den >= t.num * r.total
+GROUP BY t.num, t.den ORDER BY target_num
+""",
+        'balanced_shards_documents': """
+WITH r AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents WHERE n_chars IS NOT NULL
+),
+s AS (
+  SELECT CAST((rn - 1) % 8 AS INTEGER) AS shard, count(*) AS n_rows,
+         sum(n_chars) AS tot, max(n_chars) AS max_size
+  FROM r GROUP BY 1
+),
+g AS (SELECT sum(tot) AS gg FROM s)
+SELECT shard, n_rows, CAST(tot AS BIGINT) AS total_size,
+       CAST(max_size AS BIGINT) AS max_size,
+       round(CAST(tot AS DOUBLE) * 8.0 / CAST(gg AS DOUBLE), 9) AS balance
+FROM s CROSS JOIN g ORDER BY shard
 """,
         "curate_corpus": f"""
 WITH t AS (

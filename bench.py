@@ -363,6 +363,9 @@ EXTRA_QUERIES = [
     "l_diversity_customers",
     "ntile_buckets_lineitem",
     "pca_invariant_check",
+    "calibration_documents",
+    "vocab_budget_documents",
+    "balanced_shards_documents",
 ]
 
 

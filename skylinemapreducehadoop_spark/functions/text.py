@@ -1303,3 +1303,68 @@ def winnow_fingerprints(col: Column | str, *, gram_k: int = 3, window: int = 4) 
         ),
     )
     return F.element_at(F.transform(F.array(hashes), _winnow), 1)
+
+
+def vocab_budget(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    targets: Sequence[tuple[int, int]] = ((50, 100), (90, 100), (95, 100), (99, 100)),
+) -> DataFrame:
+    """Tokenizer vocabulary budgeting: the smallest frequency-ranked
+    vocabulary whose tokens cover at least each target fraction of
+    the corpus' token OCCURRENCES — the planning query behind "how
+    big does the vocab need to be for 99% coverage?" (the complement
+    of :func:`vocab_coverage`, which scores a GIVEN vocabulary).
+
+    Targets are exact rationals (num, den); the coverage test
+    ``cum * den >= num * total`` clears the division, so boundaries
+    are exact. Ranking ties (equal counts) break by token text — the
+    same deterministic order as ``build_vocab``.
+
+    Output: one row per target — (target_num, target_den, vocab_size,
+    covered_tokens, total_tokens), with ``vocab_size`` = the minimal
+    rank reaching the target and ``covered_tokens`` its cumulative
+    count.
+
+    Scale shape: one explode + map-side-combined count to the
+    vocabulary frame, then the distributed prefix sum of
+    ``stats.global_prefix_sum`` (range partition on (desc count,
+    token), no single-partition window — the vocabulary is large
+    enough at corpus scale that the abc_classify lesson applies), a
+    1-row total broadcast, and one tiny aggregate per target.
+    """
+    from ..operators.stats import global_prefix_sum
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ranked = global_prefix_sum(
+        counts,
+        [F.desc("__c"), F.asc("__tok")],
+        "__c",
+        out_col="__cum",
+        rank_col="__rank",
+    )
+    tot = ranked.groupBy().agg(F.max("__cum").alias("__total"))
+    j = ranked.crossJoin(F.broadcast(tot))
+    rows = []
+    for num, den in targets:
+        hit = j.where(
+            F.col("__cum") * F.lit(den) >= F.lit(num) * F.col("__total")
+        ).agg(
+            F.lit(num).alias("target_num"),
+            F.lit(den).alias("target_den"),
+            F.min("__rank").alias("vocab_size"),
+            F.min_by(F.col("__cum"), F.col("__rank")).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.max("__total").cast("long").alias("total_tokens"),
+        )
+        rows.append(hit)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -607,3 +607,63 @@ def mix_diversity(
         F.round(F.exp(h), 6).alias("effective_units"),
         simpson.alias("simpson"),
     )
+
+
+def balanced_shards(
+    df: DataFrame,
+    size_col: str,
+    *,
+    n_shards: int = 8,
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Assign rows to ``n_shards`` size-balanced shards — the
+    throughput-critical sharding step before distributed training
+    (unbalanced shards stall every step on the slowest worker).
+    Deterministic striped-LPT: rows rank globally by DESCENDING size
+    (ties by id), and rank r goes to shard (r-1) mod n_shards —
+    round-robin over the sorted sequence, the classic
+    provably-near-balanced streaming relaxation of longest-processing-
+    time scheduling (no sequential bin state, so it distributes).
+
+    Returns the per-shard summary: (shard, n_rows, total_size,
+    max_size, balance) where ``balance`` = shard total / ideal
+    (grand total / n_shards), rounded to 9 — 1.0 is perfect. Join the
+    ranked assignment back by id for the per-row shard map (the
+    summary keeps the driver-checkable output small).
+
+    Scale shape: the :func:`global_row_number` distributed prefix sum
+    (range partition, no single-partition window) + one
+    n_shards-row aggregate with a 1-row grand-total broadcast.
+    """
+    from ..operators.stats import global_row_number
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    order = [F.desc(size_col)] + [F.asc(c) for c in id_cols]
+    ranked = global_row_number(
+        df.where(F.col(size_col).isNotNull()), order, out_col="__rn"
+    ).withColumn(
+        "shard", ((F.col("__rn") - 1) % F.lit(n_shards)).cast("int")
+    )
+    per = ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(size_col).cast("decimal(38,0)")).alias("__tot"),
+        F.max(F.col(size_col).cast("long")).alias("max_size"),
+    )
+    grand = per.groupBy().agg(F.sum("__tot").alias("__g"))
+    return (
+        per.crossJoin(F.broadcast(grand))
+        .select(
+            "shard",
+            "n_rows",
+            F.col("__tot").cast("long").alias("total_size"),
+            "max_size",
+            F.round(
+                F.col("__tot").cast("double")
+                * F.lit(float(n_shards))
+                / F.col("__g").cast("double"),
+                9,
+            ).alias("balance"),
+        )
+        .orderBy("shard")
+    )

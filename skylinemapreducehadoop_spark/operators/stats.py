@@ -1714,3 +1714,130 @@ def ntile_global(
         )
         .orderBy("bin")
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier — the
+    calibration half of classifier evaluation (:func:`roc_auc` is the
+    ranking half): bucket predictions by predicted probability and
+    compare each bucket's mean prediction to its observed positive
+    rate.
+
+    ``prob_col`` is expected on a fixed decimal grid (e.g. the
+    round(6) output of ``classifier_score``) so the per-bin mean is
+    an exact decimal(38,6) sum with ONE pinned division; the bin
+    index floor(p * n_bins) (clamped to n_bins-1) is an IEEE multiply
+    of identical doubles on any engine. ``observed_rate`` and ``gap``
+    (observed - predicted) are pinned divisions rounded to 9.
+
+    Scale shape: one map-side-combined aggregate to an n_bins-row
+    frame. Nothing else.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    lab = F.col(label_col).cast("long")
+    p = F.col(prob_col).cast("double")
+    bin_col = F.least(
+        F.floor(p * F.lit(n_bins)).cast("int"), F.lit(n_bins - 1)
+    )
+    agg = (
+        df.where(p.isNotNull() & lab.isNotNull())
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(lab).alias("n_pos"),
+            F.sum(p.cast("decimal(38,6)")).alias("__sp"),
+        )
+    )
+    mean_prob = F.round(
+        F.col("__sp").cast("double") / F.col("n").cast("double"), 9
+    )
+    observed = F.round(
+        F.col("n_pos").cast("double") / F.col("n").cast("double"), 9
+    )
+    return agg.select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        mean_prob.alias("mean_prob"),
+        observed.alias("observed_rate"),
+        F.round(observed - mean_prob, 9).alias("gap"),
+    ).orderBy("bin")
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence,
+    value_col: str,
+    *,
+    out_col: str = "cum",
+    rank_col: str | None = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` over a total order,
+    WITHOUT a single-partition window — the third reusable form of the
+    distributed prefix sum (:func:`global_row_number` counts rows,
+    :func:`percentile_ranks` builds a CDF; this one folds an arbitrary
+    additive measure — token counts, bytes, revenue).
+
+    ``order_cols`` must be a deterministic TOTAL order (include a
+    tie-break). Appends ``out_col`` (decimal cumulative sum including
+    the current row) and, when ``rank_col`` is set, the 1-based global
+    position. Shape: range partition on the order, partition-local
+    window sums keyed by partition id, one #partitions-row collect,
+    broadcast-added offsets (localCheckpoint-pinned boundaries).
+    """
+    cols = list(order_cols)
+    if not cols:
+        raise ValueError("order_cols must be non-empty")
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    v = F.col(value_col).cast("decimal(38,0)")
+    local_w = Window.partitionBy("__pid").orderBy(*cols)
+    local = (
+        df.repartitionByRange(nparts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lcum",
+            F.sum(v).over(
+                local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__lrn", F.row_number().over(local_w))
+        .localCheckpoint()
+    )
+    pstats = sorted(
+        local.groupBy("__pid")
+        .agg(F.sum(v).alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    from decimal import Decimal
+
+    offsets, cum, cnt = [], 0, 0
+    for r in pstats:
+        offsets.append((r["__pid"], Decimal(cum), cnt))
+        cum += int(r["__s"] or 0)
+        cnt += int(r["__c"])
+    off_df = spark.createDataFrame(
+        offsets or [(0, Decimal(0), 0)],
+        "__pid int, __voff decimal(38,0), __roff long",
+    )
+    out = (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__lcum") + F.col("__voff")))
+        .drop("__voff")
+    )
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col, (F.col("__lrn") + F.col("__roff")).cast("long")
+        )
+    return out.drop("__pid", "__lcum", "__lrn", "__roff")

@@ -74,6 +74,8 @@ SKIP_EAGER = {
     "auc_purchase_events",  # prefix-sum offsets collect (percentile_ranks shape)
     "pca_invariant_check",  # dim^2-bounded covariance collect + driver eigh
     "ntile_buckets_lineitem",  # prefix-sum offsets collect
+    "vocab_budget_documents",  # prefix-sum offsets collect
+    "balanced_shards_documents",  # prefix-sum offsets collect
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a 1-row (or

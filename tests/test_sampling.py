@@ -427,3 +427,40 @@ def test_mix_diversity_matches_reference(spark):
     h = -sum(c / n * math.log(c / n) for c in counts.values())
     assert row["shannon_h"] == pytest.approx(h, abs=1e-5)
     assert row["effective_units"] == pytest.approx(math.exp(h), abs=1e-4)
+
+
+def test_balanced_shards_determinism_and_balance(spark):
+    import pytest
+    from skylinemapreducehadoop_spark.operators.sampling import balanced_shards
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [(int(i), int(s)) for i, s in enumerate(rng.integers(100, 10000, 400))]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = balanced_shards(df, "n_chars", n_shards=8, id_cols=("doc_id",)).collect()
+    assert len(out) == 8
+    assert sum(r["n_rows"] for r in out) == 400
+    totals = [r["total_size"] for r in out]
+    assert sum(totals) == sum(s for _, s in rows)
+    # striped LPT over 400 varied sizes: within a few percent of ideal
+    ideal = sum(totals) / 8
+    for t in totals:
+        assert abs(t - ideal) / ideal < 0.05
+    for r in out:
+        assert r["balance"] == pytest.approx(r["total_size"] * 8 / sum(totals), abs=1e-9)
+    # manual reference: rank desc by (size, id), stripe
+    ranked = sorted(rows, key=lambda p: (-p[1], p[0]))
+    manual = [0] * 8
+    for pos, (_, s) in enumerate(ranked):
+        manual[pos % 8] += s
+    assert sorted(totals) == sorted(manual)
+
+
+def test_balanced_shards_validation(spark):
+    import pytest
+    from skylinemapreducehadoop_spark.operators.sampling import balanced_shards
+
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
+    with pytest.raises(ValueError):
+        balanced_shards(df, "n_chars", n_shards=0)

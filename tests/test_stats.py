@@ -922,3 +922,64 @@ def test_ntile_global_validation(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError):
         ntile_global(df, "x", n_tiles=0)
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins / global_prefix_sum (round 10, batch 4)
+
+
+def test_calibration_bins_exact_rates(spark):
+    from skylinemapreducehadoop_spark.operators.stats import calibration_bins
+
+    # bin 0.1x: 3 rows, 1 positive; bin 0.9x: 2 rows, 2 positives
+    rows = [
+        (0.12, 0), (0.15, 0), (0.18, 1),
+        (0.95, 1), (0.98, 1),
+        (1.0, 1),  # prob == 1.0 clamps into the last bin
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = {r["bin"]: r for r in calibration_bins(df, "p", "y", n_bins=10).collect()}
+    assert out[1]["n"] == 3 and out[1]["n_pos"] == 1
+    assert out[1]["observed_rate"] == pytest.approx(1 / 3, abs=1e-9)
+    assert out[1]["mean_prob"] == pytest.approx(0.15, abs=1e-9)
+    assert out[9]["n"] == 3 and out[9]["n_pos"] == 3
+    assert out[9]["observed_rate"] == 1.0
+    # gap = observed - predicted
+    assert out[9]["gap"] == pytest.approx(1.0 - (0.95 + 0.98 + 1.0) / 3, abs=1e-8)
+
+
+def test_calibration_bins_validation(spark):
+    from skylinemapreducehadoop_spark.operators.stats import calibration_bins
+
+    df = spark.createDataFrame([(0.5, 1)], "p double, y int")
+    with pytest.raises(ValueError):
+        calibration_bins(df, "p", "y", n_bins=0)
+
+
+def test_global_prefix_sum_matches_single_partition(spark):
+    from skylinemapreducehadoop_spark.operators.stats import global_prefix_sum
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), int(v)) for i, v in enumerate(rng.integers(1, 100, 500))]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = global_prefix_sum(df, [F.asc("id")], "v", num_partitions=7).collect()
+    got = {r["id"]: (int(r["cum"]), r["rank"]) for r in out}
+    cum = 0
+    for i, v in rows:
+        cum += v
+        assert got[i] == (cum, i + 1), i
+
+
+def test_global_prefix_sum_no_global_window(spark):
+    from skylinemapreducehadoop_spark.operators.stats import global_prefix_sum
+
+    df = spark.createDataFrame([(i, i) for i in range(100)], "id long, v long")
+    plan = (
+        global_prefix_sum(df, [F.asc("id")], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__pid" in line, f"global window in plan: {line}"

@@ -552,3 +552,37 @@ def test_winnow_guarantee_and_degenerate_docs(spark):
 
     with pytest.raises(ValueError):
         winnow_fingerprints("text", gram_k=0)
+
+
+# ---------------------------------------------------------------------------
+# vocab_budget (round 10)
+
+
+def test_vocab_budget_known_corpus(spark):
+    import pytest
+    from skylinemapreducehadoop_spark.functions.text import vocab_budget
+
+    # 10 'a', 5 'b', 3 'c', 2 'd' -> total 20; ranked a,b,c,d
+    text = " ".join(["a"] * 10 + ["b"] * 5 + ["c"] * 3 + ["d"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {
+        r["target_num"]: r
+        for r in vocab_budget(
+            df, targets=((50, 100), (75, 100), (90, 100), (100, 100))
+        ).collect()
+    }
+    assert out[50]["vocab_size"] == 1 and out[50]["covered_tokens"] == 10
+    assert out[75]["vocab_size"] == 2 and out[75]["covered_tokens"] == 15
+    assert out[90]["vocab_size"] == 3 and out[90]["covered_tokens"] == 18
+    assert out[100]["vocab_size"] == 4 and out[100]["covered_tokens"] == 20
+    assert all(r["total_tokens"] == 20 for r in out.values())
+
+
+def test_vocab_budget_tie_break_deterministic(spark):
+    from skylinemapreducehadoop_spark.functions.text import vocab_budget
+
+    # all tokens equal count: ranking breaks by token text, coverage
+    # boundaries remain exact
+    df = spark.createDataFrame([(1, "z y x w")], "doc_id long, text string")
+    out = {r["target_num"]: r for r in vocab_budget(df, targets=((50, 100),)).collect()}
+    assert out[50]["vocab_size"] == 2  # 2 of 4 tokens = exactly 50%
