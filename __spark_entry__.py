@@ -4547,6 +4547,56 @@ def _balanced_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_shards(docs, "n_chars", n_shards=8)
 
 
+
+def _normalize_nfc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unicode canonicalization pass with PLANTED decomposed-accent
+    # rows (U+0065 U+0301 etc.): every 25th doc re-appears
+    # (doc_id+800000) with a decomposed suffix the NFC pass must
+    # compose; output = the changed rows' normalized-text md5
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dec_suffix = " cafe" + chr(0x301) + " u" + chr(0x308) + "ber"
+    planted = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(dec_suffix)).alias("text"),
+    )
+    out = TX.normalize_nfc(docs.unionByName(planted))
+    return (
+        out.where(F.col("changed"))
+        .select("doc_id", F.md5(F.col("clean_text")).alias("clean_md5"))
+        .orderBy("doc_id")
+    )
+
+
+def _referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-table FK audit over three relations, with planted orphan
+    # and NULL child keys proving the counts (the natural data is
+    # referentially intact, which a checker must also report honestly)
+    from skylinemapreducehadoop_spark.functions.expect import (
+        referential_integrity,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("k")
+    )
+    extra = spark.createDataFrame(
+        [(-1,), (-1,), (-2,), (None,)], "k long"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r1 = referential_integrity(
+        li.unionByName(extra), o, "k", "o_orderkey",
+        relation="lineitem->orders",
+    )
+    r2 = referential_integrity(
+        o, c, "o_custkey", "c_custkey", relation="orders->customer"
+    )
+    r3 = referential_integrity(
+        c, n, "c_nationkey", "n_nationkey", relation="customer->nation"
+    )
+    return r1.unionByName(r2).unionByName(r3).orderBy("relation")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4803,6 +4853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_documents": _calibration_documents,
         "vocab_budget_documents": _vocab_budget_documents,
         "balanced_shards_documents": _balanced_shards_documents,
+        "normalize_nfc_documents": _normalize_nfc_documents,
+        "referential_integrity_check": _referential_integrity_check,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -8654,6 +8706,62 @@ SELECT shard, n_rows, CAST(tot AS BIGINT) AS total_size,
        CAST(max_size AS BIGINT) AS max_size,
        round(CAST(tot AS DOUBLE) * 8.0 / CAST(gg AS DOUBLE), 9) AS balance
 FROM s CROSS JOIN g ORDER BY shard
+""",
+        'normalize_nfc_documents': """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 800000,
+         text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber'
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id, md5(nfc_normalize(text)) AS clean_md5
+FROM base WHERE nfc_normalize(text) <> text
+ORDER BY doc_id
+""",
+        'referential_integrity_check': """
+WITH li AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+  UNION ALL SELECT * FROM (VALUES (-1), (-1), (-2), (NULL)) v(k)
+),
+r1 AS (
+  SELECT 'lineitem->orders' AS relation,
+         (SELECT count(*) FROM li) AS n_child,
+         (SELECT count(*) FROM li WHERE k IS NULL) AS n_null_keys,
+         (SELECT count(*) FROM li WHERE k IS NOT NULL
+            AND k NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans,
+         (SELECT count(DISTINCT k) FROM li WHERE k IS NOT NULL
+            AND k NOT IN (SELECT o_orderkey FROM orders))
+           AS n_distinct_orphan_keys
+),
+r2 AS (
+  SELECT 'orders->customer', count(*),
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN o_custkey IS NOT NULL
+                   AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+             THEN 1 ELSE 0 END),
+         count(DISTINCT CASE WHEN o_custkey IS NOT NULL
+                   AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+               THEN o_custkey END)
+  FROM orders
+),
+r3 AS (
+  SELECT 'customer->nation', count(*),
+         sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+         sum(CASE WHEN c_nationkey IS NOT NULL
+                   AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+             THEN 1 ELSE 0 END),
+         count(DISTINCT CASE WHEN c_nationkey IS NOT NULL
+                   AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+               THEN c_nationkey END)
+  FROM customer
+)
+SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_null_keys AS BIGINT) AS n_null_keys,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST(n_distinct_orphan_keys AS BIGINT) AS n_distinct_orphan_keys
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+ORDER BY relation
 """,
         "curate_corpus": f"""
 WITH t AS (

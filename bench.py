@@ -366,6 +366,8 @@ EXTRA_QUERIES = [
     "calibration_documents",
     "vocab_budget_documents",
     "balanced_shards_documents",
+    "normalize_nfc_documents",
+    "referential_integrity_check",
 ]
 
 

@@ -137,3 +137,49 @@ def expectations(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     return one.select(
         F.explode(F.array(*results)).alias("__r")
     ).select("__r.rule", F.round("__r.metric", 9).alias("metric"), "__r.ok")
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key,
+    parent_key,
+    *,
+    relation: str = "child->parent",
+) -> DataFrame:
+    """Foreign-key audit for one relation: how many child rows
+    reference a missing parent — the cross-table half of the
+    data-quality suite (the per-table expectations catch NULLs and
+    ranges; orphans only show up against the other table).
+
+    Returns one row: (relation, n_child, n_null_keys, n_orphans,
+    n_distinct_orphan_keys). NULL child keys are counted separately
+    (SQL semantics: a NULL FK is "no reference", not an orphan).
+
+    Scale shape: the orphan check is a LEFT ANTI join on the key —
+    Catalyst picks broadcast/shuffle-hash by size; counts are
+    map-side combined aggregates. The parent side deduplicates to
+    key-cardinality before the join.
+    """
+    ck = F.col(child_key)
+    c = child.select(ck.alias("__k"))
+    p = parent.select(F.col(parent_key).alias("__k")).distinct()
+    orphans = c.where(F.col("__k").isNotNull()).join(p, "__k", "left_anti")
+    base = c.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.col("__k").isNull().cast("long")).alias("n_null_keys"),
+    )
+    o = orphans.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.countDistinct("__k").alias("n_distinct_orphan_keys"),
+    )
+    return (
+        base.crossJoin(F.broadcast(o))
+        .select(
+            F.lit(relation).alias("relation"),
+            "n_child",
+            F.col("n_null_keys").cast("long").alias("n_null_keys"),
+            "n_orphans",
+            "n_distinct_orphan_keys",
+        )
+    )

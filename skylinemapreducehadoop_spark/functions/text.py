@@ -1368,3 +1368,47 @@ def vocab_budget(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def normalize_nfc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode NFC normalization pass — the canonicalization step a
+    multilingual corpus runs before dedup/tokenization (the same
+    grapheme can arrive precomposed U+00E9 or decomposed U+0065
+    U+0301; hash-based dedup and vocab counting treat them as
+    different documents/tokens unless normalized first).
+
+    Returns (id, clean_text, changed) for EVERY input row; ``changed``
+    marks rows whose bytes differed. NULL text passes through as NULL
+    with changed = false.
+
+    Implementation: Python's unicodedata.normalize('NFC') in an
+    Arrow-batched pandas UDF — the JVM has no NFC expression, and NFC
+    is a pure per-row byte map, so this is the documented acceptable
+    UDF case (vectorized batch transfer, map-only plan, no shuffle).
+    The normalization tables are fixed by the Unicode version; both
+    CPython and DuckDB implement the same canonical composition, so
+    the pass is oracle-checkable.
+    """
+    import unicodedata
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+    ).withColumn("clean_text", _nfc(F.col("__t")))
+    return out.select(
+        F.col("id").alias(id_col),
+        "clean_text",
+        F.coalesce(
+            F.col("clean_text") != F.col("__t"), F.lit(False)
+        ).alias("changed"),
+    )

@@ -78,3 +78,31 @@ def test_expectations_guards(spark):
         expectations(df, [])
     with pytest.raises(ValueError):
         expectations(df, [{"kind": "nope"}])
+
+
+def test_referential_integrity_counts(spark):
+    from skylinemapreducehadoop_spark.functions.expect import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (98,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = referential_integrity(child, parent, "fk", "pk").collect()[0]
+    assert row["n_child"] == 7
+    assert row["n_null_keys"] == 1
+    assert row["n_orphans"] == 3          # 99, 99, 98
+    assert row["n_distinct_orphan_keys"] == 2
+    assert row["relation"] == "child->parent"
+
+
+def test_referential_integrity_clean_relation(spark):
+    from skylinemapreducehadoop_spark.functions.expect import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    row = referential_integrity(child, parent, "fk", "pk").collect()[0]
+    assert row["n_orphans"] == 0 and row["n_null_keys"] == 0

@@ -119,6 +119,7 @@ BNLJ_OK = {
     "ngram_jaccard_documents",
     "chi2_events",  # 1-row grand-total (N) frame
     "benford_orders",  # 1-row digit-total (N) frame
+    "referential_integrity_check",  # 1-row orphan-count scalar frames
 }
 
 

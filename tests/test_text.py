@@ -586,3 +586,19 @@ def test_vocab_budget_tie_break_deterministic(spark):
     df = spark.createDataFrame([(1, "z y x w")], "doc_id long, text string")
     out = {r["target_num"]: r for r in vocab_budget(df, targets=((50, 100),)).collect()}
     assert out[50]["vocab_size"] == 2  # 2 of 4 tokens = exactly 50%
+
+
+def test_normalize_nfc_composes_and_flags(spark):
+    from skylinemapreducehadoop_spark.functions.text import normalize_nfc
+
+    dec = "cafe" + chr(0x301)          # e + combining acute
+    pre = "caf" + chr(0xE9)            # precomposed e-acute
+    rows = [(1, dec), (2, pre), (3, "plain ascii"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_nfc(df).collect()}
+    assert out[1]["changed"] is True and out[1]["clean_text"] == pre
+    assert out[2]["changed"] is False and out[2]["clean_text"] == pre
+    assert out[3]["changed"] is False
+    assert out[4]["clean_text"] is None and out[4]["changed"] is False
+    # normalized forms now dedup to the same hash
+    assert out[1]["clean_text"] == out[2]["clean_text"]
