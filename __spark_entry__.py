@@ -4597,6 +4597,34 @@ def _referential_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionByName(r2).unionByName(r3).orderBy("relation")
 
 
+
+def _ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact two-sample Kolmogorov-Smirnov between the click and
+    # purchase value distributions — the unbinned shift screen next
+    # to PSI/chi2 (stats.ks_test, two-measure distributed prefix sum)
+    from skylinemapreducehadoop_spark.operators.stats import ks_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_test(ev, "event_type", "value", "click", "purchase")
+
+
+def _mi_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # feature-relevance / leakage screen: MI of three candidate
+    # features against the event-type label in ONE melted plan
+    # (stats.mutual_info_scan)
+    from skylinemapreducehadoop_spark.operators.stats import mutual_info_scan
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        (F.col("user_id") % 10).alias("user_mod"),
+        F.floor(F.col("value") / 20).alias("value_band"),
+    )
+    return mutual_info_scan(
+        ev, ["dow", "user_mod", "value_band"], "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4855,6 +4883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balanced_shards_documents": _balanced_shards_documents,
         "normalize_nfc_documents": _normalize_nfc_documents,
         "referential_integrity_check": _referential_integrity_check,
+        "ks_test_events": _ks_test_events,
+        "mi_scan_events": _mi_scan_events,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -8762,6 +8792,68 @@ SELECT relation, CAST(n_child AS BIGINT) AS n_child,
        CAST(n_distinct_orphan_keys AS BIGINT) AS n_distinct_orphan_keys
 FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
 ORDER BY relation
+""",
+        'ks_test_events': """
+WITH t AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+),
+pv AS (SELECT v, sum(ia) AS ca, sum(ib) AS cb FROM t GROUP BY v),
+c AS (
+  SELECT v, ca, cb,
+         sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cuma,
+         sum(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM pv
+)
+SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+       CASE WHEN max(na) > 0 AND max(nb) > 0 THEN
+         round(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+               / CAST(max(na) * max(nb) AS DOUBLE), 9)
+       END AS ks
+FROM c
+""",
+        'mi_scan_events': """
+WITH ev AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) + 1 AS VARCHAR) AS dow,
+         CAST(user_id % 10 AS VARCHAR) AS user_mod,
+         CAST(CAST(floor(value / 20) AS BIGINT) AS VARCHAR) AS value_band
+  FROM events
+),
+m AS (
+  SELECT event_type AS y, 'dow' AS f, dow AS v FROM ev WHERE event_type IS NOT NULL AND dow IS NOT NULL
+  UNION ALL
+  SELECT event_type, 'user_mod', user_mod FROM ev WHERE event_type IS NOT NULL AND user_mod IS NOT NULL
+  UNION ALL
+  SELECT event_type, 'value_band', value_band FROM ev WHERE event_type IS NOT NULL AND value_band IS NOT NULL
+),
+cells AS (SELECT f, v, y, CAST(count(*) AS BIGINT) AS cxy FROM m GROUP BY 1, 2, 3),
+ca AS (SELECT f, v, CAST(sum(cxy) AS BIGINT) AS c1 FROM cells GROUP BY 1, 2),
+cb AS (SELECT f, y, CAST(sum(cxy) AS BIGINT) AS c2 FROM cells GROUP BY 1, 2),
+tot AS (SELECT f, CAST(sum(cxy) AS BIGINT) AS n, count(*) AS n_cells FROM cells GROUP BY 1),
+terms AS (
+  SELECT cells.f, n, n_cells,
+         CAST(cxy AS DOUBLE) * (log2(CAST(cxy AS DOUBLE))
+                                + log2(CAST(n AS DOUBLE))
+                                - log2(CAST(c1 AS DOUBLE))
+                                - log2(CAST(c2 AS DOUBLE))) AS term
+  FROM cells JOIN ca USING (f, v) JOIN cb USING (f, y) JOIN tot USING (f)
+)
+SELECT f AS feature, n AS n_rows, n_cells,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(term))),
+                         (x, y) -> x + y) / CAST(n AS DOUBLE), 6) AS mi_bits
+FROM terms GROUP BY f, n, n_cells
+ORDER BY mi_bits DESC, feature
 """,
         "curate_corpus": f"""
 WITH t AS (

@@ -368,6 +368,8 @@ EXTRA_QUERIES = [
     "balanced_shards_documents",
     "normalize_nfc_documents",
     "referential_integrity_check",
+    "ks_test_events",
+    "mi_scan_events",
 ]
 
 

@@ -1841,3 +1841,197 @@ def global_prefix_sum(
             rank_col, (F.col("__lrn") + F.col("__roff")).cast("long")
         )
     return out.drop("__pid", "__lcum", "__lrn", "__roff")
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    *,
+    scale: int = 1000000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic — the
+    distribution-shift screen that catches what bucketed PSI
+    (:func:`distribution_drift`) smooths over: KS = max over the
+    merged support of |F_a(v) - F_b(v)|.
+
+    Cleared of division: with cumulative counts A(v), B(v) and totals
+    n_a, n_b, the statistic's numerator ``max |A(v)*n_b - B(v)*n_a|``
+    is exact integer algebra on the (distinct value, count_a,
+    count_b) frame; the single float step divides by n_a*n_b at the
+    end (rounded to 9). Values are quantized to the ``scale`` grid
+    (the _q contract).
+
+    Scale shape: one map-side-combined aggregate to the merged
+    distinct-value frame carrying BOTH group counts, then ONE
+    distributed prefix-sum pass (range partition, __pid-keyed local
+    windows, a #partitions-row two-measure offsets collect,
+    broadcast-add) — the percentile_ranks shape generalized to two
+    simultaneous measures — and a final 1-row max aggregate.
+
+    Returns one row: (n_a, n_b, n_values, ks_num, ks) — NULL ks when
+    either sample is empty.
+    """
+    g = F.col(group_col)
+    q = _q(value_col, scale)
+    tagged = df.where(
+        F.col(value_col).isNotNull() & g.isin(group_a, group_b)
+    ).select(
+        q.alias("__v"),
+        (g == F.lit(group_a)).cast("long").alias("__ia"),
+        (g == F.lit(group_b)).cast("long").alias("__ib"),
+    )
+    per_val = tagged.groupBy("__v").agg(
+        F.sum("__ia").alias("__ca"), F.sum("__ib").alias("__cb")
+    )
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        per_val.repartitionByRange(nparts, F.asc("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__la", F.sum("__ca").over(local_w))
+        .withColumn("__lb", F.sum("__cb").over(local_w))
+        .localCheckpoint()
+    )
+    pstats = sorted(
+        local.groupBy("__pid")
+        .agg(F.sum("__ca").alias("__sa"), F.sum("__cb").alias("__sb"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, ca, cb = [], 0, 0
+    for r in pstats:
+        offsets.append((r["__pid"], ca, cb))
+        ca += int(r["__sa"] or 0)
+        cb += int(r["__sb"] or 0)
+    n_a, n_b = ca, cb
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0, 0)], "__pid int, __oa long, __ob long"
+    )
+    cum_a = F.col("__la") + F.col("__oa")
+    cum_b = F.col("__lb") + F.col("__ob")
+    dev = F.abs(
+        (cum_a * F.lit(n_b) - cum_b * F.lit(n_a)).cast("decimal(38,0)")
+    )
+    out = local.join(F.broadcast(off_df), "__pid").agg(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.max(dev).cast("long").alias("ks_num"),
+    )
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        "ks_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("ks_num").cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                9,
+            ),
+        ).alias("ks"),
+    )
+
+
+def mutual_info_scan(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """Mutual information of EVERY candidate feature column against a
+    label, in ONE plan — the feature-relevance / target-leakage
+    screen run before training ("which metadata columns predict the
+    label suspiciously well?"). Same exact-fold discipline as
+    :func:`mutual_information` (integer-count log2 terms, per-feature
+    ascending sorted fold), generalized: features melt into
+    (feature, value) rows via one explode, so adding a feature adds a
+    projection column, not a pass.
+
+    Feature values are compared as strings (categorical contract —
+    bucket continuous columns first). Rows where the label or the
+    feature value is NULL are excluded per feature.
+
+    Returns one row per feature: (feature, n_rows, n_cells, mi_bits),
+    ordered by descending mi_bits (most label-coupled first).
+
+    Scale shape: one explode (|features| x rows, map-local) into an
+    (feature, value, label) hash aggregate; marginals are rollups OF
+    THE CELL TABLE joined back shuffle_hash; each feature's sorted
+    fold is its own cell-table-sized list.
+    """
+    if not feature_cols:
+        raise ValueError("feature_cols must be non-empty")
+    melt = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("f"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in feature_cols
+            ]
+        )
+    )
+    base = (
+        df.where(F.col(label_col).isNotNull())
+        .select(F.col(label_col).cast("string").alias("__y"), melt.alias("__m"))
+        .select("__y", F.col("__m.f").alias("__f"), F.col("__m.v").alias("__v"))
+        .where(F.col("__v").isNotNull())
+    )
+    cells = base.groupBy("__f", "__v", "__y").agg(
+        F.count(F.lit(1)).alias("__cxy")
+    )
+    ca = cells.groupBy(
+        F.col("__f").alias("__fa"), F.col("__v").alias("__va")
+    ).agg(F.sum("__cxy").alias("__ca"))
+    cb = cells.groupBy(
+        F.col("__f").alias("__fb"), F.col("__y").alias("__yb")
+    ).agg(F.sum("__cxy").alias("__cb"))
+    tot = cells.groupBy(F.col("__f").alias("__ft")).agg(
+        F.sum("__cxy").alias("__N"), F.count(F.lit(1)).alias("n_cells")
+    )
+    term = (
+        F.col("__cxy").cast("double")
+        * (
+            F.log2(F.col("__cxy").cast("double"))
+            + F.log2(F.col("__N").cast("double"))
+            - F.log2(F.col("__ca").cast("double"))
+            - F.log2(F.col("__cb").cast("double"))
+        )
+    ).alias("__term")
+    joined = (
+        cells.join(
+            ca.hint("shuffle_hash"),
+            (F.col("__f") == F.col("__fa")) & (F.col("__v") == F.col("__va")),
+        )
+        .join(
+            cb.hint("shuffle_hash"),
+            (F.col("__f") == F.col("__fb")) & (F.col("__y") == F.col("__yb")),
+        )
+        .join(
+            tot.hint("shuffle_hash"), F.col("__f") == F.col("__ft")
+        )
+        .select("__f", "__N", "n_cells", term)
+    )
+    folded = joined.groupBy("__f", "__N", "n_cells").agg(
+        F.sort_array(F.collect_list("__term")).alias("__ts")
+    )
+    fold = F.aggregate("__ts", F.lit(0.0), lambda acc, t: acc + t)
+    return folded.select(
+        F.col("__f").alias("feature"),
+        F.col("__N").cast("long").alias("n_rows"),
+        "n_cells",
+        F.round(fold / F.col("__N").cast("double"), 6).alias("mi_bits"),
+    ).orderBy(F.desc("mi_bits"), "feature")

@@ -76,6 +76,7 @@ SKIP_EAGER = {
     "ntile_buckets_lineitem",  # prefix-sum offsets collect
     "vocab_budget_documents",  # prefix-sum offsets collect
     "balanced_shards_documents",  # prefix-sum offsets collect
+    "ks_test_events",  # two-measure prefix-sum offsets collect
 }
 
 #: BroadcastNestedLoopJoin allowlist: every entry is a 1-row (or

@@ -983,3 +983,92 @@ def test_global_prefix_sum_no_global_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__pid" in line, f"global window in plan: {line}"
+
+
+# ---------------------------------------------------------------------------
+# ks_test / mutual_info_scan (round 10, batch 6)
+
+
+def test_ks_identical_distributions_zero(spark):
+    from skylinemapreducehadoop_spark.operators.stats import ks_test
+
+    rows = [("a", float(v % 13)) for v in range(100)] + [
+        ("b", float(v % 13)) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    row = ks_test(df, "g", "x", "a", "b").collect()[0]
+    assert row["ks"] == 0.0
+    assert row["n_a"] == 100 and row["n_b"] == 100
+
+
+def test_ks_disjoint_supports_one(spark):
+    from skylinemapreducehadoop_spark.operators.stats import ks_test
+
+    rows = [("a", float(v)) for v in range(50)] + [
+        ("b", float(v + 1000)) for v in range(70)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    row = ks_test(df, "g", "x", "a", "b").collect()[0]
+    assert row["ks"] == 1.0
+
+
+def test_ks_matches_scipy_formula(spark):
+    from skylinemapreducehadoop_spark.operators.stats import ks_test
+
+    rng = np.random.default_rng(17)
+    xa = rng.integers(0, 40, 300)
+    xb = rng.integers(5, 45, 200)
+    rows = [("a", float(v)) for v in xa] + [("b", float(v)) for v in xb]
+    df = spark.createDataFrame(rows, "g string, x double")
+    row = ks_test(df, "g", "x", "a", "b", num_partitions=5).collect()[0]
+    # manual two-sample KS over the merged support
+    support = sorted(set(xa.tolist()) | set(xb.tolist()))
+    best = 0.0
+    for v in support:
+        fa = (xa <= v).sum() / len(xa)
+        fb = (xb <= v).sum() / len(xb)
+        best = max(best, abs(fa - fb))
+    assert row["ks"] == pytest.approx(best, abs=1e-9)
+
+
+def test_ks_empty_group_null(spark):
+    from skylinemapreducehadoop_spark.operators.stats import ks_test
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    assert ks_test(df, "g", "x", "a", "b").collect()[0]["ks"] is None
+
+
+def test_mutual_info_scan_matches_pairwise(spark):
+    from skylinemapreducehadoop_spark.operators.stats import (
+        mutual_info_scan,
+        mutual_information as mutual_rm,
+    )
+
+    rng = np.random.default_rng(23)
+    labels = rng.integers(0, 3, 500)
+    leaky = labels * 10 + rng.integers(0, 2, 500)  # near-deterministic
+    noise = rng.integers(0, 5, 500)
+    rows = [
+        (int(y), int(a), int(b)) for y, a, b in zip(labels, leaky, noise)
+    ]
+    df = spark.createDataFrame(rows, "y int, leaky int, noise int")
+    out = {r["feature"]: r for r in mutual_info_scan(df, ["leaky", "noise"], "y").collect()}
+    # scan agrees with the pairwise operator per feature
+    for c in ("leaky", "noise"):
+        ref = mutual_rm(
+            df.select(F.col(c).cast("string").alias("a"), F.col("y").cast("string").alias("b")),
+            "a",
+            "b",
+        ).collect()[0]
+        assert out[c]["mi_bits"] == pytest.approx(ref["mi_bits"], abs=2e-6), c
+        assert out[c]["n_cells"] == ref["n_cells"]
+    # the leaky feature dominates
+    assert out["leaky"]["mi_bits"] > out["noise"]["mi_bits"] + 1.0
+
+
+def test_mutual_info_scan_validation(spark):
+    from skylinemapreducehadoop_spark.operators.stats import mutual_info_scan
+
+    df = spark.createDataFrame([(1, 2)], "y int, a int")
+    with pytest.raises(ValueError):
+        mutual_info_scan(df, [], "y")
