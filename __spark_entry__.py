@@ -4625,6 +4625,41 @@ def _mi_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _image_dhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # container-robust image near-dup: the SAME closed-form RGB planes
+    # rendered as a PNG (doc_id) and as a BMP (doc_id+900000) must
+    # produce IDENTICAL perceptual dHashes while their bytes differ —
+    # the oracle recomputes every gradient bit arithmetically from
+    # doc_id (multimodal.image_dhash over the exact luma + floor
+    # resize)
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_rgb_bmp_column,
+        synthesize_rgb_png_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    png = synthesize_rgb_png_column(docs, "doc_id")
+    bmp = synthesize_rgb_bmp_column(
+        docs.select((F.col("doc_id") + 900000).alias("doc_id"),
+                    (F.col("doc_id")).alias("__k")),
+        "__k",
+    ).select("doc_id", "media")
+    both = png.select("doc_id", "media").unionByName(bmp)
+    h = image_dhash(both)
+    return (
+        h.groupBy("dhash_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("dhash_bits")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4885,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_integrity_check": _referential_integrity_check,
         "ks_test_events": _ks_test_events,
         "mi_scan_events": _mi_scan_events,
+        "image_dhash_check": _image_dhash_check,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -8854,6 +8890,41 @@ SELECT f AS feature, n AS n_rows, n_cells,
                          (x, y) -> x + y) / CAST(n AS DOUBLE), 6) AS mi_bits
 FROM terms GROUP BY f, n, n_cells
 ORDER BY mi_bits DESC, feature
+""",
+        "image_dhash_check": """
+WITH d AS (
+  SELECT doc_id AS id, doc_id AS k FROM documents
+  UNION ALL
+  SELECT doc_id + 900000, doc_id FROM documents
+),
+dims AS (SELECT id, k, 1 + k % 16 AS w, 1 + k % 12 AS h FROM d),
+grid AS (
+  SELECT id, k, w, h, gy.j AS j, gx.i AS i
+  FROM dims, range(8) gy(j), range(9) gx(i)
+),
+sam AS (
+  SELECT id, j, i, k, (j * h) // 8 AS y, (i * w) // 9 AS x
+  FROM grid
+),
+lum AS (
+  SELECT id, j, i,
+         (299 * ((k + 5*x + 11*y) % 256)
+          + 587 * ((3*k + 7*x + y) % 256)
+          + 114 * ((2*k + x + 13*y) % 256)) // 1000 AS g
+  FROM sam
+),
+b AS (
+  SELECT a.id, a.j, a.i,
+         CASE WHEN a.g > c.g THEN '1' ELSE '0' END AS bit
+  FROM lum a JOIN lum c ON a.id = c.id AND a.j = c.j AND c.i = a.i + 1
+  WHERE a.i < 8
+),
+hashes AS (
+  SELECT id, string_agg(bit, '' ORDER BY j, i) AS dhash_bits
+  FROM b GROUP BY id
+)
+SELECT dhash_bits, count(*) AS n_docs, min(id) AS min_doc, max(id) AS max_doc
+FROM hashes GROUP BY dhash_bits HAVING count(*) >= 2 ORDER BY dhash_bits
 """,
         "curate_corpus": f"""
 WITH t AS (

@@ -370,6 +370,7 @@ EXTRA_QUERIES = [
     "referential_integrity_check",
     "ks_test_events",
     "mi_scan_events",
+    "image_dhash_check",
 ]
 
 

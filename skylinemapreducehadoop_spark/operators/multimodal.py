@@ -1105,3 +1105,62 @@ def synthesize_rgb_bmp_column(
         return pd.Series(out)
 
     return df.withColumn(out_col, synth(F.col(seed_col)))
+
+
+def image_dhash(
+    df: DataFrame,
+    *,
+    id_cols: Sequence[str] = ("doc_id",),
+    media_col: str = "media",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of image payloads — the
+    image near-duplicate key: decode to exact-luma grayscale
+    (:func:`_stdlib_decode_gray8`, PNG/BMP tiers), nearest-resize to
+    a 9x8 grid with the exact floor mapping (:func:`resize_nearest`),
+    then emit the 64 horizontal-gradient bits ``g[y][x] > g[y][x+1]``
+    row-major as a bit string.
+
+    dHash keys on gradient STRUCTURE, not bytes: the same pixels in a
+    different container (PNG vs BMP), or any strictly monotonic
+    brightness remap, hash identically while exact byte/md5 dedup
+    misses them — the multimodal sibling of SimHash for text. Exact
+    integer arithmetic end to end, so an oracle can recompute every
+    bit from a closed-form fixture.
+
+    Output: (id columns, width, height, dhash_bits) with NULL fields
+    for undecodable payloads. Map-only, Arrow-batched; group or
+    band-join on ``dhash_bits`` downstream for near-dup clustering.
+    """
+    ids = list(id_cols)
+    out_schema = T.StructType(
+        [df.schema[c] for c in ids]
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("dhash_bits", T.StringType()),
+        ]
+    )
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for p in pdf[media_col]:
+                dec = _stdlib_decode_gray8(p)
+                if dec is None:
+                    rows.append((None, None, None))
+                else:
+                    w, h, px = dec
+                    g = resize_nearest(px.astype(np.int64), 9, 8)
+                    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint8)
+                    rows.append(
+                        (w, h, "".join("1" if b else "0" for b in bits.ravel()))
+                    )
+            out = pdf[ids].copy()
+            stats = pd.DataFrame(rows, columns=["width", "height", "dhash_bits"])
+            for c in stats.columns:
+                out[c] = stats[c].values
+            yield out
+
+    return df.select(*ids, media_col).mapInPandas(_run, out_schema)

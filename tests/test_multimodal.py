@@ -619,3 +619,77 @@ def test_resize_accepts_bmp_inputs(spark):
     got = {r["doc_id"]: (r["width"], r["height"]) for r in out}
     assert got == {17: (4, 3), 40: (4, 3)}
     assert all(r["pixel_sum"] is not None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# image_dhash (round 10)
+
+
+def test_image_dhash_container_invariant(spark):
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_dhash,
+        synthesize_rgb_bmp_column,
+        synthesize_rgb_png_column,
+    )
+
+    base = spark.createDataFrame([(k,) for k in (3, 7, 20, 41)], "doc_id long")
+    png = image_dhash(synthesize_rgb_png_column(base, "doc_id")).collect()
+    bmp = image_dhash(synthesize_rgb_bmp_column(base, "doc_id")).collect()
+    hp = {r["doc_id"]: r["dhash_bits"] for r in png}
+    hb = {r["doc_id"]: r["dhash_bits"] for r in bmp}
+    assert hp == hb  # same pixels, different container -> same dhash
+    for v in hp.values():
+        assert len(v) == 64 and set(v) <= {"0", "1"}
+
+
+def test_image_dhash_monotonic_remap_invariant(spark):
+    import numpy as np
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_dhash,
+        make_png,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 100, (10, 12)).astype(np.uint8)  # headroom: no wrap
+    remapped = (px * 2 + 30).astype(np.uint8)  # strictly monotonic
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(make_png(12, 10, px.tobytes()))),
+            (2, bytearray(make_png(12, 10, remapped.tobytes()))),
+        ],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r["dhash_bits"] for r in image_dhash(df).collect()}
+    assert out[1] == out[2]
+
+
+def test_image_dhash_undecodable_null(spark):
+    from skylinemapreducehadoop_spark.operators.multimodal import image_dhash
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image"))], "doc_id long, media binary"
+    )
+    row = image_dhash(df).collect()[0]
+    assert row["dhash_bits"] is None and row["width"] is None
+
+
+def test_image_dhash_matches_manual_bits(spark):
+    import numpy as np
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        image_dhash,
+        make_png,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (20, 30)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(make_png(30, 20, px.tobytes())))],
+        "doc_id long, media binary",
+    )
+    got = image_dhash(df).collect()[0]["dhash_bits"]
+    g = resize_nearest(px.astype(np.int64), 9, 8)
+    want = "".join(
+        "1" if g[y, x] > g[y, x + 1] else "0" for y in range(8) for x in range(8)
+    )
+    assert got == want
