@@ -4660,6 +4660,36 @@ def _image_dhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _leadlag_corr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # does click volume LEAD purchase volume? Pearson corr at lags
+    # -3..+3 over the daily series (temporal.leadlag_corr — exact
+    # decimal moments, one sqrt+division per lag)
+    from skylinemapreducehadoop_spark.operators.temporal import leadlag_corr
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases"),
+    )
+    return leadlag_corr(daily, "d", "clicks", "purchases", max_lag=3)
+
+
+def _seasonality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day-of-week seasonal index of order revenue: each weekday's
+    # daily average as a share of the overall daily average, ONE
+    # pinned division per position (temporal.seasonality_index)
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        seasonality_index,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return seasonality_index(o, "o_orderdate", "cents", period="dow")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4921,6 +4951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test_events": _ks_test_events,
         "mi_scan_events": _mi_scan_events,
         "image_dhash_check": _image_dhash_check,
+        "leadlag_corr_events": _leadlag_corr_events,
+        "seasonality_orders": _seasonality_orders,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -8925,6 +8957,68 @@ hashes AS (
 )
 SELECT dhash_bits, count(*) AS n_docs, min(id) AS min_doc, max(id) AS max_doc
 FROM hashes GROUP BY dhash_bits HAVING count(*) >= 2 ORDER BY dhash_bits
+""",
+        "leadlag_corr_events": """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS t,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+shifted AS (
+  SELECT -3 AS lag, t, CAST(a AS HUGEINT) AS av, CAST(lag(b, 3) OVER (ORDER BY t) AS HUGEINT) AS bv
+  FROM d
+  UNION ALL
+  SELECT -2 AS lag, t, CAST(a AS HUGEINT) AS av, CAST(lag(b, 2) OVER (ORDER BY t) AS HUGEINT) AS bv
+  FROM d
+  UNION ALL
+  SELECT -1 AS lag, t, CAST(a AS HUGEINT) AS av, CAST(lag(b, 1) OVER (ORDER BY t) AS HUGEINT) AS bv
+  FROM d
+  UNION ALL
+  SELECT 0 AS lag, t, CAST(a AS HUGEINT) AS av, CAST(b AS HUGEINT) AS bv
+  FROM d
+  UNION ALL
+  SELECT 1 AS lag, t, CAST(a AS HUGEINT) AS av, CAST(lead(b, 1) OVER (ORDER BY t) AS HUGEINT) AS bv
+  FROM d
+  UNION ALL
+  SELECT 2 AS lag, t, CAST(a AS HUGEINT) AS av, CAST(lead(b, 2) OVER (ORDER BY t) AS HUGEINT) AS bv
+  FROM d
+  UNION ALL
+  SELECT 3 AS lag, t, CAST(a AS HUGEINT) AS av, CAST(lead(b, 3) OVER (ORDER BY t) AS HUGEINT) AS bv
+  FROM d
+),
+m AS (
+  SELECT lag, count(*) AS n, sum(av) AS sa, sum(bv) AS sb,
+         sum(av*av) AS saa, sum(bv*bv) AS sbb, sum(av*bv) AS sab
+  FROM shifted WHERE bv IS NOT NULL GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n*saa - sa*sa > 0 AND n*sbb - sb*sb > 0 THEN
+         round(CAST(n*sab - sa*sb AS DOUBLE)
+               / sqrt(CAST(n*saa - sa*sa AS DOUBLE)
+                      * CAST(n*sbb - sb*sb AS DOUBLE)), 9)
+       END AS corr
+FROM m ORDER BY lag
+""",
+        "seasonality_orders": """
+WITH o AS (
+  SELECT o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+pp AS (
+  SELECT dayofweek(o_orderdate) + 1 AS pos,
+         strftime(o_orderdate, '%Y-%m-%d') AS bkt,
+         sum(CAST(cents AS HUGEINT)) AS s
+  FROM o GROUP BY 1, 2
+),
+px AS (
+  SELECT pos, sum(s) AS sp, CAST(count(*) AS HUGEINT) AS np FROM pp GROUP BY pos
+),
+t AS (SELECT sum(sp) AS ss, sum(np) AS nn FROM px)
+SELECT CAST(pos AS INTEGER) AS pos, CAST(np AS BIGINT) AS n_periods,
+       CAST(sp AS BIGINT) AS total_value,
+       round(CAST(sp * nn AS DOUBLE) / CAST(np * ss AS DOUBLE), 6) AS index
+FROM px CROSS JOIN t ORDER BY pos
 """,
         "curate_corpus": f"""
 WITH t AS (

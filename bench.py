@@ -371,6 +371,8 @@ EXTRA_QUERIES = [
     "ks_test_events",
     "mi_scan_events",
     "image_dhash_check",
+    "leadlag_corr_events",
+    "seasonality_orders",
 ]
 
 

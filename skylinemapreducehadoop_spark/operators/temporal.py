@@ -734,3 +734,135 @@ def position_attribution(
             credit.alias("credit"),
         )
     )
+
+
+def leadlag_corr(
+    df: DataFrame,
+    time_col: str,
+    a_col: str,
+    b_col: str,
+    *,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two integer-valued period
+    series — the "does A lead B?" diagnostic (marketing spend vs
+    conversions, error volume vs churn): Pearson corr(A_t, B_{t+l})
+    for every lag l in [-max_lag, max_lag], computed over the rows
+    where both ends of the shifted pair exist.
+
+    Input is ONE row per period (pre-aggregate first); the series
+    frame is calendar-bounded (days/weeks/months — a true constant at
+    any data scale, unlike key tables), so the single unpartitioned
+    window over it is bounded by the calendar, not the data. All 2L+1
+    shifted columns ride that one window; per lag, the five Pearson
+    moments fold in decimal(38,0) over exact integers and the single
+    float step is the final (n·Σab − ΣaΣb) / sqrt(...) with one sqrt,
+    rounded to 9.
+
+    Returns (lag, n_pairs, corr) for each lag; NULL corr when a side
+    is constant over the overlap (zero variance).
+    """
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0")
+    w = Window.orderBy(time_col)
+    a = F.col(a_col).cast("decimal(38,0)")
+    b = F.col(b_col).cast("decimal(38,0)")
+    outs = []
+    base = df.select(time_col, a.alias("__a"), b.alias("__b"))
+    for lag in range(-max_lag, max_lag + 1):
+        if lag == 0:
+            bl = F.col("__b")
+        elif lag > 0:
+            bl = F.lead("__b", lag).over(w)
+        else:
+            bl = F.lag("__b", -lag).over(w)
+        pair = base.withColumn("__bl", bl).where(F.col("__bl").isNotNull())
+        av = F.col("__a")
+        bv = F.col("__bl")
+        agg = pair.agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+            F.sum(av).alias("__sa"),
+            F.sum(bv).alias("__sb"),
+            F.sum(av * av).alias("__saa"),
+            F.sum(bv * bv).alias("__sbb"),
+            F.sum(av * bv).alias("__sab"),
+        )
+        num = F.col("__n") * F.col("__sab") - F.col("__sa") * F.col("__sb")
+        da = F.col("__n") * F.col("__saa") - F.col("__sa") * F.col("__sa")
+        db = F.col("__n") * F.col("__sbb") - F.col("__sb") * F.col("__sb")
+        corr = F.when(
+            (da > 0) & (db > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(da.cast("double") * db.cast("double")),
+                9,
+            ),
+        )
+        outs.append(
+            agg.select(
+                F.lit(lag).alias("lag"),
+                F.col("__n").cast("long").alias("n_pairs"),
+                corr.alias("corr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("lag")
+
+
+def seasonality_index(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    period: str = "month",
+) -> DataFrame:
+    """Classical seasonal index: each calendar position's share of the
+    overall average — index > 1 means the month/weekday runs hot
+    ("is December really 2x?"). Cleared of division: with per-position
+    sums s_p over n_p periods and grand totals S over N periods, the
+    index (s_p/n_p) / (S/N) = (s_p·N) / (n_p·S) is ONE pinned integer
+    division, rounded to 6.
+
+    ``period`` selects the position extractor: 'month' (1-12) or
+    'dow' (1-7, Sunday=1 — the dayofweek convention). ``value_col``
+    must be integer-valued (cents grid).
+
+    Scale shape: one aggregate to the (position, period) frame (at
+    most 12 x calendar periods), one to the position frame, a 1-row
+    grand-total broadcast. The fact table is scanned once.
+    """
+    if period == "month":
+        pos = F.month(time_col)
+    elif period == "dow":
+        pos = F.dayofweek(time_col)
+    else:
+        raise ValueError("period must be 'month' or 'dow'")
+    bucket = F.date_format(time_col, "yyyy-MM-dd")
+    per_period = (
+        df.where(F.col(time_col).isNotNull())
+        .groupBy(pos.alias("pos"), bucket.alias("__bkt"))
+        .agg(F.sum(F.col(value_col).cast("decimal(38,0)")).alias("__s"))
+    )
+    per_pos = per_period.groupBy("pos").agg(
+        F.sum("__s").alias("__sp"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__np"),
+    )
+    tot = per_pos.groupBy().agg(
+        F.sum("__sp").alias("__S"), F.sum("__np").alias("__N")
+    )
+    return (
+        per_pos.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            F.col("__np").cast("long").alias("n_periods"),
+            F.col("__sp").cast("long").alias("total_value"),
+            F.round(
+                (F.col("__sp") * F.col("__N")).cast("double")
+                / (F.col("__np") * F.col("__S")).cast("double"),
+                6,
+            ).alias("index"),
+        )
+        .orderBy("pos")
+    )

@@ -121,6 +121,8 @@ BNLJ_OK = {
     "chi2_events",  # 1-row grand-total (N) frame
     "benford_orders",  # 1-row digit-total (N) frame
     "referential_integrity_check",  # 1-row orphan-count scalar frames
+    "seasonality_orders",  # 1-row grand-total frame
+    "leadlag_corr_events",  # 2L+1 unioned 1-row moment frames
 }
 
 

@@ -610,3 +610,88 @@ def test_position_attribution_middle_split(spark):
     assert out[0]["credit"] == 0.4 and out[4]["credit"] == 0.4
     for r in out[1:4]:
         assert r["credit"] == pytest.approx(0.2 / 3, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# leadlag_corr / seasonality_index (round 10, batch 8)
+
+
+def test_leadlag_detects_planted_lead(spark):
+    import numpy as np
+    from skylinemapreducehadoop_spark.operators.temporal import leadlag_corr
+
+    # B is exactly A shifted by +2 periods (A leads B by 2)
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 100, 60).tolist()
+    rows = [
+        (t, int(a[t]), int(a[t - 2]) if t >= 2 else 0) for t in range(60)
+    ]
+    df = spark.createDataFrame(rows, "t int, a long, b long")
+    out = {r["lag"]: r for r in leadlag_corr(df, "t", "a", "b", max_lag=3).collect()}
+    assert out[2]["corr"] == pytest.approx(1.0, abs=1e-6)
+    for lag in (-3, -1, 0, 1, 3):
+        assert out[lag]["corr"] is None or abs(out[lag]["corr"]) < 0.6
+    assert out[2]["n_pairs"] == 58
+
+
+def test_leadlag_matches_numpy_pearson(spark):
+    import numpy as np
+    from skylinemapreducehadoop_spark.operators.temporal import leadlag_corr
+
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 50, 40)
+    b = rng.integers(0, 50, 40)
+    rows = [(int(t), int(a[t]), int(b[t])) for t in range(40)]
+    df = spark.createDataFrame(rows, "t int, a long, b long")
+    out = {r["lag"]: r["corr"] for r in leadlag_corr(df, "t", "a", "b", max_lag=2).collect()}
+    for lag in range(-2, 3):
+        if lag >= 0:
+            xa, xb = a[: 40 - lag], b[lag:]
+        else:
+            xa, xb = a[-lag:], b[: 40 + lag]
+        want = float(np.corrcoef(xa, xb)[0, 1])
+        assert out[lag] == pytest.approx(want, abs=1e-9), lag
+
+
+def test_leadlag_constant_side_null(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import leadlag_corr
+
+    rows = [(t, 5, t) for t in range(10)]
+    df = spark.createDataFrame(rows, "t int, a long, b long")
+    out = leadlag_corr(df, "t", "a", "b", max_lag=0).collect()
+    assert out[0]["corr"] is None  # a constant -> zero variance
+
+
+def test_seasonality_index_planted_hot_day(spark):
+    import datetime as dt
+    import pytest
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        seasonality_index,
+    )
+
+    # 4 weeks of daily values: value 100/day, but Mondays get 800
+    rows = []
+    d0 = dt.date(2025, 6, 1)  # a Sunday
+    for i in range(28):
+        d = d0 + dt.timedelta(days=i)
+        v = 800 if d.weekday() == 0 else 100
+        rows.append((d, v))
+    df = spark.createDataFrame(rows, "d date, v long")
+    out = {r["pos"]: r for r in seasonality_index(df, "d", "v", period="dow").collect()}
+    # overall daily avg = (800 + 6*100)/7 = 200; Monday index = 4.0
+    assert out[2]["index"] == pytest.approx(4.0, abs=1e-6)  # dayofweek: Mon=2
+    for pos in (1, 3, 4, 5, 6, 7):
+        assert out[pos]["index"] == pytest.approx(0.5, abs=1e-6)
+    assert out[2]["n_periods"] == 4
+
+
+def test_seasonality_index_validation(spark):
+    import datetime as dt
+    import pytest
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        seasonality_index,
+    )
+
+    df = spark.createDataFrame([(dt.date(2025, 1, 1), 1)], "d date, v long")
+    with pytest.raises(ValueError):
+        seasonality_index(df, "d", "v", period="hour")
