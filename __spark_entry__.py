@@ -4690,6 +4690,34 @@ def _seasonality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonality_index(o, "o_orderdate", "cents", period="dow")
 
 
+
+def _interarrival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # burstiness screen per event type: exact integer-microsecond gap
+    # moments, division-cleared CV^2, Goh-Barabasi burstiness
+    # (temporal.interarrival_stats)
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        interarrival_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_stats(ev, "event_type", "ts", "event_id")
+
+
+def _winsorized_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the clamping sibling of trimmed_mean_orders on the same frame:
+    # whale orders count once at the 5%-boundary cap
+    from skylinemapreducehadoop_spark.operators.stats import winsorized_mean
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return winsorized_mean(
+        o, "o_orderpriority", "cents", trim_num=1, trim_den=20,
+        out_scale_den=100, round_digits=6,
+    ).orderBy("o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4953,6 +4981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_check": _image_dhash_check,
         "leadlag_corr_events": _leadlag_corr_events,
         "seasonality_orders": _seasonality_orders,
+        "interarrival_events": _interarrival_events,
+        "winsorized_mean_orders": _winsorized_mean_orders,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -9019,6 +9049,69 @@ SELECT CAST(pos AS INTEGER) AS pos, CAST(np AS BIGINT) AS n_periods,
        CAST(sp AS BIGINT) AS total_value,
        round(CAST(sp * nn AS DOUBLE) / CAST(np * ss AS DOUBLE), 6) AS index
 FROM px CROSS JOIN t ORDER BY pos
+""",
+        'interarrival_events': """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS g
+  FROM events WHERE ts IS NOT NULL
+),
+a AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(g) AS HUGEINT) AS sg,
+         sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sgg
+  FROM e WHERE g IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+       round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_gap_us,
+       CASE WHEN sg > 0 THEN
+         round(CAST(n * sgg - sg * sg AS DOUBLE)
+               / CAST(sg * sg AS DOUBLE), 9)
+       END AS cv2,
+       CASE WHEN sg > 0 AND n * sgg - sg * sg >= 0 THEN
+         round((sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
+                - CAST(sg AS DOUBLE))
+               / (sqrt(CAST(n * sgg - sg * sg AS DOUBLE))
+                  + CAST(sg AS DOUBLE)), 9)
+       END AS burstiness
+FROM a ORDER BY event_type
+""",
+        'winsorized_mean_orders': """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+pv AS (SELECT g, v, CAST(count(*) AS HUGEINT) AS c FROM o GROUP BY g, v),
+cw AS (
+  SELECT g, v, c,
+         sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM pv
+),
+kk AS (SELECT *, (n * 1) // 20 AS k FROM cw),
+kept AS (
+  SELECT g, n, k, v, c, cum,
+         greatest(least(cum, n - k) - greatest(cum - c, k), 0) AS kc
+  FROM kk
+),
+ag AS (
+  SELECT g, max(n) AS n, max(k) AS k,
+         sum(kc * CAST(v AS HUGEINT)) AS s,
+         min(CASE WHEN cum >= k + 1 THEN v END) AS vlo,
+         max(CASE WHEN cum - c < n - k THEN v END) AS vhi
+  FROM kept GROUP BY g
+)
+SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+       CAST(k AS BIGINT) AS n_clamped_each_side,
+       CASE WHEN n > 0 THEN
+         round(CAST(s + k * CAST(vlo AS HUGEINT) + k * CAST(vhi AS HUGEINT)
+                    AS DOUBLE)
+               / CAST(n * 100 AS DOUBLE), 6)
+       END AS winsorized_mean
+FROM ag ORDER BY o_orderpriority
 """,
         "curate_corpus": f"""
 WITH t AS (

@@ -119,6 +119,22 @@ PROBE_QUERIES = [
     "hist_quantile_rollup_check",
     "winnow_fingerprints_documents",
     "rfm_segments_customers",
+    # end-r10: the session's new volume-sensitive shapes — the
+    # boilerplate segment explode+groupBy (every replicated doc makes
+    # every segment corpus-boilerplate: worst-case flagged-set size),
+    # the strip's join-back + per-doc rebuild at that worst case, the
+    # two-measure KS prefix sum over a 10x distinct-value frame, the
+    # distributed NTILE CDF, the vocab-budget prefix sum over the
+    # (unchanged-cardinality) vocabulary with 10x counts, KM's
+    # duration frame under 10x subjects, and the per-image dHash
+    # pipeline at 10x image count (pure map scaling)
+    "boilerplate_documents",
+    "strip_boilerplate_documents",
+    "ks_test_events",
+    "ntile_buckets_lineitem",
+    "vocab_budget_documents",
+    "survival_km_users",
+    "image_dhash_check",
 ]
 PROBE_REPLICAS = 10
 
@@ -373,6 +389,8 @@ EXTRA_QUERIES = [
     "image_dhash_check",
     "leadlag_corr_events",
     "seasonality_orders",
+    "interarrival_events",
+    "winsorized_mean_orders",
 ]
 
 

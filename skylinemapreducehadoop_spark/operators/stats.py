@@ -2035,3 +2035,81 @@ def mutual_info_scan(
         "n_cells",
         F.round(fold / F.col("__N").cast("double"), 6).alias("mi_bits"),
     ).orderBy(F.desc("mi_bits"), "feature")
+
+
+def winsorized_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    trim_num: int = 1,
+    trim_den: int = 20,
+    out_scale_den: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group winsorized mean — :func:`trimmed_mean`'s clamping
+    sibling: instead of DROPPING the k lowest/highest values, they are
+    REPLACED by the boundary values (the (k+1)-th from each end), so
+    n stays the denominator and extreme rows still count once at a
+    capped magnitude (the estimator of choice when row count carries
+    meaning — revenue per account with a few whales).
+
+    Same exact value-aggregated machinery: interior mass via the
+    [k, n-k] band overlap, plus k copies of each boundary value found
+    by cumulative-count threshold (min value with cum >= k+1 / max
+    value whose block starts below n-k). decimal(38,0) sums, one
+    pinned division, ``out_scale_den``/``round_digits`` follow the
+    trimmed_mean parity rule.
+    """
+    if not (0 <= trim_num * 2 < trim_den):
+        raise ValueError("need trim fraction in [0, 0.5)")
+    per_val = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__c"))
+    )
+    pre = (
+        Window.partitionBy("__g")
+        .orderBy(F.asc("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = Window.partitionBy("__g")
+    cum = per_val.withColumn("__cumc", F.sum("__c").over(pre)).withColumn(
+        "__n", F.sum("__c").over(grp)
+    )
+    k = F.floor(
+        (F.col("__n") * F.lit(trim_num) / F.lit(trim_den)).cast("double")
+    ).cast("decimal(38,0)")
+    lo_pos = F.col("__cumc") - F.col("__c")
+    kept_lo = F.greatest(lo_pos, k)
+    kept_hi = F.least(F.col("__cumc"), F.col("__n") - k)
+    kept_cnt = F.greatest(kept_hi - kept_lo, F.lit(0).cast("decimal(38,0)"))
+    vdec = F.col("__v").cast("decimal(38,0)")
+    agg = cum.groupBy("__g").agg(
+        F.sum(kept_cnt * vdec).alias("__s"),
+        F.max("__n").alias("__nn"),
+        F.max(k).alias("__k"),
+        F.min(F.when(F.col("__cumc") >= k + 1, F.col("__v"))).alias("__vlo"),
+        F.max(F.when(lo_pos < F.col("__n") - k, F.col("__v"))).alias("__vhi"),
+    )
+    total = (
+        F.col("__s")
+        + F.col("__k") * F.col("__vlo").cast("decimal(38,0)")
+        + F.col("__k") * F.col("__vhi").cast("decimal(38,0)")
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__nn").cast("long").alias("n_rows"),
+        F.col("__k").cast("long").alias("n_clamped_each_side"),
+        F.when(
+            F.col("__nn") > 0,
+            F.round(
+                total.cast("double")
+                / (F.col("__nn") * F.lit(out_scale_den)).cast("double"),
+                round_digits,
+            ),
+        ).alias("winsorized_mean"),
+    )

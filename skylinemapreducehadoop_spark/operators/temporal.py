@@ -866,3 +866,65 @@ def seasonality_index(
         )
         .orderBy("pos")
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Inter-arrival-time health profile per group — the burstiness
+    screen for event streams (a Poisson-like stream has CV ~= 1;
+    CV >> 1 means bursts, CV << 1 means a metronome — both change
+    capacity planning and anomaly thresholds).
+
+    Gaps are exact integer MICROSECONDS between consecutive events in
+    the total (ts, id) order per group (the one-division timestamp
+    discipline of last_touch_attribution). Outputs per group:
+    n_gaps, mean_gap_us (one pinned division), cv2 = variance/mean^2
+    as the division-cleared exact ratio (n*Sgg - Sg^2)/Sg^2 rounded
+    to 9, and burstiness = (sigma - mu)/(sigma + mu) in [-1, 1]
+    (Goh-Barabasi), one sqrt + one division, rounded to 9.
+
+    Scale shape: one window pass per group partition for the lag (the
+    sessionize partitioning), one map-side-combined aggregate to the
+    group frame. Decimal(38,0) moment sums — exact on any layout.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col))
+    gap = (us - F.lag(us).over(w)).alias("__g")
+    gaps = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(F.col(group_col).alias("__grp"), gap)
+        .where(F.col("__g").isNotNull())
+    )
+    g = F.col("__g").cast("decimal(38,0)")
+    agg = gaps.groupBy("__grp").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+        F.sum(g).alias("__sg"),
+        F.sum(g * g).alias("__sgg"),
+    )
+    n = F.col("__n")
+    sg = F.col("__sg")
+    var_num = n * F.col("__sgg") - sg * sg  # n^2 * variance
+    mean_us = F.round(sg.cast("double") / n.cast("double"), 6)
+    cv2 = F.when(
+        sg > 0, F.round(var_num.cast("double") / (sg * sg).cast("double"), 9)
+    )
+    # sigma/mu = sqrt(var_num)/sg (both scaled by n), so burstiness
+    # = (sqrt(var_num) - sg) / (sqrt(var_num) + sg)
+    root = F.sqrt(var_num.cast("double"))
+    burst = F.when(
+        (sg > 0) & (var_num >= 0),
+        F.round(
+            (root - sg.cast("double")) / (root + sg.cast("double")), 9
+        ),
+    )
+    return agg.select(
+        F.col("__grp").alias(group_col),
+        n.cast("long").alias("n_gaps"),
+        mean_us.alias("mean_gap_us"),
+        cv2.alias("cv2"),
+        burst.alias("burstiness"),
+    ).orderBy(group_col)

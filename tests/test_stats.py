@@ -1072,3 +1072,31 @@ def test_mutual_info_scan_validation(spark):
     df = spark.createDataFrame([(1, 2)], "y int, a int")
     with pytest.raises(ValueError):
         mutual_info_scan(df, [], "y")
+
+
+def test_winsorized_mean_matches_python(spark):
+    from skylinemapreducehadoop_spark.operators.stats import winsorized_mean
+
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 1000, 143).tolist() + [10**7, -(10**6)]
+    df = spark.createDataFrame([("g", int(v)) for v in vals], "g string, v long")
+    row = winsorized_mean(df, "g", "v", trim_num=1, trim_den=10).collect()[0]
+    xs = sorted(vals)
+    k = len(xs) * 1 // 10
+    wx = [xs[k]] * k + xs[k: len(xs) - k] + [xs[-k - 1]] * k
+    assert row["n_clamped_each_side"] == k
+    assert row["winsorized_mean"] == pytest.approx(sum(wx) / len(wx), abs=1e-6)
+    # the raw outliers are capped, not dropped: n stays the denominator
+    assert row["n_rows"] == len(vals)
+
+
+def test_winsorized_equals_trimmed_at_zero(spark):
+    from skylinemapreducehadoop_spark.operators.stats import (
+        trimmed_mean,
+        winsorized_mean,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in (3, 1, 4, 1, 5)], "g string, v long")
+    w = winsorized_mean(df, "g", "v", trim_num=0, trim_den=1).collect()[0]
+    t = trimmed_mean(df, "g", "v", trim_num=0, trim_den=1).collect()[0]
+    assert w["winsorized_mean"] == t["trimmed_mean"] == 2.8

@@ -695,3 +695,31 @@ def test_seasonality_index_validation(spark):
     df = spark.createDataFrame([(dt.date(2025, 1, 1), 1)], "d date, v long")
     with pytest.raises(ValueError):
         seasonality_index(df, "d", "v", period="hour")
+
+
+def test_interarrival_stats_known_gaps(spark):
+    import datetime as dt
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        interarrival_stats,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    # metronome: constant 10s gaps -> cv2 = 0, burstiness = -1
+    rows = [(i, "steady", t0 + dt.timedelta(seconds=10 * i)) for i in range(6)]
+    # bursty: gaps 1,1,1,100 seconds
+    offs = [0, 1, 2, 3, 103]
+    rows += [(100 + i, "bursty", t0 + dt.timedelta(seconds=o)) for i, o in enumerate(offs)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in interarrival_stats(df, "event_type", "ts", "event_id").collect()}
+    st = out["steady"]
+    assert st["n_gaps"] == 5
+    assert st["mean_gap_us"] == 10_000_000.0
+    assert st["cv2"] == 0.0 and st["burstiness"] == -1.0
+    bu = out["bursty"]
+    import numpy as np
+
+    gaps = np.diff([o * 1_000_000 for o in offs]).astype(float)
+    assert bu["mean_gap_us"] == pytest.approx(gaps.mean(), abs=1e-6)
+    assert bu["cv2"] == pytest.approx(gaps.var() / gaps.mean() ** 2, rel=1e-6)
+    sig, mu = gaps.std(), gaps.mean()
+    assert bu["burstiness"] == pytest.approx((sig - mu) / (sig + mu), abs=1e-9)
