@@ -4718,6 +4718,41 @@ def _winsorized_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+
+def _theil_sen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust daily-revenue trend per priority: exact median of all
+    # pairwise slopes over the calendar-bounded daily series
+    # (temporal.theil_sen_trend — OLS's outlier-immune sibling)
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        theil_sen_trend,
+    )
+
+    # weekly buckets: the estimator is quadratic in PERIODS, so the
+    # bucket width sets the pair budget (343 weeks -> ~59k pairs per
+    # group) independent of data volume
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        "o_orderpriority",
+        F.floor(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+            )
+            / 7
+        ).alias("t"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v"))
+    return theil_sen_trend(weekly, "o_orderpriority", "t", "v")
+
+
+def _unconverted_clicks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # abandonment query: clicks NOT followed by a purchase from the
+    # same user within 1 day — one forward-looking window, no
+    # correlated NOT EXISTS (temporal.not_followed_by)
+    from skylinemapreducehadoop_spark.operators.temporal import not_followed_by
+
+    ev = load_table(spark, sf_dir, "events")
+    return not_followed_by(ev).orderBy("event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -4983,6 +5018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_orders": _seasonality_orders,
         "interarrival_events": _interarrival_events,
         "winsorized_mean_orders": _winsorized_mean_orders,
+        "theil_sen_orders": _theil_sen_orders,
+        "unconverted_clicks_events": _unconverted_clicks_events,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -9112,6 +9149,53 @@ SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n_rows,
                / CAST(n * 100 AS DOUBLE), 6)
        END AS winsorized_mean
 FROM ag ORDER BY o_orderpriority
+""",
+        'theil_sen_orders': """
+WITH d AS (
+  SELECT o_orderpriority AS g,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) // 7 AS t,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.g, CAST(b.v - a.v AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s
+  FROM d a JOIN d b ON a.g = b.g AND a.t < b.t
+),
+ag AS (
+  SELECT g, count(*) AS n_pairs,
+         round(quantile_cont(s, 0.5), 6) AS slope_per_period
+  FROM p GROUP BY g
+),
+c AS (SELECT g, count(*) AS n_periods FROM d GROUP BY g)
+SELECT c.g AS o_orderpriority, CAST(n_periods AS BIGINT) AS n_periods,
+       CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs, slope_per_period
+FROM c LEFT JOIN ag USING (g) ORDER BY 1
+""",
+        'unconverted_clicks_events': """
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_ts,
+         first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_id
+  FROM events
+)
+SELECT event_id, user_id, ts,
+       next_id AS next_outcome_id, next_ts AS next_outcome_ts,
+       CASE WHEN next_ts IS NOT NULL THEN
+         round((epoch_us(next_ts) - epoch_us(ts)) / 1000000.0, 6)
+       END AS gap_seconds
+FROM s
+WHERE event_type = 'click'
+  AND NOT (next_ts IS NOT NULL AND next_ts <= ts + INTERVAL 1 DAY)
+ORDER BY event_id
 """,
         "curate_corpus": f"""
 WITH t AS (

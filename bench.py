@@ -391,6 +391,8 @@ EXTRA_QUERIES = [
     "seasonality_orders",
     "interarrival_events",
     "winsorized_mean_orders",
+    "theil_sen_orders",
+    "unconverted_clicks_events",
 ]
 
 

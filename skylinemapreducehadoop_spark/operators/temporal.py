@@ -928,3 +928,123 @@ def interarrival_stats(
         cv2.alias("cv2"),
         burst.alias("burstiness"),
     ).orderBy(group_col)
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend per group — the median of all pairwise
+    slopes over a PERIOD series: immune to the outlier days that drag
+    an OLS fit (:func:`trend detection <linear_fit>`'s robust
+    sibling; up to ~29% contamination tolerated).
+
+    Input is one row per (group, integer period index, integer
+    value). The pair set is quadratic IN PERIODS — the textbook exact
+    estimator — which distributes safely because the series frame is
+    calendar-bounded (10 years of days = ~3.7k rows = ~7M pairs per
+    group, trivially partitionable; never data-bounded). Slopes are
+    IEEE doubles of exact integer differences (one division per
+    pair); the median is the exact middle (or midpoint) over that
+    deterministic multiset, rounded to 6.
+
+    Returns (group, n_periods, n_pairs, slope_per_period).
+    """
+    base = df.where(
+        F.col(time_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("__g"),
+        F.col(time_col).cast("long").alias("__t"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b.hint("shuffle_hash"), "__g").where(
+        F.col("a.__t") < F.col("b.__t")
+    )
+    slope = (
+        (F.col("b.__v") - F.col("a.__v")).cast("double")
+        / (F.col("b.__t") - F.col("a.__t")).cast("double")
+    )
+    per_pair = pairs.select(F.col("__g"), slope.alias("__s"))
+    agg = per_pair.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("__s", F.lit(0.5)), 6).alias("slope_per_period"),
+    )
+    counts = base.groupBy("__g").agg(F.count(F.lit(1)).alias("n_periods"))
+    return (
+        counts.join(agg, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_periods",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            "slope_per_period",
+        )
+        .orderBy(group_col)
+    )
+
+
+def not_followed_by(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    trigger: str = "click",
+    outcome: str = "purchase",
+    within: str = "1 day",
+) -> DataFrame:
+    """Funnel-negative filter: trigger events NOT followed by an
+    outcome event from the same user within ``within`` — the
+    abandonment query ("clicks that never converted inside a day")
+    that naive SQL writes as a correlated NOT EXISTS and executes as
+    a per-row scan.
+
+    ONE window pass, no join: each user's stream sorts once by
+    (ts, id); every row carries the NEXT outcome's timestamp via a
+    forward-looking ``first(outcome_ts, ignorenulls)`` over the
+    following rows. A trigger survives when no outcome follows at all
+    or the next one is later than ``within``. Strictly-after
+    semantics: an outcome sharing the trigger's timestamp counts as
+    following iff its event id is larger (the last_touch tie rule
+    mirrored forward).
+
+    Returns surviving triggers: (event_id, user_id, ts,
+    next_outcome_id, next_outcome_ts, gap_seconds) with NULLs when no
+    outcome ever follows.
+
+    Scale shape: the sessionize partitioning (one shuffle on the
+    user, one sort); window state is O(1) per row.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(
+            F.col(type_col) == outcome,
+            F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    got = df.withColumn("__nx", nxt).where(F.col(type_col) == trigger)
+    within_expr = F.col(ts_col) + F.expr(f"INTERVAL {within}")
+    converted = F.col("__nx").isNotNull() & (
+        F.col("__nx.ts") <= within_expr
+    )
+    gap_s = (
+        F.unix_micros(F.col("__nx.ts")) - F.unix_micros(F.col(ts_col))
+    ) / F.lit(1_000_000.0)
+    return got.where(~converted).select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col("__nx.id").alias("next_outcome_id"),
+        F.col("__nx.ts").alias("next_outcome_ts"),
+        F.when(F.col("__nx").isNotNull(), F.round(gap_s, 6)).alias(
+            "gap_seconds"
+        ),
+    )

@@ -723,3 +723,84 @@ def test_interarrival_stats_known_gaps(spark):
     assert bu["cv2"] == pytest.approx(gaps.var() / gaps.mean() ** 2, rel=1e-6)
     sig, mu = gaps.std(), gaps.mean()
     assert bu["burstiness"] == pytest.approx((sig - mu) / (sig + mu), abs=1e-9)
+
+
+def test_theil_sen_recovers_planted_slope(spark):
+    import numpy as np
+    from skylinemapreducehadoop_spark.operators.temporal import theil_sen_trend
+
+    rng = np.random.default_rng(41)
+    n = 50
+    vals = (7 * np.arange(n) + 100 + rng.integers(-3, 4, n)).astype(int)
+    vals[[5, 20, 33]] += 100000  # gross outliers OLS would chase
+    rows = [("g", int(t), int(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    row = theil_sen_trend(df, "g", "t", "v").collect()[0]
+    assert row["n_periods"] == n
+    assert row["n_pairs"] == n * (n - 1) // 2
+    assert abs(row["slope_per_period"] - 7) < 0.5  # robust to the spikes
+    # reference: exact median of pairwise slopes
+    slopes = [
+        (int(vals[j]) - int(vals[i])) / (j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    assert row["slope_per_period"] == pytest.approx(
+        float(np.median(slopes)), abs=1e-6
+    )
+
+
+def test_theil_sen_single_point_group(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import theil_sen_trend
+
+    df = spark.createDataFrame([("g", 1, 10)], "g string, t long, v long")
+    row = theil_sen_trend(df, "g", "t", "v").collect()[0]
+    assert row["n_pairs"] == 0 and row["slope_per_period"] is None
+
+
+def test_not_followed_by_semantics(spark):
+    import datetime as dt
+    from skylinemapreducehadoop_spark.operators.temporal import not_followed_by
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        # user 1: click then purchase 2h later -> converted (dropped)
+        (1, 1, t0, "click"),
+        (2, 1, t0 + dt.timedelta(hours=2), "purchase"),
+        # user 1: later click, next purchase 3 DAYS later -> survives
+        (3, 1, t0 + dt.timedelta(days=1), "click"),
+        (4, 1, t0 + dt.timedelta(days=4), "purchase"),
+        # user 2: click never followed by purchase -> survives, NULLs
+        (5, 2, t0, "click"),
+        (6, 2, t0 + dt.timedelta(hours=1), "view"),
+        # user 3: purchase BEFORE the click only -> click survives
+        (7, 3, t0, "purchase"),
+        (8, 3, t0 + dt.timedelta(hours=1), "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["event_id"]: r for r in not_followed_by(df).collect()}
+    assert set(out) == {3, 5, 8}
+    assert out[3]["next_outcome_id"] == 4
+    assert out[3]["gap_seconds"] == pytest.approx(3 * 86400.0, abs=1e-6)
+    assert out[5]["next_outcome_id"] is None and out[5]["gap_seconds"] is None
+    assert out[8]["next_outcome_id"] is None
+
+
+def test_not_followed_by_same_ts_tie_rule(spark):
+    import datetime as dt
+    from skylinemapreducehadoop_spark.operators.temporal import not_followed_by
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (10, 1, t0, "click"),
+        (11, 1, t0, "purchase"),  # same ts, larger id -> counts as following
+        (30, 2, t0, "purchase"),  # same ts, SMALLER id than the click
+        (31, 2, t0, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r["event_id"] for r in not_followed_by(df).collect()}
+    assert out == {31}  # click 10 converted; click 31's purchase precedes it
