@@ -4753,6 +4753,36 @@ def _unconverted_clicks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return not_followed_by(ev).orderBy("event_id")
 
 
+
+def _rolling_active_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact 7-day rolling distinct users per day via the
+    # contribute-explode after per-day dedup
+    # (temporal.rolling_active_users)
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        rolling_active_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_active_users(ev, window_days=7)
+    # dates travel as strings through the compare harness (the
+    # cohort_retention convention: pandas widens dates to midnight
+    # timestamps otherwise)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_active"
+    ).orderBy("day")
+
+
+def _transition_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # behavior-stream predictability: conditional entropy of the
+    # per-user event-type Markov chain (temporal.transition_entropy)
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        transition_entropy,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return transition_entropy(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -5020,6 +5050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_mean_orders": _winsorized_mean_orders,
         "theil_sen_orders": _theil_sen_orders,
         "unconverted_clicks_events": _unconverted_clicks_events,
+        "rolling_active_events": _rolling_active_events,
+        "transition_entropy_events": _transition_entropy_events,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -9196,6 +9228,49 @@ FROM s
 WHERE event_type = 'click'
   AND NOT (next_ts IS NOT NULL AND next_ts <= ts + INTERVAL 1 DAY)
 ORDER BY event_id
+""",
+        'rolling_active_events': """
+WITH pd AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+fan AS (
+  SELECT d + CAST(i AS INTEGER) AS day, u
+  FROM pd, range(7) r(i)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, count(DISTINCT u) AS n_active
+FROM fan GROUP BY 1 ORDER BY day
+""",
+        'transition_entropy_events': """
+WITH s AS (
+  SELECT event_type AS y,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS x
+  FROM events WHERE ts IS NOT NULL
+),
+cells AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+  FROM s WHERE x IS NOT NULL GROUP BY x, y
+),
+cx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS c1 FROM cells GROUP BY x),
+tot AS (
+  SELECT CAST(sum(cxy) AS BIGINT) AS n, count(*) AS n_pairs,
+         count(DISTINCT x) AS n_states
+  FROM cells
+),
+terms AS (
+  SELECT n, n_pairs, n_states,
+         -CAST(cxy AS DOUBLE) * (log2(CAST(cxy AS DOUBLE))
+                                 - log2(CAST(c1 AS DOUBLE))) AS term
+  FROM cells JOIN cx USING (x) CROSS JOIN tot
+)
+SELECT n AS n_transitions, CAST(n_states AS BIGINT) AS n_states,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list_sort(list(term))),
+                         (a, b) -> a + b) / CAST(n AS DOUBLE), 6)
+         AS entropy_bits
+FROM terms GROUP BY n, n_pairs, n_states
 """,
         "curate_corpus": f"""
 WITH t AS (

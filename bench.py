@@ -393,6 +393,8 @@ EXTRA_QUERIES = [
     "winsorized_mean_orders",
     "theil_sen_orders",
     "unconverted_clicks_events",
+    "rolling_active_events",
+    "transition_entropy_events",
 ]
 
 

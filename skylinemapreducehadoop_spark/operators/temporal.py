@@ -1048,3 +1048,126 @@ def not_followed_by(
             "gap_seconds"
         ),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day active users per day (the WAU/MAU family):
+    for each calendar day, how many DISTINCT users appeared in the
+    trailing ``window_days`` window ending that day.
+
+    Sliding DISTINCT does not decompose into partial aggregates, so
+    the exact formulation is contribute-explode: each (user, day)
+    distinct pair fans out to the ``window_days`` day-windows it
+    feeds, then one count-distinct per day. The shuffle is
+    (user, day)-distinct pairs x window length — the window length is
+    the documented cost knob (7/30 are the standard products), and
+    the fan-out happens AFTER the per-day dedup, so raw event volume
+    never multiplies. For window lengths where the explode is too
+    wide, the mergeable-sketch path (KMV per day + union over the
+    window — operators/sketches.py) is the approximate alternative;
+    this is the exact one.
+
+    Returns (day, n_active) for every day that closes a window with
+    at least one active user, including days with no NEW events but
+    active trailing windows.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    per_day = (
+        df.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+        .select(
+            F.to_date(ts_col).alias("__d"), F.col(user_col).alias("__u")
+        )
+        .distinct()
+    )
+    fan = per_day.select(
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.date_add(F.col("__d"), window_days - 1),
+            )
+        ).alias("day"),
+        "__u",
+    )
+    return (
+        fan.groupBy("day")
+        .agg(F.countDistinct("__u").alias("n_active"))
+        .orderBy("day")
+    )
+
+
+def transition_entropy(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conditional entropy H(next | current) of the per-user event-type
+    Markov chain — the predictability score of a behavior stream
+    (H -> 0: deterministic funnels; H -> log2|types|: memoryless
+    noise). The information-theoretic summary on top of
+    :func:`event_transitions`' transition matrix.
+
+    ``H = -(1/N) * sum_xy c_xy * (log2 c_xy - log2 c_x)`` over
+    consecutive (current=x, next=y) pairs in the total per-user
+    (ts, id) order. Every log2 argument is an integer count and the
+    sum folds ascending-sorted (the mutual_information discipline), so
+    the result is engine-exact, rounded to 6.
+
+    Returns one row: (n_transitions, n_states, n_pairs,
+    entropy_bits).
+
+    Scale shape: one sessionize-shaped window for the lag, one hash
+    aggregate to the |types|^2 pair table, marginals as rollups of
+    THAT, one driver-sized sorted fold.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(type_col).alias("__y"),
+            F.lag(F.col(type_col)).over(w).alias("__x"),
+        )
+        .where(F.col("__x").isNotNull())
+    )
+    cells = pairs.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__cxy"))
+    cx = cells.groupBy(F.col("__x").alias("__xx")).agg(
+        F.sum("__cxy").alias("__cx")
+    )
+    tot = cells.agg(
+        F.sum("__cxy").alias("__N"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("__x").alias("n_states"),
+    )
+    term = (
+        -F.col("__cxy").cast("double")
+        * (
+            F.log2(F.col("__cxy").cast("double"))
+            - F.log2(F.col("__cx").cast("double"))
+        )
+    ).alias("__term")
+    joined = (
+        cells.join(
+            F.broadcast(cx), F.col("__x") == F.col("__xx")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("__N", "n_pairs", "n_states", term)
+    )
+    folded = joined.groupBy("__N", "n_pairs", "n_states").agg(
+        F.sort_array(F.collect_list("__term")).alias("__ts")
+    )
+    fold = F.aggregate("__ts", F.lit(0.0), lambda acc, t: acc + t)
+    return folded.select(
+        F.col("__N").cast("long").alias("n_transitions"),
+        F.col("n_states").cast("long").alias("n_states"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round(fold / F.col("__N").cast("double"), 6).alias("entropy_bits"),
+    )

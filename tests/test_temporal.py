@@ -804,3 +804,68 @@ def test_not_followed_by_same_ts_tie_rule(spark):
     )
     out = {r["event_id"] for r in not_followed_by(df).collect()}
     assert out == {31}  # click 10 converted; click 31's purchase precedes it
+
+
+def test_rolling_active_users_manual(spark):
+    import datetime as dt
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        rolling_active_users,
+    )
+
+    t0 = dt.datetime(2025, 3, 1)
+    # user 1 on day 0; user 2 on days 0 and 2; user 3 on day 5
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(hours=3)),     # dup within day
+        (2, t0), (2, t0 + dt.timedelta(days=2)),
+        (3, t0 + dt.timedelta(days=5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        str(r["day"]): r["n_active"]
+        for r in rolling_active_users(df, window_days=3).collect()
+    }
+    d = lambda i: str((t0 + dt.timedelta(days=i)).date())
+    # windows ENDING each day, length 3
+    assert out[d(0)] == 2          # users 1,2 on day 0
+    assert out[d(1)] == 2          # trailing: day0 activity
+    assert out[d(2)] == 2          # day0 (in range) + user2 day2
+    assert out[d(3)] == 1          # only user2's day2 visit in range
+    assert out[d(4)] == 1          # window [2..4]: user2's day2
+    assert out[d(5)] == 1          # window [3..5]: user3 only
+    assert out[d(6)] == 1 and out[d(7)] == 1  # trailing windows of day5
+    assert d(8) not in out
+
+
+def test_transition_entropy_known_chains(spark):
+    import datetime as dt
+    import math
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        transition_entropy,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    # deterministic chain a->b->a->b... : H(next|current) = 0
+    rows = []
+    for i in range(20):
+        rows.append((i, 1, t0 + dt.timedelta(seconds=i), "ab"[i % 2]))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    row = transition_entropy(df).collect()[0]
+    assert row["entropy_bits"] == 0.0
+    assert row["n_transitions"] == 19
+
+    # from 'a', next is uniformly b or c -> H = 1 bit
+    rows2 = []
+    seq = ["a", "b", "a", "c"] * 10
+    for i, t in enumerate(seq):
+        rows2.append((i, 1, t0 + dt.timedelta(seconds=i), t))
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    row2 = transition_entropy(df2).collect()[0]
+    # transitions: a->b (10), b->a (10), a->c (10), c->a (9)
+    # H = (20/39)*1 + 0 + 0  (b,c deterministic back to a)
+    assert row2["entropy_bits"] == (
+        __import__("pytest").approx(20 / 39, abs=1e-6)
+    )
