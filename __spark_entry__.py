@@ -4783,6 +4783,49 @@ def _transition_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_entropy(ev)
 
 
+
+def _interpolate_missing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # linear gap repair on a per-priority daily series with PLANTED
+    # missing days (every 11th day index nulled) — the step between
+    # LOCF gapfill and model-grade resampling
+    # (temporal.interpolate_missing); output = only the repaired rows
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        interpolate_missing,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        ).alias("t"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v"))
+    holey = daily.withColumn(
+        "v", F.when(F.col("t") % 11 == 0, F.lit(None)).otherwise(F.col("v"))
+    )
+    out = interpolate_missing(holey, "o_orderpriority", "t", "v")
+    return (
+        out.where(F.col("v").isNull())
+        .select("o_orderpriority", "t", "value_interp")
+        .orderBy("o_orderpriority", "t")
+    )
+
+
+def _sorted_neighborhood_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hernandez-Stolfo sorted-neighborhood ER blocking over part
+    # names: global_row_number ranks + offset-explode equi-join (no
+    # band join), Levenshtein verify at radius 2 — the window-recall
+    # complement of the exact-ed1 deletion blocking
+    from skylinemapreducehadoop_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return sorted_neighborhood_pairs(
+        part, "p_name", "p_partkey", window=3, max_edit_distance=2
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -5052,6 +5095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unconverted_clicks_events": _unconverted_clicks_events,
         "rolling_active_events": _rolling_active_events,
         "transition_entropy_events": _transition_entropy_events,
+        "interpolate_missing_orders": _interpolate_missing_orders,
+        "sorted_neighborhood_parts": _sorted_neighborhood_parts,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -9271,6 +9316,58 @@ SELECT n AS n_transitions, CAST(n_states AS BIGINT) AS n_states,
                          (a, b) -> a + b) / CAST(n AS DOUBLE), 6)
          AS entropy_bits
 FROM terms GROUP BY n, n_pairs, n_states
+""",
+        'interpolate_missing_orders': """
+WITH d AS (
+  SELECT o_orderpriority AS g,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS t,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v0
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+),
+h AS (
+  SELECT g, t, CASE WHEN t % 11 = 0 THEN NULL ELSE v0 END AS v FROM d
+),
+n AS (
+  SELECT g, t, v,
+         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+           OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt,
+         first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+           OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+  FROM h
+)
+SELECT g AS o_orderpriority, CAST(t AS BIGINT) AS t,
+       CASE
+         WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+           round(CAST(pv * (nt - t) + nv * (t - pt) AS DOUBLE)
+                 / CAST(nt - pt AS DOUBLE), 6)
+         WHEN pt IS NOT NULL THEN CAST(pv AS DOUBLE)
+         WHEN nt IS NOT NULL THEN CAST(nv AS DOUBLE)
+       END AS value_interp
+FROM n WHERE v IS NULL ORDER BY o_orderpriority, t
+""",
+        'sorted_neighborhood_parts': """
+WITH r AS (
+  SELECT p_partkey AS id, p_name AS k,
+         row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+  FROM part WHERE p_name IS NOT NULL
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+         CAST(b.rnk - a.rnk AS INTEGER) AS rank_gap,
+         levenshtein(a.k, b.k) AS edit_distance
+  FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+)
+SELECT id_a, id_b, key_a, key_b, rank_gap,
+       CAST(edit_distance AS INTEGER) AS edit_distance
+FROM p WHERE edit_distance <= 2 ORDER BY id_a, id_b
 """,
         "curate_corpus": f"""
 WITH t AS (

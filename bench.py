@@ -395,6 +395,8 @@ EXTRA_QUERIES = [
     "unconverted_clicks_events",
     "rolling_active_events",
     "transition_entropy_events",
+    "interpolate_missing_orders",
+    "sorted_neighborhood_parts",
 ]
 
 

@@ -1171,3 +1171,57 @@ def transition_entropy(
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.round(fold / F.col("__N").cast("double"), 6).alias("entropy_bits"),
     )
+
+
+def interpolate_missing(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    *,
+    out_col: str = "value_interp",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Linear interpolation of NULL values in a per-group period
+    series — the gap-repair step between :func:`gapfill_time_series`'s
+    LOCF (steps) and model-grade resampling: each missing point gets
+    the straight line between its nearest non-NULL neighbors.
+
+    ``t_col`` must be an integer period index, ``value_col`` integer
+    on a grid. ONE window partitioning evaluates all four neighbor
+    columns (previous/next non-NULL value and its t, via
+    last/first ``ignorenulls`` over the backward/forward frames);
+    the interpolation v0 + (v1-v0)·(t-t0)/(t1-t0) is exact integer
+    algebra with ONE pinned division, rounded. Leading/trailing gaps
+    (only one neighbor) take that neighbor's value (LOCF/NOCB);
+    all-NULL groups stay NULL.
+
+    Appends ``out_col``; non-NULL rows pass their own value through.
+    """
+    w = Window.partitionBy(group_col).orderBy(t_col)
+    back = w.rowsBetween(Window.unboundedPreceding, -1)
+    fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    v = F.col(value_col).cast("long")
+    t = F.col(t_col).cast("long")
+    point = F.when(v.isNotNull(), F.struct(t.alias("t"), v.alias("v")))
+    prev = F.last(point, ignorenulls=True).over(back)
+    nxt = F.first(point, ignorenulls=True).over(fwd)
+    stepped = df.withColumn("__p", prev).withColumn("__n", nxt)
+    p_t, p_v = F.col("__p.t"), F.col("__p.v")
+    n_t, n_v = F.col("__n.t"), F.col("__n.v")
+    interp = F.round(
+        (
+            p_v * (n_t - t) + n_v * (t - p_t)
+        ).cast("double")
+        / (n_t - p_t).cast("double"),
+        round_digits,
+    )
+    filled = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(
+            F.col("__p").isNotNull() & F.col("__n").isNotNull(), interp
+        )
+        .when(F.col("__p").isNotNull(), p_v.cast("double"))
+        .when(F.col("__n").isNotNull(), n_v.cast("double"))
+    )
+    return stepped.withColumn(out_col, filled).drop("__p", "__n")

@@ -46,3 +46,45 @@ def test_fuzzy_ed1_plan_no_cartesian(spark):
     plan = fuzzy_join_ed1(df, "name")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_finds_adjacent_typos(spark):
+    import pytest
+    from skylinemapreducehadoop_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "blue bolt"),
+        (2, "blue bolts"),     # ed 1, adjacent after sort
+        (3, "blue光 bolt"),    # unicode variant, ed 1 from "blue bolt"
+        (4, "red widget"),
+        (5, "zed widget"),     # ed 1 but far in sort order from 4? (r vs z)
+        (6, "completely different thing"),
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    out = sorted_neighborhood_pairs(
+        df, "p_name", "p_partkey", window=3, max_edit_distance=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs or (2, 1) in pairs
+    for r in out:
+        assert r["edit_distance"] <= 2
+        assert 1 <= r["rank_gap"] <= 3
+    # windowed blocking recall is bounded by sort locality: with
+    # window=len(df) every <=2 pair is found, including (4, 5)
+    allp = sorted_neighborhood_pairs(
+        df, "p_name", "p_partkey", window=6, max_edit_distance=2
+    ).collect()
+    assert any({r["id_a"], r["id_b"]} == {4, 5} for r in allp)
+
+
+def test_sorted_neighborhood_validation(spark):
+    import pytest
+    from skylinemapreducehadoop_spark.operators.fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "p_partkey long, p_name string")
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "p_name", "p_partkey", window=0)

@@ -75,6 +75,7 @@ SKIP_EAGER = {
     "pca_invariant_check",  # dim^2-bounded covariance collect + driver eigh
     "ntile_buckets_lineitem",  # prefix-sum offsets collect
     "vocab_budget_documents",  # prefix-sum offsets collect
+    "sorted_neighborhood_parts",  # prefix-sum offsets collect
     "balanced_shards_documents",  # prefix-sum offsets collect
     "ks_test_events",  # two-measure prefix-sum offsets collect
 }

@@ -869,3 +869,36 @@ def test_transition_entropy_known_chains(spark):
     assert row2["entropy_bits"] == (
         __import__("pytest").approx(20 / 39, abs=1e-6)
     )
+
+
+def test_interpolate_missing_exact_line(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        interpolate_missing,
+    )
+
+    rows = [
+        ("g", 0, 100), ("g", 1, None), ("g", 2, None), ("g", 3, 400),
+        ("g", 5, None),            # trailing gap -> LOCF
+        ("h", 0, None), ("h", 1, 7),  # leading gap -> NOCB
+        ("z", 0, None),            # all-NULL group stays NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = {(r["g"], r["t"]): r["value_interp"] for r in interpolate_missing(df, "g", "t", "v").collect()}
+    assert out[("g", 1)] == pytest.approx(200.0, abs=1e-9)
+    assert out[("g", 2)] == pytest.approx(300.0, abs=1e-9)
+    assert out[("g", 0)] == 100.0 and out[("g", 3)] == 400.0  # pass-through
+    assert out[("g", 5)] == 400.0   # trailing -> last value
+    assert out[("h", 0)] == 7.0     # leading -> next value
+    assert out[("z", 0)] is None
+
+
+def test_interpolate_missing_uneven_spacing(spark):
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        interpolate_missing,
+    )
+
+    # gap between t=10 (v=0) and t=20 (v=100): t=17 -> 70
+    rows = [("g", 10, 0), ("g", 17, None), ("g", 20, 100)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    out = {r["t"]: r["value_interp"] for r in interpolate_missing(df, "g", "t", "v").collect()}
+    assert out[17] == pytest.approx(70.0, abs=1e-9)
