@@ -4826,6 +4826,20 @@ def _sorted_neighborhood_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+
+def _wilson_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conversion rate by user segment with the small-sample-safe
+    # Wilson score interval (stats.wilson_ci — exact rational z,
+    # one sqrt + pinned divisions)
+    from skylinemapreducehadoop_spark.operators.stats import wilson_ci
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 20).alias("segment"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    return wilson_ci(ev, "segment", "converted")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -5097,6 +5111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_entropy_events": _transition_entropy_events,
         "interpolate_missing_orders": _interpolate_missing_orders,
         "sorted_neighborhood_parts": _sorted_neighborhood_parts,
+        "wilson_ci_events": _wilson_ci_events,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -9368,6 +9383,30 @@ p AS (
 SELECT id_a, id_b, key_a, key_b, rank_gap,
        CAST(edit_distance AS INTEGER) AS edit_distance
 FROM p WHERE edit_distance <= 2 ORDER BY id_a, id_b
+""",
+        "wilson_ci_events": """
+WITH e AS (
+  SELECT user_id % 20 AS segment,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+  FROM events
+),
+a AS (
+  SELECT segment, CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS k
+  FROM e GROUP BY segment
+)
+SELECT segment, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 9) AS rate,
+       greatest(round(
+         (CAST(k * 10000 AS DOUBLE) + 38416 / 2.0
+          - 19600.0 * sqrt(CAST(k * (n - k) AS DOUBLE) / CAST(n AS DOUBLE)
+                           + 38416 / 40000.0))
+         / CAST(n * 10000 + 38416 AS DOUBLE), 9), 0.0) AS ci_low,
+       least(round(
+         (CAST(k * 10000 AS DOUBLE) + 38416 / 2.0
+          + 19600.0 * sqrt(CAST(k * (n - k) AS DOUBLE) / CAST(n AS DOUBLE)
+                           + 38416 / 40000.0))
+         / CAST(n * 10000 + 38416 AS DOUBLE), 9), 1.0) AS ci_high
+FROM a ORDER BY segment
 """,
         "curate_corpus": f"""
 WITH t AS (

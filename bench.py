@@ -397,6 +397,7 @@ EXTRA_QUERIES = [
     "transition_entropy_events",
     "interpolate_missing_orders",
     "sorted_neighborhood_parts",
+    "wilson_ci_events",
 ]
 
 

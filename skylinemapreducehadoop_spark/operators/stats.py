@@ -2113,3 +2113,62 @@ def winsorized_mean(
             ),
         ).alias("winsorized_mean"),
     )
+
+
+def wilson_ci(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    *,
+    z_num: int = 196,
+    z_den: int = 100,
+) -> DataFrame:
+    """Per-group binomial proportion with the Wilson score interval —
+    the small-sample-safe confidence band for conversion/defect rates
+    (the plain Wald interval collapses at p near 0/1; Wilson is the
+    standard fix, e.g. for ranked "conversion by segment" tables
+    where tiny segments must not look artificially certain).
+
+    ``success_col`` is 0/1. z is passed as an exact rational
+    (``z_num/z_den``, default 1.96); with n trials and k successes,
+    center = (k + z^2/2) / (n + z^2) and halfwidth =
+    z*sqrt(k(n-k)/n + z^2/4) / (n + z^2). Clearing z^2 = z_num^2 /
+    z_den^2 turns every term into exact integer algebra over
+    (k, n, z_num, z_den); the float steps are one sqrt and two pinned
+    divisions, rounded to 9.
+
+    Returns (group, n, k, rate, ci_low, ci_high), rate = k/n pinned.
+
+    Scale shape: one map-side-combined aggregate to the group frame.
+    """
+    s = F.col(success_col).cast("long")
+    agg = (
+        df.where(s.isNotNull())
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum(s).alias("__k"))
+    )
+    # scale all terms by z_den^2: zz = z_num^2; N' = n*z_den^2 + z_num^2
+    zz = z_num * z_num
+    dd = z_den * z_den
+    n = F.col("__n").cast("decimal(38,0)")
+    k = F.col("__k").cast("decimal(38,0)")
+    denom = (n * dd + zz).cast("double")
+    center_num = (k * dd + F.lit(zz) / F.lit(2.0)).cast("double")
+    # halfwidth numerator: z * sqrt(k(n-k)/n + z^2/4), scaled by dd:
+    # z_num*z_den*sqrt( k(n-k)/n + zz/(4 dd) )
+    inner = (
+        (k * (n - k)).cast("double") / n.cast("double")
+        + F.lit(zz) / F.lit(4.0 * dd)
+    )
+    half = F.lit(float(z_num) * z_den) * F.sqrt(inner)
+    rate = F.round(k.cast("double") / n.cast("double"), 9)
+    lo = F.round((center_num - half) / denom, 9)
+    hi = F.round((center_num + half) / denom, 9)
+    return agg.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("k"),
+        rate.alias("rate"),
+        F.greatest(lo, F.lit(0.0)).alias("ci_low"),
+        F.least(hi, F.lit(1.0)).alias("ci_high"),
+    ).orderBy(group_col)

@@ -1100,3 +1100,30 @@ def test_winsorized_equals_trimmed_at_zero(spark):
     w = winsorized_mean(df, "g", "v", trim_num=0, trim_den=1).collect()[0]
     t = trimmed_mean(df, "g", "v", trim_num=0, trim_den=1).collect()[0]
     assert w["winsorized_mean"] == t["trimmed_mean"] == 2.8
+
+
+def test_wilson_ci_matches_reference(spark):
+    import math
+    from skylinemapreducehadoop_spark.operators.stats import wilson_ci
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 1 + [("b", 0)] * 0
+    df = spark.createDataFrame(rows, "g string, c int")
+    out = {r["g"]: r for r in wilson_ci(df, "g", "c").collect()}
+
+    def wilson(k, n, z=1.96):
+        p = k / n
+        d = 1 + z * z / n
+        c = p + z * z / (2 * n)
+        h = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        return (c - h) / d, (c + h) / d
+
+    lo, hi = wilson(8, 10)
+    assert out["a"]["rate"] == 0.8
+    assert out["a"]["ci_low"] == pytest.approx(lo, abs=1e-9)
+    assert out["a"]["ci_high"] == pytest.approx(hi, abs=1e-9)
+    # k == n: upper bound clamps to 1, lower stays well below 1
+    # (the Wald interval would give [1, 1] here — the Wilson point)
+    b = out["b"]
+    assert b["k"] == b["n"] == 1
+    assert b["ci_high"] == 1.0
+    assert 0.05 < b["ci_low"] < 0.9
