@@ -4840,6 +4840,50 @@ def _wilson_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilson_ci(ev, "segment", "converted")
 
 
+
+_ZH_BANNER = "\u4e2d\u6587 \u6587\u672c \u6570\u636e \u5904\u7406 \u7cfb\u7edf \u6d4b\u8bd5 \u6837\u672c \u793a\u4f8b"
+
+
+def _lang_purity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # code-switching screen: language-ID per aligned 8-token segment,
+    # per-doc majority share — with PLANTED mixed docs (every 25th doc
+    # re-appears with a CJK 8-token banner appended) that purity must
+    # flag below 1.0. Composition of the segmenter + language_id; the
+    # oracle replays the marker-vote + byte-gate heuristic per segment
+    from skylinemapreducehadoop_spark.operators.dedup import (
+        _aligned_segment_array,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 950000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _ZH_BANNER)).alias("text"),
+    )
+    base = docs.unionByName(planted)
+    segs = base.select(
+        "doc_id",
+        F.explode(_aligned_segment_array("text", 8)).alias("seg"),
+    )
+    lid = TX.language_id(segs, "seg", "seg_lang")
+    per = lid.groupBy("doc_id", "seg_lang").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("__c").cast("long").alias("n_segments"),
+        F.max(F.struct(F.col("__c"), F.col("seg_lang"))).alias("__m"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_segments",
+        F.col("__m.seg_lang").alias("majority_lang"),
+        F.col("__m.__c").cast("long").alias("n_majority"),
+        F.round(
+            F.col("__m.__c").cast("double") / F.col("n_segments").cast("double"),
+            9,
+        ).alias("purity"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -5112,6 +5156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_missing_orders": _interpolate_missing_orders,
         "sorted_neighborhood_parts": _sorted_neighborhood_parts,
         "wilson_ci_events": _wilson_ci_events,
+        "lang_purity_documents": _lang_purity_documents,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -5575,6 +5620,74 @@ SELECT doc_id,
             ELSE '{langs[-1]}' END AS lang_pred
 FROM c
 """
+
+
+def _lang_purity_oracle() -> str:
+    # segment-level twin of _lang_id_oracle + per-doc majority share;
+    # the planted CJK banner re-uses the exact _ZH_BANNER literal
+    from skylinemapreducehadoop_spark.functions.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    counts = ",\n         ".join(
+        "len(list_filter(stoks, t -> t IN ({}))) AS c_{}".format(
+            ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    case_lines = []
+    for i, lang in enumerate(langs[:-1]):
+        ge = " AND ".join(f"c_{lang} >= c_{other}" for other in langs[i + 1 :])
+        case_lines.append(f"WHEN {ge} THEN '{lang}'")
+    case_sql = "\n            ".join(case_lines)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 950000, text || ' {_ZH_BANNER}'
+  FROM documents WHERE doc_id % 25 = 0
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM base
+  WHERE text IS NOT NULL AND trim(text) <> ''
+),
+segs AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[(i-1)*8+1 : i*8], ' ')
+                 FOR i IN range(1, greatest((len(t)+7)//8, 1)+1)]) AS seg
+  FROM toks
+),
+st AS (
+  SELECT doc_id, seg,
+         regexp_split_to_array(trim(lower(coalesce(seg, ''))), '\\s+')
+           AS stoks,
+         octet_length(encode(coalesce(seg, ''))) - length(coalesce(seg, ''))
+           AS extra_bytes,
+         length(coalesce(seg, '')) AS n_chars
+  FROM segs),
+c AS (
+  SELECT doc_id, n_chars, extra_bytes,
+         {counts}
+  FROM st),
+lid AS (
+  SELECT doc_id,
+         CASE WHEN n_chars = 0 THEN 'en'
+              WHEN extra_bytes * 3 > n_chars * 2 THEN 'zh'
+              {case_sql}
+              ELSE '{langs[-1]}' END AS seg_lang
+  FROM c),
+per AS (SELECT doc_id, seg_lang, count(*) AS c FROM lid GROUP BY 1, 2),
+r AS (
+  SELECT doc_id, seg_lang, c,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, seg_lang DESC) AS rn,
+         sum(c) OVER (PARTITION BY doc_id) AS n_segments
+  FROM per)
+SELECT doc_id, CAST(n_segments AS BIGINT) AS n_segments,
+       seg_lang AS majority_lang, CAST(c AS BIGINT) AS n_majority,
+       round(CAST(c AS DOUBLE) / CAST(n_segments AS DOUBLE), 9) AS purity
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
 
 
 #: round-8 oracle twins. Float-determinism contract shared with the
@@ -9408,6 +9521,7 @@ SELECT segment, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
          / CAST(n * 10000 + 38416 AS DOUBLE), 9), 1.0) AS ci_high
 FROM a ORDER BY segment
 """,
+        "lang_purity_documents": _lang_purity_oracle(),
         "curate_corpus": f"""
 WITH t AS (
   SELECT doc_id,

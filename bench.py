@@ -398,6 +398,7 @@ EXTRA_QUERIES = [
     "interpolate_missing_orders",
     "sorted_neighborhood_parts",
     "wilson_ci_events",
+    "lang_purity_documents",
 ]
 
 

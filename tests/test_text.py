@@ -602,3 +602,32 @@ def test_normalize_nfc_composes_and_flags(spark):
     assert out[4]["clean_text"] is None and out[4]["changed"] is False
     # normalized forms now dedup to the same hash
     assert out[1]["clean_text"] == out[2]["clean_text"]
+
+
+def test_lang_purity_planted_mixed_doc(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from skylinemapreducehadoop_spark.functions.text import language_id
+    from skylinemapreducehadoop_spark.operators.dedup import (
+        _aligned_segment_array,
+    )
+
+    en = " ".join(["the quick brown fox jumps over the lazy"] * 2)  # 16 toks
+    zh = "中文 文本 数据 处理 系统 测试 样本 示例"
+    df = spark.createDataFrame(
+        [(1, en), (2, en + " " + zh)], "doc_id long, text string"
+    )
+    segs = df.select(
+        "doc_id", F.explode(_aligned_segment_array("text", 8)).alias("seg")
+    )
+    lid = language_id(segs, "seg", "seg_lang")
+    per = {
+        (r["doc_id"], r["seg_lang"]): r["cnt"]
+        for r in lid.groupBy("doc_id", "seg_lang").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    # pure en doc: every segment en
+    assert per.get((1, "en"), 0) == 2 and (1, "zh") not in per
+    # mixed doc: the CJK tail segment flips to zh via the byte gate
+    assert per.get((2, "zh"), 0) >= 1 and per.get((2, "en"), 0) >= 2
