@@ -170,6 +170,93 @@ __all__ = [
     "build_vocab",
     "encode_tokens",
     "upsert_partitioned",
+    "benford_digits",
+    "calibration_bins",
+    "chi2_independence",
+    "gini_by",
+    "global_prefix_sum",
+    "ks_test",
+    "l_diversity",
+    "mutual_info_scan",
+    "ntile_global",
+    "roc_auc",
+    "survival_km",
+    "trimmed_mean",
+    "wilson_ci",
+    "winsorized_mean",
+    "ewma_smooth",
+    "interarrival_stats",
+    "interpolate_missing",
+    "leadlag_corr",
+    "not_followed_by",
+    "position_attribution",
+    "rolling_active_users",
+    "seasonality_index",
+    "theil_sen_trend",
+    "transition_entropy",
+    "boilerplate_segments",
+    "strip_boilerplate",
+    "balanced_shards",
+    "mix_diversity",
+    "pca_components",
+    "pca_project",
+    "sorted_neighborhood_pairs",
+    "image_dhash",
+    "referential_integrity",
+    "normalize_nfc",
+    "vocab_budget",
 ]
+
+from skylinemapreducehadoop_spark.operators.stats import (
+    benford_digits,
+    calibration_bins,
+    chi2_independence,
+    gini_by,
+    global_prefix_sum,
+    ks_test,
+    l_diversity,
+    mutual_info_scan,
+    ntile_global,
+    roc_auc,
+    survival_km,
+    trimmed_mean,
+    wilson_ci,
+    winsorized_mean,
+)
+from skylinemapreducehadoop_spark.operators.temporal import (
+    ewma_smooth,
+    interarrival_stats,
+    interpolate_missing,
+    leadlag_corr,
+    not_followed_by,
+    position_attribution,
+    rolling_active_users,
+    seasonality_index,
+    theil_sen_trend,
+    transition_entropy,
+)
+from skylinemapreducehadoop_spark.operators.dedup import (
+    boilerplate_segments,
+    strip_boilerplate,
+)
+from skylinemapreducehadoop_spark.operators.sampling import (
+    balanced_shards,
+    mix_diversity,
+)
+from skylinemapreducehadoop_spark.operators.similarity import (
+    pca_components,
+    pca_project,
+)
+from skylinemapreducehadoop_spark.operators.fuzzy import (
+    sorted_neighborhood_pairs,
+)
+from skylinemapreducehadoop_spark.operators.multimodal import image_dhash
+from skylinemapreducehadoop_spark.functions.expect import (
+    referential_integrity,
+)
+from skylinemapreducehadoop_spark.functions.text import (
+    normalize_nfc,
+    vocab_budget,
+)
 
 __version__ = "0.3.0"
