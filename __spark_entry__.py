@@ -4884,6 +4884,47 @@ def _lang_purity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# one of each artifact class, fully printable, no ASCII quote chars —
+# interpolated VERBATIM into both the Spark plant and the DuckDB oracle
+_MOJIBAKE_SNIPPET = "Ã©tÃ© donâ€™t â€œbad encodingâ€¦ â€” Â«quoteÂ» niÃ±o garÃ§on �"
+
+
+def _mojibake_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # encoding-damage (ftfy-shaped) screen with PLANTED double-encoded
+    # docs: every 31st doc re-appears with a mojibake snippet appended
+    # and must be flagged; clean docs must NOT appear in the output.
+    # Pure JVM regexp_count plan — map-only, no UDF (text.py)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 960000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _MOJIBAKE_SNIPPET)).alias("text"),
+    )
+    base = docs.unionByName(planted)
+    scr = TX.encoding_artifacts(base)
+    return (
+        scr.where(F.col("is_mojibake")).drop("is_mojibake").orderBy("doc_id")
+    )
+
+
+def _byte_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language byte/char/token budget table — what converts a
+    # byte-sized crawl into a token-sized training budget per language
+    # (CJK bytes_per_char ~3 vs Latin ~1). One hash aggregate, no UDF
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.corpus_budget_stats(docs).orderBy("lang")
+
+
+def _hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hard-negative mining for contrastive training data: per anchor,
+    # the 5 most cosine-similar vectors with a DIFFERENT label.
+    # Broadcast anchor slate + map-side JVM cosine + grouped_topk —
+    # the corpus never shuffles; ranks on the rounded score
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, [0, 1, 2, 3, 17, 42], k=5).orderBy(
+        "qid", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
     # 50 entries only. Round-10 window (rotation log + staleness table
@@ -5157,6 +5198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood_parts": _sorted_neighborhood_parts,
         "wilson_ci_events": _wilson_ci_events,
         "lang_purity_documents": _lang_purity_documents,
+        "mojibake_documents": _mojibake_documents,
+        "byte_token_budget_documents": _byte_token_budget_documents,
+        "hard_negatives_embeddings": _hard_negatives_embeddings,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
@@ -9537,5 +9581,59 @@ q AS (
 d AS (SELECT h, min(doc_id) AS doc_id FROM q GROUP BY h)
 SELECT d.doc_id, ('0x' || substr(d.h, 1, 15))::BIGINT AS fingerprint, q.n_tok AS n_tokens
 FROM d JOIN q ON d.doc_id = q.doc_id AND d.h = q.h
+""",
+        # the artifact patterns re-use the exact module literals so the
+        # two engines count the same byte sequences
+        "mojibake_documents": f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 960000, text || ' {_MOJIBAKE_SNIPPET}'
+  FROM documents WHERE doc_id % 31 = 0
+),
+c AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '{TX.MOJIBAKE_LATIN1}')) AS n_latin1,
+         len(regexp_extract_all(text, '{TX.MOJIBAKE_PUNCT}')) AS n_punct,
+         len(regexp_extract_all(text, '{TX.MOJIBAKE_REPL}')) AS n_repl
+  FROM base
+)
+SELECT doc_id, n_chars, n_latin1, n_punct, n_repl,
+       n_latin1 + n_punct + n_repl AS n_artifacts,
+       round(10000.0 * (n_latin1 + n_punct + n_repl) / n_chars, 9) AS per_10k
+FROM c
+WHERE n_latin1 + n_punct + n_repl >= 3
+ORDER BY doc_id
+""",
+        "byte_token_budget_documents": """
+WITH per AS (
+  SELECT lang, length(text) AS c, strlen(text) AS b,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(c) AS n_chars, SUM(b) AS n_bytes,
+       SUM(t) AS n_tokens,
+       round(SUM(b)::DOUBLE / SUM(c), 9) AS bytes_per_char,
+       round(SUM(c)::DOUBLE / SUM(t), 9) AS chars_per_token,
+       round(SUM(t)::DOUBLE / COUNT(*), 9) AS tokens_per_doc
+FROM per GROUP BY lang ORDER BY lang
+""",
+        "hard_negatives_embeddings": """
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 17, 42)
+),
+s AS (
+  SELECT q.qid, e.vec_id AS neg_id, e.label AS neg_label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM embeddings e JOIN q ON e.label <> q.qlabel AND e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid, neg_id, neg_label, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, neg_id DESC) AS rank
+  FROM s
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, neg_id, neg_label, score
+FROM r WHERE rank <= 5 ORDER BY qid, rank
 """,
     }

@@ -399,6 +399,9 @@ EXTRA_QUERIES = [
     "sorted_neighborhood_parts",
     "wilson_ci_events",
     "lang_purity_documents",
+    "mojibake_documents",
+    "byte_token_budget_documents",
+    "hard_negatives_embeddings",
 ]
 
 

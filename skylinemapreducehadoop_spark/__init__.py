@@ -204,6 +204,9 @@ __all__ = [
     "image_dhash",
     "referential_integrity",
     "normalize_nfc",
+    "encoding_artifacts",
+    "corpus_budget_stats",
+    "hard_negatives",
     "vocab_budget",
 ]
 
@@ -255,8 +258,11 @@ from skylinemapreducehadoop_spark.functions.expect import (
     referential_integrity,
 )
 from skylinemapreducehadoop_spark.functions.text import (
+    corpus_budget_stats,
+    encoding_artifacts,
     normalize_nfc,
     vocab_budget,
 )
+from skylinemapreducehadoop_spark.operators.similarity import hard_negatives
 
 __version__ = "0.3.0"

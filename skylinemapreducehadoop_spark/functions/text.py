@@ -1412,3 +1412,120 @@ def normalize_nfc(
             F.col("clean_text") != F.col("__t"), F.lit(False)
         ).alias("changed"),
     )
+
+
+# Mojibake (encoding-damage) artifact classes. Each is a literal
+# alternation, identical bytes in the engine regex and the DuckDB
+# oracle regex, so both count the same occurrences:
+# - LATIN1: UTF-8 accented Latin letters decoded as Latin-1/cp1252
+#   ("é" C3 A9 -> "Ã©") — the most common double-encoding signature.
+# - PUNCT: UTF-8 smart punctuation decoded as cp1252 ("’" E2 80 99 ->
+#   "â€™"; guillemets C2 AB/BB -> "Â«"/"Â»"). Only artifacts whose
+#   cp1252 rendering is fully printable are listed (no C1 controls in
+#   the pattern).
+# - REPL: U+FFFD, the decoder's own damage marker.
+MOJIBAKE_LATIN1 = "Ã©|Ã¨|Ã¤|Ã¶|Ã¼|Ã±|Ã§|Ã¡|Ã³|Ãº"
+MOJIBAKE_PUNCT = "â€™|â€œ|â€“|â€”|â€¦|Â«|Â»"
+MOJIBAKE_REPL = "�"
+
+
+def encoding_artifacts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    flag_min: int = 3,
+) -> DataFrame:
+    """Mojibake / encoding-damage screen — the ftfy-shaped corpus
+    hygiene pass: count the classic UTF-8-decoded-as-Latin-1 artifact
+    digraphs ("Ã©"), cp1252 smart-punctuation trigraphs ("â€™"), and
+    U+FFFD replacement characters per document, and flag documents
+    with at least ``flag_min`` artifacts as mojibake. Web-crawl
+    corpora carry a measurable rate of double-encoded pages; training
+    on them teaches the model the damage, so pipelines screen (or
+    route to a repair pass) before tokenization.
+
+    Returns one row per input row: (id, n_chars, n_latin1, n_punct,
+    n_repl, n_artifacts, per_10k, is_mojibake), ``per_10k`` the
+    artifact rate per 10k chars rounded to 9. Pure JVM plan — three
+    ``regexp_count`` expressions over literal alternations, map-only,
+    no shuffle, no UDF; at 100 TB this is a free rider on whatever
+    scan already reads the text column.
+    """
+    n_chars = F.length(F.col(text_col))
+    n_latin1 = F.regexp_count(F.col(text_col), F.lit(MOJIBAKE_LATIN1))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(MOJIBAKE_PUNCT))
+    n_repl = F.regexp_count(F.col(text_col), F.lit(MOJIBAKE_REPL))
+    total = (n_latin1 + n_punct + n_repl).alias("n_artifacts")
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_latin1.cast("long").alias("n_latin1"),
+        n_punct.cast("long").alias("n_punct"),
+        n_repl.cast("long").alias("n_repl"),
+        (n_latin1 + n_punct + n_repl).cast("long").alias("n_artifacts"),
+        F.round(
+            F.lit(10000.0)
+            * (n_latin1 + n_punct + n_repl).cast("double")
+            / n_chars.cast("double"),
+            9,
+        ).alias("per_10k"),
+        ((n_latin1 + n_punct + n_repl) >= F.lit(flag_min)).alias(
+            "is_mojibake"
+        ),
+    )
+
+
+def corpus_budget_stats(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language byte/char/token budget profile — the numbers a
+    token-budget plan is built from (how many UTF-8 bytes buy a char,
+    how many chars buy a whitespace token, in each language): n_docs,
+    total chars, total UTF-8 bytes, total whitespace tokens, and the
+    derived ratios bytes_per_char, chars_per_token, tokens_per_doc
+    (each rounded to 9). CJK languages show bytes_per_char near 3 and
+    very long "tokens"; Latin-script languages sit near 1 — the ratio
+    table is what converts a byte-sized crawl into a token-sized
+    training budget per language.
+
+    Tokenization is the repo-wide whitespace rule (``tokens()``,
+    Java ``\\s+`` after trim — the oracle mirrors it with
+    ``regexp_split_to_array``). One hash aggregate over (lang); every
+    per-row quantity (length, octet_length, size(split)) is a JVM
+    expression, so the plan is scan -> partial agg -> one slim
+    exchange of |langs| rows. No UDF, no window.
+    """
+    per = df.select(
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+        F.octet_length(F.col(text_col)).cast("long").alias("__bytes"),
+        token_count(F.col(text_col)).cast("long").alias("__toks"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__chars").alias("n_chars"),
+        F.sum("__bytes").alias("n_bytes"),
+        F.sum("__toks").alias("n_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_bytes",
+        "n_tokens",
+        F.round(
+            F.col("n_bytes").cast("double") / F.col("n_chars").cast("double"),
+            9,
+        ).alias("bytes_per_char"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"),
+            9,
+        ).alias("tokens_per_doc"),
+    )

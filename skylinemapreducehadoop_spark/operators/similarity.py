@@ -1018,3 +1018,87 @@ def pca_project(
         )
         cols.append(F.round(dot - F.lit(bias), round_digits).alias(f"proj_{c}"))
     return out.select(*cols)
+
+
+def hard_negatives(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / metric-learning data:
+    for each query row, the ``k`` most cosine-similar corpus rows
+    whose LABEL DIFFERS — "looks like the anchor but is another
+    class", the negatives that actually move an embedding model
+    (random negatives are trivially separable; hard ones carry the
+    gradient).
+
+    Plan shape: the query slate (|query_ids| rows: id, label, vector)
+    is broadcast; the corpus is scored MAP-SIDE under the broadcast
+    theta-join predicate ``corpus.label != query.label`` with a pure
+    JVM zip_with+aggregate cosine (no UDF, vectors never shuffle);
+    :func:`~skylinemapreducehadoop_spark.operators.sampling.grouped_topk`
+    then keeps k per query as a map-side-combinable aggregate, so the
+    wire carries only k x partitions x |queries| slim (qid, id, score)
+    rows. Ranking is on the ROUNDED score (repo engine-exactness rule:
+    rank membership must not hinge on BLAS-vs-sequential-fold ulps),
+    ties broken by descending ``neg_id`` so the composite order is
+    uniformly descending — the oracle twin is
+    ``ORDER BY score DESC, neg_id DESC``.
+
+    Returns (qid, rank, neg_id, neg_label, score), rank 1-based.
+
+    100-TB path: exact brute force per query is one map-only pass over
+    the corpus — right for an eval-sized anchor slate; for
+    corpus-as-anchor-set mine from the ANN bucketed variants
+    (:func:`ann_lsh`, :func:`ann_ivf`) and re-rank exactly.
+    """
+    qids = sorted({int(q) for q in query_ids})
+    if not qids:
+        raise ValueError("query_ids must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .sampling import grouped_topk
+
+    queries = emb.where(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).alias("__qv"),
+    )
+    corpus = emb.where(F.col(vec_col).isNotNull())
+    joined = corpus.join(
+        F.broadcast(queries),
+        (F.col(label_col) != F.col("__qlabel"))
+        & (F.col(id_col) != F.col("qid")),
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    dot = _dot(vec_col, "__qv")
+    n_c = F.sqrt(_dot(vec_col, vec_col))
+    n_q = F.sqrt(_dot("__qv", "__qv"))
+    score = F.when(
+        (n_c > 0) & (n_q > 0), F.round(dot / (n_c * n_q), round_digits)
+    ).otherwise(F.lit(0.0))
+    scored = joined.select(
+        "qid",
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        score.alias("score"),
+    )
+    return grouped_topk(
+        scored,
+        ["qid"],
+        ["score", "neg_id"],
+        k,
+        payload_cols=["neg_id", "neg_label", "score"],
+    )

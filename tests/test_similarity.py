@@ -528,3 +528,64 @@ def test_pca_project_is_map_only(spark):
     # the projection itself adds no shuffle: no Exchange in the final
     # projection plan (the covariance pass ran eagerly at build time)
     assert "Exchange" not in plan
+
+
+def test_hard_negatives_matches_bruteforce(spark):
+    import numpy as np
+    from skylinemapreducehadoop_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 1, (80, 6))
+    labels = [i % 4 for i in range(80)]
+    rows = [
+        (i, [float(x) for x in vecs[i]], labels[i]) for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(7)  # result must be partitioning-independent
+    got = hard_negatives(df, [0, 5], k=3).orderBy("qid", "rank").collect()
+
+    # numpy brute force on the same float32-promoted vectors
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    norm = np.linalg.norm(v32, axis=1)
+    for qid in (0, 5):
+        mine = [r for r in got if r["qid"] == qid]
+        assert [r["rank"] for r in mine] == [1, 2, 3]
+        assert all(r["neg_label"] != labels[qid] for r in mine)
+        assert all(r["neg_id"] != qid for r in mine)
+        scores = np.round(v32 @ v32[qid] / (norm * norm[qid]), 6)
+        cand = [
+            (scores[j], j)
+            for j in range(80)
+            if labels[j] != labels[qid] and j != qid
+        ]
+        cand.sort(key=lambda t: (-t[0], -t[1]))
+        want = [(j, s) for s, j in cand[:3]]
+        assert [(r["neg_id"], round(r["score"], 6)) for r in mine] == [
+            (j, round(float(s), 6)) for j, s in want
+        ]
+
+
+def test_hard_negatives_corpus_never_shuffles_vectors(spark):
+    import numpy as np
+    from skylinemapreducehadoop_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 4)], i % 3) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    plan = (
+        hard_negatives(df, [0], k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the anchor slate broadcasts; the only exchanges carry the slim
+    # grouped_topk partials, never the embedding column
+    assert "BroadcastExchange" in plan
+    import re as _re
+    shuffles = _re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    assert all("embedding" not in s for s in shuffles)

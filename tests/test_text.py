@@ -631,3 +631,56 @@ def test_lang_purity_planted_mixed_doc(spark):
     assert per.get((1, "en"), 0) == 2 and (1, "zh") not in per
     # mixed doc: the CJK tail segment flips to zh via the byte gate
     assert per.get((2, "zh"), 0) >= 1 and per.get((2, "en"), 0) >= 2
+
+
+def test_encoding_artifacts_counts(spark):
+    from skylinemapreducehadoop_spark.functions.text import encoding_artifacts
+
+    rows = [
+        (1, "clean text with no damage at all"),
+        (2, "Ã©tÃ© is mojibake"),                      # 2 latin1 only
+        (3, "donâ€™t â€œquoteâ€¦ bad Ã©"),              # 3 punct + 1 latin1
+        (4, "one replacement � char"),                # 1 repl only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in encoding_artifacts(df).collect()
+    }
+    assert out[1]["n_artifacts"] == 0 and not out[1]["is_mojibake"]
+    assert out[2]["n_latin1"] == 2 and out[2]["n_punct"] == 0
+    assert not out[2]["is_mojibake"]  # 2 < flag_min=3
+    assert out[3]["n_punct"] == 3 and out[3]["n_latin1"] == 1
+    assert out[3]["n_artifacts"] == 4 and out[3]["is_mojibake"]
+    assert out[4]["n_repl"] == 1 and out[4]["n_artifacts"] == 1
+    # rate: 4 artifacts in len chars, per 10k
+    n = out[3]["n_chars"]
+    assert out[3]["per_10k"] == round(10000.0 * 4 / n, 9)
+
+
+def test_encoding_artifacts_map_only_plan(spark):
+    from skylinemapreducehadoop_spark.functions.text import encoding_artifacts
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        encoding_artifacts(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # free rider on the scan
+
+
+def test_corpus_budget_stats_values(spark):
+    from skylinemapreducehadoop_spark.functions.text import corpus_budget_stats
+
+    rows = [
+        ("en", "the cat sat"),          # 11 chars, 11 bytes, 3 tokens
+        ("en", "a b"),                  # 3 chars, 3 bytes, 2 tokens
+        ("zh", "中文 文本"),  # 5 chars, 13 bytes, 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r for r in corpus_budget_stats(df).collect()}
+    en, zh = out["en"], out["zh"]
+    assert (en["n_docs"], en["n_chars"], en["n_bytes"], en["n_tokens"]) == (2, 14, 14, 5)
+    assert en["bytes_per_char"] == 1.0
+    assert en["chars_per_token"] == round(14 / 5, 9)
+    assert (zh["n_docs"], zh["n_chars"], zh["n_bytes"], zh["n_tokens"]) == (1, 5, 13, 2)
+    assert zh["bytes_per_char"] == round(13 / 5, 9)  # CJK ~3 bytes/char
