@@ -4914,6 +4914,35 @@ def _byte_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_budget_stats(docs).orderBy("lang")
 
 
+def _fix_mojibake_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # known-answer inverse law for the repair pass: damage every doc
+    # with the engine's own bytes-as-Latin-1 decode, repair it with
+    # fix_mojibake, and count exact round-trips per source. The oracle
+    # states the law (n_repaired == n_docs for ALL text incl. CJK) and
+    # the engine-independent n_changed (docs with any non-ASCII char —
+    # ASCII text is a fixed point of the damage). All-JVM, one agg
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", "text")
+    )
+    moji = F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1")
+    rep = TX.fix_mojibake(moji)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((rep == F.col("text")).cast("int"))
+            .cast("long")
+            .alias("n_repaired"),
+            F.sum((moji != F.col("text")).cast("int"))
+            .cast("long")
+            .alias("n_changed"),
+        )
+        .orderBy("source")
+    )
+
+
 def _hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hard-negative mining for contrastive training data: per anchor,
     # the 5 most cosine-similar vectors with a DIFFERENT label.
@@ -5200,6 +5229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_purity_documents": _lang_purity_documents,
         "mojibake_documents": _mojibake_documents,
         "byte_token_budget_documents": _byte_token_budget_documents,
+        "fix_mojibake_check": _fix_mojibake_check,
         "hard_negatives_embeddings": _hard_negatives_embeddings,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
@@ -9617,6 +9647,13 @@ SELECT lang, COUNT(*) AS n_docs, SUM(c) AS n_chars, SUM(b) AS n_bytes,
        round(SUM(c)::DOUBLE / SUM(t), 9) AS chars_per_token,
        round(SUM(t)::DOUBLE / COUNT(*), 9) AS tokens_per_doc
 FROM per GROUP BY lang ORDER BY lang
+""",
+        "fix_mojibake_check": """
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(*) AS n_repaired,
+       COUNT(*) FILTER (WHERE regexp_matches(text, '[^[:ascii:]]')) AS n_changed
+FROM documents WHERE text IS NOT NULL
+GROUP BY source ORDER BY source
 """,
         "hard_negatives_embeddings": """
 WITH q AS (

@@ -400,6 +400,7 @@ EXTRA_QUERIES = [
     "wilson_ci_events",
     "lang_purity_documents",
     "mojibake_documents",
+    "fix_mojibake_check",
     "byte_token_budget_documents",
     "hard_negatives_embeddings",
 ]

@@ -205,6 +205,7 @@ __all__ = [
     "referential_integrity",
     "normalize_nfc",
     "encoding_artifacts",
+    "fix_mojibake",
     "corpus_budget_stats",
     "hard_negatives",
     "vocab_budget",
@@ -260,6 +261,7 @@ from skylinemapreducehadoop_spark.functions.expect import (
 from skylinemapreducehadoop_spark.functions.text import (
     corpus_budget_stats,
     encoding_artifacts,
+    fix_mojibake,
     normalize_nfc,
     vocab_budget,
 )

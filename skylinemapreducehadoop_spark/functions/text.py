@@ -1529,3 +1529,25 @@ def corpus_budget_stats(
             9,
         ).alias("tokens_per_doc"),
     )
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair UTF-8-decoded-as-Latin-1 damage (the artifact family
+    :func:`encoding_artifacts` detects): re-encode the damaged string
+    as Latin-1 — bijective char<=0xFF -> byte, recovering the original
+    UTF-8 byte stream exactly — then decode it as UTF-8. Pure JVM
+    ``decode(encode(c, 'ISO-8859-1'), 'UTF-8')``, zero UDF, map-only.
+
+    ONLY apply to rows the detector flagged: mojibake text contains
+    exclusively chars <= U+00FF (it was produced by a Latin-1 decode),
+    so the repair is lossless there; applied to CLEAN text with real
+    non-Latin-1 characters (CJK, emoji) the Latin-1 encode RAISES
+    (Spark 4 ``MALFORMED_CHARACTER_CODING`` — fail-fast, never silent
+    corruption) — gate on ``is_mojibake`` first, as the registry
+    known-answer check does. The round-trip inverse law
+    ``fix(damage(t)) == t`` for every t is the oracle-checked property
+    (``fix_mojibake_check``) and holds for ALL text including CJK,
+    because damage = bytes-as-Latin-1 is itself injective.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")

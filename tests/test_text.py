@@ -684,3 +684,35 @@ def test_corpus_budget_stats_values(spark):
     assert en["chars_per_token"] == round(14 / 5, 9)
     assert (zh["n_docs"], zh["n_chars"], zh["n_bytes"], zh["n_tokens"]) == (1, 5, 13, 2)
     assert zh["bytes_per_char"] == round(13 / 5, 9)  # CJK ~3 bytes/char
+
+
+def test_fix_mojibake_roundtrip_and_gate(spark):
+    from skylinemapreducehadoop_spark.functions.text import fix_mojibake
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "中文 café — “quoted” … emoji 🙂"),
+        (2, "plain ascii stays a fixed point"),
+        (3, "niño garçon déjà"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    moji = F.decode(F.encode(F.col("text"), "UTF-8"), "ISO-8859-1")
+    out = df.select(
+        "doc_id",
+        F.col("text").alias("orig"),
+        moji.alias("damaged"),
+        fix_mojibake(moji).alias("repaired"),
+    ).collect()
+    for r in out:
+        # inverse law holds for every text, including CJK + astral
+        assert r["repaired"] == r["orig"]
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[2]["damaged"] == by_id[2]["orig"]  # ASCII fixed point
+    assert by_id[1]["damaged"] != by_id[1]["orig"]
+    # the documented gate: repairing CLEAN non-Latin-1 text fails fast
+    # (MALFORMED_CHARACTER_CODING), never corrupts silently — that's
+    # why callers filter on encoding_artifacts first
+    import pytest
+
+    with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
+        df.select(fix_mojibake(F.col("text")).alias("r")).collect()
