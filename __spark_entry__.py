@@ -4914,6 +4914,14 @@ def _byte_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_budget_stats(docs).orderBy("lang")
 
 
+def _dedup_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup threshold tuning curve: exact pair/doc counts per Jaccard
+    # threshold from ONE exact setsim pass at the loosest value —
+    # the table a pipeline builds before committing to a dedup knob
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_threshold_sweep(docs)
+
+
 def _fix_mojibake_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # known-answer inverse law for the repair pass: damage every doc
     # with the engine's own bytes-as-Latin-1 decode, repair it with
@@ -5229,6 +5237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_purity_documents": _lang_purity_documents,
         "mojibake_documents": _mojibake_documents,
         "byte_token_budget_documents": _byte_token_budget_documents,
+        "dedup_sweep_documents": _dedup_sweep_documents,
         "fix_mojibake_check": _fix_mojibake_check,
         "hard_negatives_embeddings": _hard_negatives_embeddings,
         # rows-only by declared design (hash-green derived/known-answer
@@ -9647,6 +9656,29 @@ SELECT lang, COUNT(*) AS n_docs, SUM(c) AS n_chars, SUM(b) AS n_bytes,
        round(SUM(c)::DOUBLE / SUM(t), 9) AS chars_per_token,
        round(SUM(t)::DOUBLE / COUNT(*), 9) AS tokens_per_doc
 FROM per GROUP BY lang ORDER BY lang
+""",
+        "dedup_sweep_documents": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, greatest(len(t)-1, 1))]) AS s
+  FROM toks
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+),
+t(threshold) AS (VALUES (0.5), (0.6), (0.7), (0.8), (0.9), (1.0)),
+e AS (SELECT t.threshold, p.id_a, p.id_b FROM p JOIN t ON p.jaccard >= t.threshold),
+g1 AS (SELECT threshold, COUNT(*) AS n_pairs FROM e GROUP BY threshold),
+e2 AS (SELECT threshold, unnest([id_a, id_b]) AS doc FROM e),
+g2 AS (SELECT threshold, COUNT(DISTINCT doc) AS n_docs FROM e2 GROUP BY threshold)
+SELECT g1.threshold, g1.n_pairs, g2.n_docs
+FROM g1 JOIN g2 USING (threshold) ORDER BY threshold
 """,
         "fix_mojibake_check": """
 SELECT source, COUNT(*) AS n_docs,

@@ -401,6 +401,7 @@ EXTRA_QUERIES = [
     "lang_purity_documents",
     "mojibake_documents",
     "fix_mojibake_check",
+    "dedup_sweep_documents",
     "byte_token_budget_documents",
     "hard_negatives_embeddings",
 ]

@@ -208,6 +208,7 @@ __all__ = [
     "fix_mojibake",
     "corpus_budget_stats",
     "hard_negatives",
+    "dedup_threshold_sweep",
     "vocab_budget",
 ]
 
@@ -241,6 +242,7 @@ from skylinemapreducehadoop_spark.operators.temporal import (
 )
 from skylinemapreducehadoop_spark.operators.dedup import (
     boilerplate_segments,
+    dedup_threshold_sweep,
     strip_boilerplate,
 )
 from skylinemapreducehadoop_spark.operators.sampling import (

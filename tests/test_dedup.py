@@ -701,3 +701,35 @@ def test_strip_boilerplate_order_preserved(spark):
     out = {r["doc_id"]: r for r in strip_boilerplate(df, width=8, min_docs=3).collect()}
     assert out[1]["clean_text"] == f"{body_a} {body_b}"
     assert out[2]["clean_text"] == "" and out[2]["n_flagged"] == 1
+
+
+def test_dedup_threshold_sweep_monotone_and_exact(spark):
+    from pyspark.sql import functions as F
+    from skylinemapreducehadoop_spark.operators.dedup import (
+        dedup_threshold_sweep,
+        setsim_join,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1 -> jaccard 1.0
+        (3, base + " extra words appended here"),  # high-but-<1 overlap
+        (4, "completely different text with no shared shingles at all"),
+        (5, "another unrelated document about other things entirely ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    curve = {
+        r["threshold"]: r for r in dedup_threshold_sweep(df).collect()
+    }
+    # monotone: tightening the threshold never adds pairs or docs
+    ts = sorted(curve)
+    for a, b in zip(ts, ts[1:]):
+        assert curve[a]["n_pairs"] >= curve[b]["n_pairs"]
+        assert curve[a]["n_docs"] >= curve[b]["n_docs"]
+    # the exact-dup pair survives every threshold including 1.0
+    assert curve[1.0]["n_pairs"] >= 1 and curve[1.0]["n_docs"] >= 2
+    # each band agrees with an independent setsim run AT that threshold
+    for t in (0.5, 1.0):
+        direct = setsim_join(df, threshold=t).count()
+        assert curve.get(t, {"n_pairs": 0})["n_pairs"] == direct
