@@ -4914,6 +4914,14 @@ def _byte_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_budget_stats(docs).orderBy("lang")
 
 
+def _script_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unicode-script composition per language tag (script != language:
+    # off-script mass = labeling/extraction bugs or shard leakage).
+    # Pure JVM regexp_count over script properties + one hash agg
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.script_mix(docs).orderBy("lang")
+
+
 def _dedup_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup threshold tuning curve: exact pair/doc counts per Jaccard
     # threshold from ONE exact setsim pass at the loosest value —
@@ -5237,6 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_purity_documents": _lang_purity_documents,
         "mojibake_documents": _mojibake_documents,
         "byte_token_budget_documents": _byte_token_budget_documents,
+        "script_mix_documents": _script_mix_documents,
         "dedup_sweep_documents": _dedup_sweep_documents,
         "fix_mojibake_check": _fix_mojibake_check,
         "hard_negatives_embeddings": _hard_negatives_embeddings,
@@ -9655,6 +9664,22 @@ SELECT lang, COUNT(*) AS n_docs, SUM(c) AS n_chars, SUM(b) AS n_bytes,
        round(SUM(b)::DOUBLE / SUM(c), 9) AS bytes_per_char,
        round(SUM(c)::DOUBLE / SUM(t), 9) AS chars_per_token,
        round(SUM(t)::DOUBLE / COUNT(*), 9) AS tokens_per_doc
+FROM per GROUP BY lang ORDER BY lang
+""",
+        "script_mix_documents": """
+WITH per AS (
+  SELECT lang, length(text) AS n,
+         len(regexp_extract_all(text, '\\p{Latin}')) AS lat,
+         len(regexp_extract_all(text, '\\p{Han}')) AS han,
+         len(regexp_extract_all(text, '\\p{Cyrillic}')) AS cyr,
+         len(regexp_extract_all(text, '[0-9]')) AS dig
+  FROM documents
+)
+SELECT lang, SUM(n) AS n_chars,
+       round(SUM(lat)::DOUBLE / SUM(n), 9) AS latin_share,
+       round(SUM(han)::DOUBLE / SUM(n), 9) AS han_share,
+       round(SUM(cyr)::DOUBLE / SUM(n), 9) AS cyrillic_share,
+       round(SUM(dig)::DOUBLE / SUM(n), 9) AS digit_share
 FROM per GROUP BY lang ORDER BY lang
 """,
         "dedup_sweep_documents": """

@@ -402,6 +402,7 @@ EXTRA_QUERIES = [
     "mojibake_documents",
     "fix_mojibake_check",
     "dedup_sweep_documents",
+    "script_mix_documents",
     "byte_token_budget_documents",
     "hard_negatives_embeddings",
 ]

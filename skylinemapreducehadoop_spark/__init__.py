@@ -206,6 +206,7 @@ __all__ = [
     "normalize_nfc",
     "encoding_artifacts",
     "fix_mojibake",
+    "script_mix",
     "corpus_budget_stats",
     "hard_negatives",
     "dedup_threshold_sweep",
@@ -264,6 +265,7 @@ from skylinemapreducehadoop_spark.functions.text import (
     corpus_budget_stats,
     encoding_artifacts,
     fix_mojibake,
+    script_mix,
     normalize_nfc,
     vocab_budget,
 )

@@ -1551,3 +1551,51 @@ def fix_mojibake(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.decode(F.encode(c, "ISO-8859-1"), "UTF-8")
+
+
+def script_mix(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode-script composition per language tag — script is not
+    language: a 'zh'-tagged shard full of Latin letters is a labeling
+    or extraction bug, romanized/transliterated content surfaces here,
+    and cross-shard boilerplate leakage shows up as off-script mass.
+    Per language: total chars plus the share of Latin / Han / Cyrillic
+    script characters and ASCII digits (each rounded to 9).
+
+    Pure JVM ``regexp_count`` over Unicode script properties (Java
+    spells the class ``\\p{IsLatin}``, RE2/DuckDB ``\\p{Latin}`` —
+    the same script property, so both engines count the same chars)
+    plus one hash aggregate: map-only until the |langs|-row exchange.
+    """
+    c = F.col(text_col)
+    per = df.select(
+        F.col(lang_col).alias("lang"),
+        F.length(c).cast("long").alias("__n"),
+        F.regexp_count(c, F.lit(r"\p{IsLatin}")).cast("long").alias("__lat"),
+        F.regexp_count(c, F.lit(r"\p{IsHan}")).cast("long").alias("__han"),
+        F.regexp_count(c, F.lit(r"\p{IsCyrillic}"))
+        .cast("long")
+        .alias("__cyr"),
+        F.regexp_count(c, F.lit("[0-9]")).cast("long").alias("__dig"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.sum("__n").alias("n_chars"),
+        F.sum("__lat").alias("__lat"),
+        F.sum("__han").alias("__han"),
+        F.sum("__cyr").alias("__cyr"),
+        F.sum("__dig").alias("__dig"),
+    )
+    share = lambda col: F.round(  # noqa: E731
+        F.col(col).cast("double") / F.col("n_chars").cast("double"), 9
+    )
+    return agg.select(
+        "lang",
+        "n_chars",
+        share("__lat").alias("latin_share"),
+        share("__han").alias("han_share"),
+        share("__cyr").alias("cyrillic_share"),
+        share("__dig").alias("digit_share"),
+    )

@@ -125,6 +125,10 @@ BNLJ_OK = {
     "seasonality_orders",  # 1-row grand-total frame
     "leadlag_corr_events",  # 2L+1 unioned 1-row moment frames
     "transition_entropy_events",  # 1-row totals frame + sorted fold
+    # bounded anchor-slate theta-join (label-inequality predicate over
+    # a |query_ids|-row broadcast — the documented hard-negative shape;
+    # the corpus side streams map-side, vectors never shuffle)
+    "hard_negatives_embeddings",
 }
 
 

@@ -716,3 +716,21 @@ def test_fix_mojibake_roundtrip_and_gate(spark):
 
     with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
         df.select(fix_mojibake(F.col("text")).alias("r")).collect()
+
+
+def test_script_mix_shares(spark):
+    from skylinemapreducehadoop_spark.functions.text import script_mix
+
+    rows = [
+        ("en", "hello world 42"),        # 10 latin, 2 digits, 14 chars
+        ("zh", "中文本"),                 # 3 han of 3
+        ("ru", "Привет ok"),             # 6 cyr + 2 latin of 9
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r["lang"]: r for r in script_mix(df).collect()}
+    assert out["en"]["n_chars"] == 14
+    assert out["en"]["latin_share"] == round(10 / 14, 9)
+    assert out["en"]["digit_share"] == round(2 / 14, 9)
+    assert out["zh"]["han_share"] == 1.0 and out["zh"]["latin_share"] == 0.0
+    assert out["ru"]["cyrillic_share"] == round(6 / 9, 9)
+    assert out["ru"]["latin_share"] == round(2 / 9, 9)
