@@ -4914,6 +4914,18 @@ def _byte_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_budget_stats(docs).orderBy("lang")
 
 
+def _ndcg_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ranking-quality evaluation: nDCG@20 of the BM25 ranking against
+    # graded term-coverage relevance — position terms rounded to 6 and
+    # summed in DECIMAL (order-free), rank windows over LIMIT-k frames
+    from skylinemapreducehadoop_spark.operators.retrieval import (
+        retrieval_ndcg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_ndcg(docs, _BM25_TERMS, k=20)
+
+
 def _script_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unicode-script composition per language tag (script != language:
     # off-script mass = labeling/extraction bugs or shard leakage).
@@ -5246,6 +5258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_documents": _mojibake_documents,
         "byte_token_budget_documents": _byte_token_budget_documents,
         "script_mix_documents": _script_mix_documents,
+        "ndcg_bm25_documents": _ndcg_bm25_documents,
         "dedup_sweep_documents": _dedup_sweep_documents,
         "fix_mojibake_check": _fix_mojibake_check,
         "hard_negatives_embeddings": _hard_negatives_embeddings,
@@ -9665,6 +9678,70 @@ SELECT lang, COUNT(*) AS n_docs, SUM(c) AS n_chars, SUM(b) AS n_bytes,
        round(SUM(c)::DOUBLE / SUM(t), 9) AS chars_per_token,
        round(SUM(t)::DOUBLE / COUNT(*), 9) AS tokens_per_doc
 FROM per GROUP BY lang ORDER BY lang
+""",
+        "ndcg_bm25_documents": """
+WITH tok AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+),
+dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_tokens
+  FROM dl
+),
+tf AS (
+  SELECT id, tok, CAST(count(*) AS BIGINT) AS tf FROM tok
+  WHERE tok IN ('hash', 'merge', 'spark', 'window') GROUP BY 1, 2
+),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.id,
+         (log2(CAST(2*c.n_docs + 2 AS DOUBLE)) - log2(CAST(2*d.df_t + 1 AS DOUBLE)))
+         * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+            / (CAST(tf.tf AS DOUBLE)
+               + CAST(1.2 AS DOUBLE)
+               * (1.0 - CAST(0.75 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE)
+                  * (CAST(dl.dl AS DOUBLE) * CAST(c.n_docs AS DOUBLE)
+                     / CAST(c.total_tokens AS DOUBLE))))) AS contrib
+  FROM tf JOIN dfreq d USING (tok) JOIN dl USING (id) CROSS JOIN corpus c
+),
+perdoc AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(contrib))),
+                           (a, b) -> a + b), 6) AS score
+  FROM contrib GROUP BY id
+),
+top AS (
+  SELECT n_terms_hit,
+         row_number() OVER (ORDER BY score DESC, id) AS pos
+  FROM (SELECT * FROM perdoc ORDER BY score DESC, id LIMIT 20)
+),
+dcg AS (
+  SELECT SUM(CAST(round((pow(2.0, CAST(n_terms_hit AS DOUBLE)) - 1.0)
+                        / log2(CAST(pos + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS dcg,
+         CAST(count(*) AS BIGINT) AS n_ranked
+  FROM top
+),
+rel AS (
+  SELECT id, CAST(count(DISTINCT tok) AS BIGINT) AS rel FROM tok
+  WHERE tok IN ('hash', 'merge', 'spark', 'window') GROUP BY id
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, id) AS pos
+  FROM (SELECT * FROM rel ORDER BY rel DESC, id LIMIT 20)
+),
+idcg AS (
+  SELECT SUM(CAST(round((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                        / log2(CAST(pos + 1 AS DOUBLE)), 6) AS DECIMAL(38,6))) AS idcg
+  FROM ideal
+)
+SELECT 20 AS k, d.n_ranked,
+       round(CAST(d.dcg AS DOUBLE), 6) AS dcg,
+       round(CAST(i.idcg AS DOUBLE), 6) AS idcg,
+       round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg
+FROM dcg d CROSS JOIN idcg i
 """,
         "script_mix_documents": """
 WITH per AS (

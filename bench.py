@@ -403,6 +403,7 @@ EXTRA_QUERIES = [
     "fix_mojibake_check",
     "dedup_sweep_documents",
     "script_mix_documents",
+    "ndcg_bm25_documents",
     "byte_token_budget_documents",
     "hard_negatives_embeddings",
 ]

@@ -102,6 +102,7 @@ from skylinemapreducehadoop_spark.operators.retrieval import (
     bm25_probe,
     bm25_topk,
     build_text_index,
+    retrieval_ndcg,
 )
 
 __all__ = [
@@ -210,6 +211,7 @@ __all__ = [
     "corpus_budget_stats",
     "hard_negatives",
     "dedup_threshold_sweep",
+    "retrieval_ndcg",
     "vocab_budget",
 ]
 

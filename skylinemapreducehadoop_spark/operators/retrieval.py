@@ -259,3 +259,86 @@ def rrf_fuse(
             ).alias("rrf_score"),
         )
     )
+
+
+def retrieval_ndcg(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """nDCG@k of the BM25 ranking against graded term-coverage
+    relevance — the standard ranking-quality number for a retrieval
+    stack (the evaluation sibling of :func:`bm25_topk`, next to the
+    classifier-side ROC-AUC / calibration entries). Relevance grade =
+    number of DISTINCT query terms a document contains (idf- and
+    length-free), so the metric answers "how much does BM25's
+    idf/length weighting re-order pure term coverage":
+
+    - DCG  = sum over the BM25 top-k of (2^rel_i - 1) / log2(pos_i+1)
+    - IDCG = the same sum over the corpus-wide ideal (top-k by rel) —
+      tie order within a grade cannot change the value
+    - nDCG = DCG / IDCG
+
+    Engine-exactness: every position term is rounded to 6 decimals
+    (the repo's established log2 tolerance, same as the BM25 score
+    itself) and summed in DECIMAL — order-free, so any engine or
+    layout produces the identical sum. Both rank windows run over
+    LIMIT-k-bounded frames (the documented acceptable unpartitioned-
+    window case); the corpus-wide passes are the BM25 scan and one
+    (id, matched-terms) aggregate. Returns one row:
+    (k, n_ranked, dcg, idcg, ndcg).
+    """
+    from pyspark.sql import Window
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def _dcg(frame: DataFrame, rel_col: str, out: str) -> DataFrame:
+        # frame is k-row bounded by construction
+        term = F.round(
+            (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - F.lit(1.0))
+            / F.log2(F.col("pos").cast("double") + F.lit(1.0)),
+            6,
+        )
+        return frame.agg(
+            F.sum(term.cast("decimal(38,6)")).alias(out),
+            F.count(F.lit(1)).alias(f"__n_{out}"),
+        )
+
+    top = bm25_topk(
+        df, terms, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+    w_top = Window.orderBy(F.col("score").desc(), F.col("id"))
+    ranked = top.withColumn("pos", F.row_number().over(w_top))
+    dcg = _dcg(ranked, "n_terms_hit", "__dcg")
+
+    rel = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+        )
+        .where(F.col("tok").isin(terms))
+        .groupBy("id")
+        .agg(F.countDistinct("tok").alias("rel"))
+    )
+    ideal_k = rel.orderBy(F.col("rel").desc(), F.col("id")).limit(k)
+    w_ideal = Window.orderBy(F.col("rel").desc(), F.col("id"))
+    ideal = ideal_k.withColumn("pos", F.row_number().over(w_ideal))
+    idcg = _dcg(ideal, "rel", "__idcg")
+
+    return dcg.crossJoin(idcg).select(
+        F.lit(k).alias("k"),
+        F.col("__n___dcg").cast("long").alias("n_ranked"),
+        F.round(F.col("__dcg").cast("double"), 6).alias("dcg"),
+        F.round(F.col("__idcg").cast("double"), 6).alias("idcg"),
+        F.round(
+            F.col("__dcg").cast("double") / F.col("__idcg").cast("double"), 6
+        ).alias("ndcg"),
+    )

@@ -129,6 +129,7 @@ BNLJ_OK = {
     # a |query_ids|-row broadcast — the documented hard-negative shape;
     # the corpus side streams map-side, vectors never shuffle)
     "hard_negatives_embeddings",
+    "ndcg_bm25_documents",  # 1-row DCG x 1-row IDCG scalar cross join
 }
 
 

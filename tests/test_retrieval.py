@@ -136,3 +136,69 @@ def test_rrf_fuse_matches_hand_computed(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_retrieval_ndcg_matches_python_reference(spark):
+    import math
+
+    from skylinemapreducehadoop_spark.operators.retrieval import (
+        bm25_topk,
+        retrieval_ndcg,
+    )
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha alpha beta beta gamma",
+        "alpha beta",
+        "delta epsilon zeta",
+        "unrelated words only here",
+        "alpha gamma delta beta alpha",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    terms = ["alpha", "beta", "gamma"]
+    row = retrieval_ndcg(df, terms, k=4).collect()[0]
+
+    # python reference: rel = distinct matched terms per doc
+    rel = {
+        i: len(set(t.split()) & set(terms))
+        for i, t in enumerate(texts)
+        if set(t.split()) & set(terms)
+    }
+    top = bm25_topk(df, terms, k=4).collect()
+    dcg = sum(
+        round(
+            (2.0 ** r["n_terms_hit"] - 1.0) / math.log2(pos + 2), 6
+        )
+        for pos, r in enumerate(top)
+    )
+    ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    idcg = sum(
+        round((2.0 ** g - 1.0) / math.log2(pos + 2), 6)
+        for pos, (_, g) in enumerate(ideal)
+    )
+    assert row["k"] == 4 and row["n_ranked"] == len(top)
+    assert row["dcg"] == round(dcg, 6)
+    assert row["idcg"] == round(idcg, 6)
+    assert row["ndcg"] == round(dcg / idcg, 6)
+    # a ranking evaluated against its own ideal grade ordering is <= 1
+    assert 0.0 < row["ndcg"] <= 1.0
+
+
+def test_retrieval_ndcg_perfect_when_coverage_orders(spark):
+    from skylinemapreducehadoop_spark.operators.retrieval import retrieval_ndcg
+
+    # every doc same length, distinct coverage grades -> BM25 order ==
+    # coverage order -> nDCG exactly 1
+    texts = [
+        "alpha beta gamma pad1",
+        "alpha beta pad1 pad2",
+        "alpha pad1 pad2 pad3",
+        "pad1 pad2 pad3 pad4",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    row = retrieval_ndcg(df, ["alpha", "beta", "gamma"], k=3).collect()[0]
+    assert row["ndcg"] == 1.0
