@@ -4914,6 +4914,25 @@ def _byte_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_budget_stats(docs).orderBy("lang")
 
 
+def _line_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher/C4 line-level quality rules with PLANTED multi-line docs
+    # (every 13th doc re-appears framed by bullet / ellipsis / short
+    # lines); the corpus is single-line, so only planted docs have
+    # n_lines > 1 — returned with their exact line-rule fractions
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 970000).alias("doc_id"),
+        F.concat(
+            F.lit("- intro bullet\n"),
+            F.col("text"),
+            F.lit("\n...\n- closing bullet\nshort\n\u2026"),
+        ).alias("text"),
+    )
+    base = docs.unionByName(planted)
+    st = TX.line_stats(base)
+    return st.where(F.col("n_lines") > 1).orderBy("doc_id")
+
+
 def _ndcg_bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking-quality evaluation: nDCG@20 of the BM25 ranking against
     # graded term-coverage relevance — position terms rounded to 6 and
@@ -5259,6 +5278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "byte_token_budget_documents": _byte_token_budget_documents,
         "script_mix_documents": _script_mix_documents,
         "ndcg_bm25_documents": _ndcg_bm25_documents,
+        "line_stats_documents": _line_stats_documents,
         "dedup_sweep_documents": _dedup_sweep_documents,
         "fix_mojibake_check": _fix_mojibake_check,
         "hard_negatives_embeddings": _hard_negatives_embeddings,
@@ -9678,6 +9698,32 @@ SELECT lang, COUNT(*) AS n_docs, SUM(c) AS n_chars, SUM(b) AS n_bytes,
        round(SUM(c)::DOUBLE / SUM(t), 9) AS chars_per_token,
        round(SUM(t)::DOUBLE / COUNT(*), 9) AS tokens_per_doc
 FROM per GROUP BY lang ORDER BY lang
+""",
+        "line_stats_documents": """
+WITH planted AS (
+  SELECT doc_id + 970000 AS doc_id,
+         '- intro bullet' || chr(10) || text || chr(10) || '...' || chr(10)
+         || '- closing bullet' || chr(10) || 'short' || chr(10) || '\u2026' AS text
+  FROM documents WHERE doc_id % 13 = 0
+),
+base AS (
+  SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted
+),
+l AS (
+  SELECT doc_id, str_split(text, chr(10)) AS ls FROM base
+),
+c AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         len(list_filter(ls, x -> starts_with(x, '- ') OR starts_with(x, '* ') OR starts_with(x, '\u2022 '))) AS nb,
+         len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '\u2026'))) AS ne,
+         len(list_filter(ls, x -> length(x) < 10)) AS ns
+  FROM l
+)
+SELECT doc_id, n_lines,
+       round(nb::DOUBLE / n_lines, 9) AS bullet_frac,
+       round(ne::DOUBLE / n_lines, 9) AS ellipsis_frac,
+       round(ns::DOUBLE / n_lines, 9) AS short_frac
+FROM c WHERE n_lines > 1 ORDER BY doc_id
 """,
         "ndcg_bm25_documents": """
 WITH tok AS (

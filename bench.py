@@ -404,6 +404,7 @@ EXTRA_QUERIES = [
     "dedup_sweep_documents",
     "script_mix_documents",
     "ndcg_bm25_documents",
+    "line_stats_documents",
     "byte_token_budget_documents",
     "hard_negatives_embeddings",
 ]

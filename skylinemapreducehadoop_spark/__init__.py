@@ -208,6 +208,7 @@ __all__ = [
     "encoding_artifacts",
     "fix_mojibake",
     "script_mix",
+    "line_stats",
     "corpus_budget_stats",
     "hard_negatives",
     "dedup_threshold_sweep",
@@ -267,6 +268,7 @@ from skylinemapreducehadoop_spark.functions.text import (
     corpus_budget_stats,
     encoding_artifacts,
     fix_mojibake,
+    line_stats,
     script_mix,
     normalize_nfc,
     vocab_budget,

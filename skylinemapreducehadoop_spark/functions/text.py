@@ -1599,3 +1599,51 @@ def script_mix(
         share("__cyr").alias("cyrillic_share"),
         share("__dig").alias("digit_share"),
     )
+
+
+def line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher/C4-style LINE-level quality statistics — the rule family
+    that operates on a document's line structure rather than its token
+    stream (Rae et al. 2021 §A1.1: drop docs with too many bullet
+    lines or ellipsis-terminated lines; C4: line-level boilerplate):
+    per document, the number of lines plus the fraction of bullet
+    lines (starting ``- ``, ``* `` or ``• ``), ellipsis-terminated
+    lines (``...`` or ``…``), and short lines (< 10 chars), each
+    rounded to 9.
+
+    Pure JVM plan: one ``split`` on newline + three higher-order
+    ``filter``/``size`` expressions — map-only, no UDF, no shuffle;
+    the DuckDB oracle mirrors with ``regexp_split_to_array`` +
+    ``list_filter`` + ``starts_with``/``ends_with`` (identical
+    semantics on literal prefixes/suffixes).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+
+    def frac(pred) -> Column:
+        return F.round(
+            F.size(F.filter(lines, pred)).cast("double")
+            / n_lines.cast("double"),
+            9,
+        )
+
+    bullet = lambda l: (  # noqa: E731
+        F.startswith(l, F.lit("- "))
+        | F.startswith(l, F.lit("* "))
+        | F.startswith(l, F.lit("• "))
+    )
+    ellipsis = lambda l: F.endswith(l, F.lit("...")) | F.endswith(  # noqa: E731
+        l, F.lit("…")
+    )
+    short = lambda l: F.length(l) < F.lit(10)  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        frac(bullet).alias("bullet_frac"),
+        frac(ellipsis).alias("ellipsis_frac"),
+        frac(short).alias("short_frac"),
+    )

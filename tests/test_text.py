@@ -734,3 +734,28 @@ def test_script_mix_shares(spark):
     assert out["zh"]["han_share"] == 1.0 and out["zh"]["latin_share"] == 0.0
     assert out["ru"]["cyrillic_share"] == round(6 / 9, 9)
     assert out["ru"]["latin_share"] == round(2 / 9, 9)
+
+
+def test_line_stats_fractions(spark):
+    from skylinemapreducehadoop_spark.functions.text import line_stats
+
+    doc = "\n".join(
+        [
+            "- bullet one",
+            "a normal line that is long enough",
+            "trailing thought...",
+            "* bullet two",
+            "tiny",
+            "ends with unicode ellipsis…",
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, doc), (2, "single line only")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_stats(df).collect()}
+    r = out[1]
+    assert r["n_lines"] == 6
+    assert r["bullet_frac"] == round(2 / 6, 9)
+    assert r["ellipsis_frac"] == round(2 / 6, 9)
+    assert r["short_frac"] == round(1 / 6, 9)  # only 'tiny'
+    assert out[2]["n_lines"] == 1 and out[2]["bullet_frac"] == 0.0
