@@ -4914,6 +4914,16 @@ def _byte_token_budget_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.corpus_budget_stats(docs).orderBy("lang")
 
 
+def _hard_positives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anchor-positive mining: the same broadcast-slate miner as
+    # hard_negatives with the label predicate flipped — the positive
+    # side of a contrastive (anchor, positive, negatives) triple
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hard_positives(emb, [0, 1, 2, 3, 17, 42], k=5).orderBy(
+        "qid", "rank"
+    )
+
+
 def _line_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/C4 line-level quality rules with PLANTED multi-line docs
     # (every 13th doc re-appears framed by bullet / ellipsis / short
@@ -5279,6 +5289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix_documents": _script_mix_documents,
         "ndcg_bm25_documents": _ndcg_bm25_documents,
         "line_stats_documents": _line_stats_documents,
+        "hard_positives_embeddings": _hard_positives_embeddings,
         "dedup_sweep_documents": _dedup_sweep_documents,
         "fix_mojibake_check": _fix_mojibake_check,
         "hard_negatives_embeddings": _hard_negatives_embeddings,
@@ -9698,6 +9709,24 @@ SELECT lang, COUNT(*) AS n_docs, SUM(c) AS n_chars, SUM(b) AS n_bytes,
        round(SUM(c)::DOUBLE / SUM(t), 9) AS chars_per_token,
        round(SUM(t)::DOUBLE / COUNT(*), 9) AS tokens_per_doc
 FROM per GROUP BY lang ORDER BY lang
+""",
+        "hard_positives_embeddings": """
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 17, 42)
+),
+s AS (
+  SELECT q.qid, e.vec_id AS pos_id, e.label AS pos_label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+  FROM embeddings e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid, pos_id, pos_label, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, pos_id DESC) AS rank
+  FROM s
+)
+SELECT qid, CAST(rank AS BIGINT) AS rank, pos_id, pos_label, score
+FROM r WHERE rank <= 5 ORDER BY qid, rank
 """,
         "line_stats_documents": """
 WITH planted AS (

@@ -405,6 +405,7 @@ EXTRA_QUERIES = [
     "script_mix_documents",
     "ndcg_bm25_documents",
     "line_stats_documents",
+    "hard_positives_embeddings",
     "byte_token_budget_documents",
     "hard_negatives_embeddings",
 ]

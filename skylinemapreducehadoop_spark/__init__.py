@@ -211,6 +211,7 @@ __all__ = [
     "line_stats",
     "corpus_budget_stats",
     "hard_negatives",
+    "hard_positives",
     "dedup_threshold_sweep",
     "retrieval_ndcg",
     "vocab_budget",
@@ -273,6 +274,9 @@ from skylinemapreducehadoop_spark.functions.text import (
     normalize_nfc,
     vocab_budget,
 )
-from skylinemapreducehadoop_spark.operators.similarity import hard_negatives
+from skylinemapreducehadoop_spark.operators.similarity import (
+    hard_negatives,
+    hard_positives,
+)
 
 __version__ = "0.3.0"

@@ -1057,6 +1057,52 @@ def hard_negatives(
     corpus-as-anchor-set mine from the ANN bucketed variants
     (:func:`ann_lsh`, :func:`ann_ivf`) and re-rank exactly.
     """
+    return _mine_by_label(
+        emb, query_ids, k, same_label=False, vec_col=vec_col,
+        id_col=id_col, label_col=label_col, round_digits=round_digits,
+    )
+
+
+def hard_positives(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Anchor-positive mining — :func:`hard_negatives` with the label
+    predicate flipped: per query row, the ``k`` most cosine-similar
+    corpus rows with the SAME label (excluding the anchor itself), the
+    positive side of a contrastive (anchor, positive, negatives)
+    triple. Identical plan shape and exactness rules; output columns
+    (qid, rank, pos_id, pos_label, score)."""
+    out = _mine_by_label(
+        emb, query_ids, k, same_label=True, vec_col=vec_col,
+        id_col=id_col, label_col=label_col, round_digits=round_digits,
+    )
+    return out.select(
+        "qid",
+        "rank",
+        F.col("neg_id").alias("pos_id"),
+        F.col("neg_label").alias("pos_label"),
+        "score",
+    )
+
+
+def _mine_by_label(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int,
+    *,
+    same_label: bool,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    round_digits: int,
+) -> DataFrame:
     qids = sorted({int(q) for q in query_ids})
     if not qids:
         raise ValueError("query_ids must be non-empty")
@@ -1070,10 +1116,14 @@ def hard_negatives(
         F.col(vec_col).alias("__qv"),
     )
     corpus = emb.where(F.col(vec_col).isNotNull())
+    label_pred = (
+        F.col(label_col) == F.col("__qlabel")
+        if same_label
+        else F.col(label_col) != F.col("__qlabel")
+    )
     joined = corpus.join(
         F.broadcast(queries),
-        (F.col(label_col) != F.col("__qlabel"))
-        & (F.col(id_col) != F.col("qid")),
+        label_pred & (F.col(id_col) != F.col("qid")),
     )
 
     def _dot(a, b):

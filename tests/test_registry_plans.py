@@ -130,6 +130,7 @@ BNLJ_OK = {
     # the corpus side streams map-side, vectors never shuffle)
     "hard_negatives_embeddings",
     "ndcg_bm25_documents",  # 1-row DCG x 1-row IDCG scalar cross join
+    "hard_positives_embeddings",  # same bounded anchor-slate theta-join
 }
 
 

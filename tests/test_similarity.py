@@ -589,3 +589,29 @@ def test_hard_negatives_corpus_never_shuffles_vectors(spark):
     import re as _re
     shuffles = _re.findall(r"Exchange hashpartitioning[^\n]*", plan)
     assert all("embedding" not in s for s in shuffles)
+
+
+def test_hard_positives_same_label_only(spark):
+    import numpy as np
+    from skylinemapreducehadoop_spark.operators.similarity import (
+        hard_negatives,
+        hard_positives,
+    )
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 5)], i % 3) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    pos = hard_positives(df, [0, 4], k=3).collect()
+    assert {r["qid"] for r in pos} == {0, 4}
+    for r in pos:
+        assert r["pos_label"] == r["qid"] % 3  # same label as anchor
+        assert r["pos_id"] != r["qid"]
+    # positives and negatives partition the candidate space: no overlap
+    neg = hard_negatives(df, [0, 4], k=3).collect()
+    pos_ids = {(r["qid"], r["pos_id"]) for r in pos}
+    neg_ids = {(r["qid"], r["neg_id"]) for r in neg}
+    assert not pos_ids & neg_ids
