@@ -9756,7 +9756,7 @@ FROM c WHERE n_lines > 1 ORDER BY doc_id
 """,
         "ndcg_bm25_documents": """
 WITH tok AS (
-  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
   FROM documents
 ),
 dl AS (SELECT id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
@@ -9836,7 +9836,7 @@ FROM per GROUP BY lang ORDER BY lang
 """,
         "dedup_sweep_documents": """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
 sh AS (
   SELECT doc_id,

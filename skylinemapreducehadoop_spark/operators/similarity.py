@@ -956,6 +956,10 @@ def pca_components(
     import numpy as np
 
     cov_rows = covariance_matrix(df, vec_col=vec_col, quant=quant).collect()
+    if not cov_rows:
+        raise ValueError(
+            f"pca_components: no non-null vectors in {vec_col!r}"
+        )
     dim = max(r["j"] for r in cov_rows) + 1
     cov = np.zeros((dim, dim))
     for r in cov_rows:

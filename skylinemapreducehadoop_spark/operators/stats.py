@@ -1188,7 +1188,10 @@ def gini_by(
     "is one source dominating the training mix?").
 
     ``value_col`` must be a NON-NEGATIVE integer column (put money on
-    the cents grid first). Uses the sorted-rank closed form
+    the cents grid first) — ENFORCED: a negative value raises at
+    execution time (lazy per-group ``assert_true`` guard) rather than
+    silently producing a meaningless coefficient. Uses the sorted-rank
+    closed form
     ``G = (2*sum_i(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` with rows
     sorted ascending — but evaluated on the VALUE-AGGREGATED frame:
     for a distinct value ``v`` with count ``c`` and cumulative count
@@ -1232,18 +1235,33 @@ def gini_by(
         F.sum(block).alias("__twice_ranked"),
         F.sum(v * F.col("__c")).alias("__total"),
         F.sum("__c").alias("__n"),
+        F.min("__v").alias("__minv"),
     )
     num = (
         F.col("__twice_ranked")
         - (F.col("__n") + 1) * F.col("__total")
     )
     den = F.col("__n") * F.col("__total")
+    # Contract enforcement: the closed form assumes non-negative mass,
+    # so a negative value must fail LOUDLY at execution time instead of
+    # returning a plausible-looking coefficient. assert_true keeps the
+    # check lazy and distributed (it evaluates per output row, NULL on
+    # pass, throws on violation); folding it under F.when stops
+    # Catalyst from pruning the unused guard column.
+    guard = F.assert_true(
+        F.col("__minv") >= 0,
+        F.lit(
+            "gini_by: value_col must be non-negative "
+            "(negative value encountered; put money on the cents grid "
+            "and clamp refunds upstream)"
+        ),
+    )
     return agg.select(
         F.col("__g").alias(group_col),
         F.col("__n").cast("long").alias("n_rows"),
         F.col("__total").cast("long").alias("total"),
         F.when(
-            F.col("__total") > 0,
+            guard.isNull() & (F.col("__total") > 0),
             F.round(num.cast("double") / den.cast("double"), 9),
         ).alias("gini"),
     )
@@ -1315,9 +1333,15 @@ def roc_auc(
         offsets.append((r["__pid"], cum))
         cum += int(r["__t"] or 0)
     off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
-    below = F.col("__lcum") + F.col("__off") - F.col("__n")
+    # Fold the per-score product in decimal(38,0) BEFORE multiplying:
+    # p_s * (2*below + n_s) as longs wraps silently past 2^63 (~3e9
+    # rows per class); casting only the product's result to decimal
+    # (the old shape) is too late. Same discipline as ks_test/gini_by.
+    dec = "decimal(38,0)"
+    below = (F.col("__lcum") + F.col("__off") - F.col("__n")).cast(dec)
     twice_u = F.sum(
-        (F.col("__p") * (2 * below + F.col("__n"))).cast("decimal(38,0)")
+        F.col("__p").cast(dec)
+        * (F.lit(2).cast(dec) * below + F.col("__n").cast(dec))
     )
     out = local.join(F.broadcast(off_df), "__pid").agg(
         F.sum("__p").cast("long").alias("n_pos"),
@@ -1918,27 +1942,38 @@ def ks_test(
     off_df = spark.createDataFrame(
         offsets or [(0, 0, 0)], "__pid int, __oa long, __ob long"
     )
-    cum_a = F.col("__la") + F.col("__oa")
-    cum_b = F.col("__lb") + F.col("__ob")
+    # The products A(v)*n_b and B(v)*n_a must fold in decimal(38,0)
+    # BEFORE the multiplication: in non-ANSI Spark a long*long overflow
+    # wraps silently, so for n_a*n_b >= 2^63 (~3e9 rows per class) a
+    # long-arithmetic numerator would be silently wrong. Casting only
+    # the RESULT to decimal (the old shape) does not help — the wrap
+    # has already happened. Same discipline as gini_by/trimmed_mean.
+    dec = "decimal(38,0)"
+    cum_a = (F.col("__la") + F.col("__oa")).cast(dec)
+    cum_b = (F.col("__lb") + F.col("__ob")).cast(dec)
     dev = F.abs(
-        (cum_a * F.lit(n_b) - cum_b * F.lit(n_a)).cast("decimal(38,0)")
+        cum_a * F.lit(n_b).cast(dec) - cum_b * F.lit(n_a).cast(dec)
     )
     out = local.join(F.broadcast(off_df), "__pid").agg(
         F.lit(n_a).cast("long").alias("n_a"),
         F.lit(n_b).cast("long").alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n_values"),
-        F.max(dev).cast("long").alias("ks_num"),
+        F.max(dev).alias("__ksd"),
     )
+    # ks is computed from the exact decimal numerator with each factor
+    # cast to double INDIVIDUALLY (n_a*n_b as longs would wrap at the
+    # same 2^63 boundary); ks_num stays a long diagnostic column —
+    # exact whenever it fits, while the ks ratio is correct regardless.
     return out.select(
         "n_a",
         "n_b",
         "n_values",
-        "ks_num",
+        F.col("__ksd").cast("long").alias("ks_num"),
         F.when(
             (F.col("n_a") > 0) & (F.col("n_b") > 0),
             F.round(
-                F.col("ks_num").cast("double")
-                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                F.col("__ksd").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
                 9,
             ),
         ).alias("ks"),

@@ -825,9 +825,14 @@ def seasonality_index(
     index (s_p/n_p) / (S/N) = (s_p·N) / (n_p·S) is ONE pinned integer
     division, rounded to 6.
 
-    ``period`` selects the position extractor: 'month' (1-12) or
-    'dow' (1-7, Sunday=1 — the dayofweek convention). ``value_col``
-    must be integer-valued (cents grid).
+    ``period`` selects BOTH the position extractor AND the period
+    bucket: 'month' positions by month-of-year (1-12) and counts
+    n_p in distinct CALENDAR MONTHS ('yyyy-MM' buckets); 'dow'
+    positions by day-of-week (1-7, Sunday=1 — the dayofweek
+    convention) and counts n_p in distinct DAYS ('yyyy-MM-dd'
+    buckets). The bucket must match the position's granularity or
+    n_periods counts the wrong unit and the index normalizes by the
+    wrong average. ``value_col`` must be integer-valued (cents grid).
 
     Scale shape: one aggregate to the (position, period) frame (at
     most 12 x calendar periods), one to the position frame, a 1-row
@@ -835,11 +840,12 @@ def seasonality_index(
     """
     if period == "month":
         pos = F.month(time_col)
+        bucket = F.date_format(time_col, "yyyy-MM")
     elif period == "dow":
         pos = F.dayofweek(time_col)
+        bucket = F.date_format(time_col, "yyyy-MM-dd")
     else:
         raise ValueError("period must be 'month' or 'dow'")
-    bucket = F.date_format(time_col, "yyyy-MM-dd")
     per_period = (
         df.where(F.col(time_col).isNotNull())
         .groupBy(pos.alias("pos"), bucket.alias("__bkt"))

@@ -530,6 +530,19 @@ def test_pca_project_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_pca_components_empty_input_raises_clearly(spark):
+    # ADVICE r10 regression: an all-null / empty vector column must
+    # raise a clear contract error, not an opaque max()-of-empty
+    import pytest
+    from skylinemapreducehadoop_spark.operators.similarity import pca_components
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        pca_components(df)
+
+
 def test_hard_negatives_matches_bruteforce(spark):
     import numpy as np
     from skylinemapreducehadoop_spark.operators.similarity import hard_negatives

@@ -652,6 +652,17 @@ def test_gini_all_zero_group_is_null(spark):
     assert gini_by(df, "g", "v").collect()[0]["gini"] is None
 
 
+def test_gini_negative_value_raises(spark):
+    # ADVICE r10 regression: the closed form assumes non-negative
+    # mass; a negative value must fail loudly at execution, not
+    # return a plausible-looking coefficient.
+    rows = [("g", 10), ("g", -3), ("g", 20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    with pytest.raises(Exception) as ei:
+        gini_by(df, "g", "v").collect()
+    assert "non-negative" in str(ei.value)
+
+
 def test_roc_auc_perfect_and_random(spark):
     from skylinemapreducehadoop_spark.operators.stats import roc_auc
 

@@ -697,6 +697,50 @@ def test_seasonality_index_validation(spark):
         seasonality_index(df, "d", "v", period="hour")
 
 
+def test_seasonality_index_month_counts_months_not_days(spark):
+    # ADVICE r10 regression: period='month' must bucket by calendar
+    # MONTH ('yyyy-MM'), so n_periods counts months — the old code
+    # bucketed every period by day and reported n_periods=31 for a
+    # single January.
+    import datetime as dt
+    import pytest
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        seasonality_index,
+    )
+
+    rows = []
+    for i in range(31):  # January 2025: 10/day
+        rows.append((dt.date(2025, 1, 1) + dt.timedelta(days=i), 10))
+    for i in range(28):  # February 2025: 20/day
+        rows.append((dt.date(2025, 2, 1) + dt.timedelta(days=i), 20))
+    df = spark.createDataFrame(rows, "d date, v long")
+    out = {r["pos"]: r for r in seasonality_index(df, "d", "v", period="month").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_periods"] == 1 and out[2]["n_periods"] == 1
+    assert out[1]["total_value"] == 310 and out[2]["total_value"] == 560
+    # per-month avgs 310 and 560 over grand avg 435
+    assert out[1]["index"] == pytest.approx(310 / 435, abs=1e-6)
+    assert out[2]["index"] == pytest.approx(560 / 435, abs=1e-6)
+
+
+def test_seasonality_index_month_multi_year(spark):
+    # two Januaries in different years are two periods of position 1
+    import datetime as dt
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        seasonality_index,
+    )
+
+    rows = [
+        (dt.date(2024, 1, 15), 100),
+        (dt.date(2025, 1, 20), 300),
+        (dt.date(2025, 3, 2), 200),
+    ]
+    df = spark.createDataFrame(rows, "d date, v long")
+    out = {r["pos"]: r for r in seasonality_index(df, "d", "v", period="month").collect()}
+    assert out[1]["n_periods"] == 2 and out[1]["total_value"] == 400
+    assert out[3]["n_periods"] == 1 and out[3]["total_value"] == 200
+
+
 def test_interarrival_stats_known_gaps(spark):
     import datetime as dt
     from skylinemapreducehadoop_spark.operators.temporal import (
