@@ -5013,80 +5013,17 @@ def _hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
-    # 50 entries only. Round-10 window (rotation log + staleness table
-    # + the explicit priority RULE in COVERAGE.md — 69 candidates for
-    # 50 slots this round, so the rule is now written down):
-    # (a) never-driver-checked first — all 24 r9 additions (positions
-    # 51-74 last round) plus the 1 query new in r10
-    # (analyze_approx_check, the executed sketch-NDV ANALYZE path);
-    # every operator TOUCHED in r10 (abc prefix sum, golden_records
-    # melt, mad_outliers MAD=0, bpe_encode whitespace, PNG RGB tier,
-    # merge promotion) has its driver row inside this group;
-    # (b) the remaining 25 slots go to the STALEST entries (r7-green)
-    # by family coverage: keep one representative per operator family
-    # in-window, slip the 20 whose operator module is untouched since
-    # its green round AND which have a same-family sibling either in
-    # this window or hash-green in the r9 window (the slip list and
-    # per-entry justification are in COVERAGE.md — they move to
-    # staleness 3 and lead the r11 window).
+    # 50 entries only. Round-11 window per the rotation priority rule
+    # and the prepared r11 arithmetic in COVERAGE.md (never-checked
+    # first, oldest first; touched operators re-earn rows).
     return {
-        # (a) never driver-checked: the 24 r9 additions...
-        "duplicate_spans_documents": _duplicate_spans_documents,
-        "distribution_drift_orders": _distribution_drift_orders,
-        "streaming_drift_replay": _streaming_drift_replay,
-        "quantize_check_embeddings": _quantize_check_embeddings,
-        "quantized_recall_check": _quantized_recall_check,
-        "zorder_scan_check": _zorder_scan_check,
-        "weighted_sample_documents": _weighted_sample_documents,
-        "zipf_fit_tokens": _zipf_fit_tokens,
-        "bpe_encode_check": _bpe_encode_check,
-        "audio_features_check": _audio_features_check,
-        "mad_outliers_orders": _mad_outliers_orders,
-        "autocorr_events": _autocorr_events,
-        "golden_records_customers": _golden_records_customers,
-        "incremental_rollup_check": _incremental_rollup_check,
-        "streaming_maintenance_replay": _streaming_maintenance_replay,
-        "kmv_rollup_check": _kmv_rollup_check,
-        "fd_check_customer": _fd_check_customer,
-        "mutual_information_events": _mutual_information_events,
-        "novelty_documents": _novelty_documents,
-        "resize_check": _resize_check,
-        "twap_events": _twap_events,
-        "abc_parts": _abc_parts,
-        "analyze_orders": _analyze_orders,
-        "kcore_check": _kcore_check,
-        # ...and the r10 addition
-        "analyze_approx_check": _analyze_approx_check,
-        # (b) stalest (r7-green) entries, one per family
-        "ann_recall_lsh": _ann_recall_lsh,
-        "streaming_near_dup_replay": _streaming_near_dup_replay,
-        "skyline_sql_lineitem": _skyline_sql_lineitem,
-        "dynamic_skyline_part": _dynamic_skyline_part,
-        "scd2_user_events": _scd2_user_events,
-        "sessionize_events": _sessionize_events,
-        "range_join_events": _range_join_events,
-        "asof_join_events": _asof_join_events,
-        "cohort_retention_users": _cohort_retention_users,
-        "funnel_users": _funnel_users,
-        "top_paths_users": _top_paths_users,
-        "heavy_hitters_tokens": _heavy_hitters_tokens,
-        "dedup_star_clusters": _dedup_star_clusters,
-        "semantic_dedup_embeddings": _semantic_dedup_embeddings,
-        "fuzzy_pairs_partnames": _fuzzy_pairs_partnames,
-        "gapfill_events_hourly": _gapfill_events_hourly,
-        "events_daily_rollup": _events_daily_rollup,
-        "trailing_hour_events": _trailing_hour_events,
-        "stratified_topk_documents": _stratified_topk_documents,
-        "equidepth_histogram_events": _equidepth_histogram_events,
-        "pack_sequences_documents": _pack_sequences_documents,
-        "mix_corpus_sources": _mix_corpus_sources,
-        "classifier_score_documents": _classifier_score_documents,
-        "unigram_logprob_documents": _unigram_logprob_documents,
-        "window_analytics_events": _window_analytics_events,
-        # --- past the driver's 50-entry window ---
-        # NEW mid-r10 (locally verified with tools/check_contract.py;
-        # never driver-checked, so they lead the r11 window per the
-        # rotation rule):
+        # ---- ROUND-11 WINDOW (driver checks the FIRST 50) ----
+        # Per the rotation priority rule (COVERAGE.md): never-driver-
+        # checked entries first, oldest first; operators materially
+        # TOUCHED this round re-earn their row at the same priority.
+        # (a) positions 1-44: ALL 44 never-checked pre-end-r10 entries
+        # (the 21 mid-r10 + 23 late-r10 additions — the prepared plan
+        # said 45; the actual block is 44, see COVERAGE.md erratum):
         "k_anonymity_customers": _k_anonymity_customers,
         "length_buckets_documents": _length_buckets_documents,
         "vocab_coverage_documents": _vocab_coverage_documents,
@@ -5131,8 +5068,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_setops_check": _kmv_setops_check,
         "class_scatter_embeddings": _class_scatter_embeddings,
         "weighted_deciles_lineitem": _weighted_deciles_lineitem,
-        # r7-green SLIPPED to staleness 3 (rule + per-entry sibling in
-        # COVERAGE.md) — first in line for the r11 window:
+        # (b) positions 45-50: the 5 end-r10 entries named in the
+        # prepared r11 plan (boilerplate, strip_boilerplate, gini,
+        # ewma, auc) + ks_test_events for the freed 45th slot —
+        # ks_test's numerator arithmetic changed this round (decimal
+        # fold before multiply, ADVICE r10 medium), so it re-earns a
+        # driver row per rule 2. gini_by and roc_auc were also touched
+        # this round and are already in the named 5.
+        "boilerplate_documents": _boilerplate_documents,
+        "strip_boilerplate_documents": _strip_boilerplate_documents,
+        "gini_orders": _gini_orders,
+        "ewma_orders": _ewma_orders,
+        "auc_purchase_events": _auc_purchase_events,
+        "ks_test_events": _ks_test_events,
+        # --- past the driver's 50-entry window ---
+        # Remaining 37 never-driver-checked end-r10 entries: they LEAD
+        # the r12 window (rotation rule 1). seasonality_orders and
+        # pca_invariant_check were touched this round but only on
+        # paths their registry entries do not exercise (month
+        # bucketing / empty-input guard — both pytest-covered); they
+        # stay in this group and are flagged touched in
+        # STALENESS_r11.json.
+        "chi2_events": _chi2_events,
+        "survival_km_users": _survival_km_users,
+        "benford_orders": _benford_orders,
+        "trimmed_mean_orders": _trimmed_mean_orders,
+        "position_attribution_events": _position_attribution_events,
+        "mix_diversity_documents": _mix_diversity_documents,
+        "pca_invariant_check": _pca_invariant_check,
+        "l_diversity_customers": _l_diversity_customers,
+        "ntile_buckets_lineitem": _ntile_buckets_lineitem,
+        "calibration_documents": _calibration_documents,
+        "vocab_budget_documents": _vocab_budget_documents,
+        "balanced_shards_documents": _balanced_shards_documents,
+        "normalize_nfc_documents": _normalize_nfc_documents,
+        "referential_integrity_check": _referential_integrity_check,
+        "mi_scan_events": _mi_scan_events,
+        "image_dhash_check": _image_dhash_check,
+        "leadlag_corr_events": _leadlag_corr_events,
+        "seasonality_orders": _seasonality_orders,
+        "interarrival_events": _interarrival_events,
+        "winsorized_mean_orders": _winsorized_mean_orders,
+        "theil_sen_orders": _theil_sen_orders,
+        "unconverted_clicks_events": _unconverted_clicks_events,
+        "rolling_active_events": _rolling_active_events,
+        "transition_entropy_events": _transition_entropy_events,
+        "interpolate_missing_orders": _interpolate_missing_orders,
+        "sorted_neighborhood_parts": _sorted_neighborhood_parts,
+        "wilson_ci_events": _wilson_ci_events,
+        "lang_purity_documents": _lang_purity_documents,
+        "mojibake_documents": _mojibake_documents,
+        "byte_token_budget_documents": _byte_token_budget_documents,
+        "script_mix_documents": _script_mix_documents,
+        "ndcg_bm25_documents": _ndcg_bm25_documents,
+        "line_stats_documents": _line_stats_documents,
+        "hard_positives_embeddings": _hard_positives_embeddings,
+        "dedup_sweep_documents": _dedup_sweep_documents,
+        "fix_mojibake_check": _fix_mojibake_check,
+        "hard_negatives_embeddings": _hard_negatives_embeddings,
+        # r10 driver window (staleness 1 — all 50 hash-green in
+        # CORRECTNESS_r10.json):
+        "duplicate_spans_documents": _duplicate_spans_documents,
+        "distribution_drift_orders": _distribution_drift_orders,
+        "streaming_drift_replay": _streaming_drift_replay,
+        "quantize_check_embeddings": _quantize_check_embeddings,
+        "quantized_recall_check": _quantized_recall_check,
+        "zorder_scan_check": _zorder_scan_check,
+        "weighted_sample_documents": _weighted_sample_documents,
+        "zipf_fit_tokens": _zipf_fit_tokens,
+        "bpe_encode_check": _bpe_encode_check,
+        "audio_features_check": _audio_features_check,
+        "mad_outliers_orders": _mad_outliers_orders,
+        "autocorr_events": _autocorr_events,
+        "golden_records_customers": _golden_records_customers,
+        "incremental_rollup_check": _incremental_rollup_check,
+        "streaming_maintenance_replay": _streaming_maintenance_replay,
+        "kmv_rollup_check": _kmv_rollup_check,
+        "fd_check_customer": _fd_check_customer,
+        "mutual_information_events": _mutual_information_events,
+        "novelty_documents": _novelty_documents,
+        "resize_check": _resize_check,
+        "twap_events": _twap_events,
+        "abc_parts": _abc_parts,
+        "analyze_orders": _analyze_orders,
+        "kcore_check": _kcore_check,
+        "analyze_approx_check": _analyze_approx_check,
+        "ann_recall_lsh": _ann_recall_lsh,
+        "streaming_near_dup_replay": _streaming_near_dup_replay,
+        "skyline_sql_lineitem": _skyline_sql_lineitem,
+        "dynamic_skyline_part": _dynamic_skyline_part,
+        "scd2_user_events": _scd2_user_events,
+        "sessionize_events": _sessionize_events,
+        "range_join_events": _range_join_events,
+        "asof_join_events": _asof_join_events,
+        "cohort_retention_users": _cohort_retention_users,
+        "funnel_users": _funnel_users,
+        "top_paths_users": _top_paths_users,
+        "heavy_hitters_tokens": _heavy_hitters_tokens,
+        "dedup_star_clusters": _dedup_star_clusters,
+        "semantic_dedup_embeddings": _semantic_dedup_embeddings,
+        "fuzzy_pairs_partnames": _fuzzy_pairs_partnames,
+        "gapfill_events_hourly": _gapfill_events_hourly,
+        "events_daily_rollup": _events_daily_rollup,
+        "trailing_hour_events": _trailing_hour_events,
+        "stratified_topk_documents": _stratified_topk_documents,
+        "equidepth_histogram_events": _equidepth_histogram_events,
+        "pack_sequences_documents": _pack_sequences_documents,
+        "mix_corpus_sources": _mix_corpus_sources,
+        "classifier_score_documents": _classifier_score_documents,
+        "unigram_logprob_documents": _unigram_logprob_documents,
+        "window_analytics_events": _window_analytics_events,
+        # r7/r8/r9-green groups (rotation log in COVERAGE.md; every
+        # entry hash-green in LOCALCHECK_r10.json):
         "histogram_orders": _histogram_orders,
         "skyline_bruteforce": _sky("bruteforce"),
         "skyline_5dim": _sky_5dim,
@@ -5153,7 +5200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _chunk_documents,
         "token_entropy_documents": _token_entropy_documents,
         "window_analytics_orders": _window_analytics_orders,
-        # r8-green (staleness 2; operator logic untouched):
         "linreg_lineitem": _linreg_lineitem,
         "corr_lineitem": _corr_lineitem,
         "zscore_outliers_events": _zscore_outliers_events,
@@ -5199,7 +5245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join_replay": _streaming_interval_join_replay,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q14_promo_revenue": _q14_promo_revenue,
-        # r9-green (the entire r9 window, staleness 1):
         "bm25_index_search_documents": _bm25_index_search_documents,
         "pmi_collocations_documents": _pmi_collocations_documents,
         "bpe_merges_check": _bpe_merges_check,
@@ -5250,49 +5295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt": _q16_supplier_cnt,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_sales_opportunity": _q22_sales_opportunity,
-        "boilerplate_documents": _boilerplate_documents,
-        "strip_boilerplate_documents": _strip_boilerplate_documents,
-        "gini_orders": _gini_orders,
-        "ewma_orders": _ewma_orders,
-        "auc_purchase_events": _auc_purchase_events,
-        "chi2_events": _chi2_events,
-        "survival_km_users": _survival_km_users,
-        "benford_orders": _benford_orders,
-        "trimmed_mean_orders": _trimmed_mean_orders,
-        "position_attribution_events": _position_attribution_events,
-        "mix_diversity_documents": _mix_diversity_documents,
-        "pca_invariant_check": _pca_invariant_check,
-        "l_diversity_customers": _l_diversity_customers,
-        "ntile_buckets_lineitem": _ntile_buckets_lineitem,
-        "calibration_documents": _calibration_documents,
-        "vocab_budget_documents": _vocab_budget_documents,
-        "balanced_shards_documents": _balanced_shards_documents,
-        "normalize_nfc_documents": _normalize_nfc_documents,
-        "referential_integrity_check": _referential_integrity_check,
-        "ks_test_events": _ks_test_events,
-        "mi_scan_events": _mi_scan_events,
-        "image_dhash_check": _image_dhash_check,
-        "leadlag_corr_events": _leadlag_corr_events,
-        "seasonality_orders": _seasonality_orders,
-        "interarrival_events": _interarrival_events,
-        "winsorized_mean_orders": _winsorized_mean_orders,
-        "theil_sen_orders": _theil_sen_orders,
-        "unconverted_clicks_events": _unconverted_clicks_events,
-        "rolling_active_events": _rolling_active_events,
-        "transition_entropy_events": _transition_entropy_events,
-        "interpolate_missing_orders": _interpolate_missing_orders,
-        "sorted_neighborhood_parts": _sorted_neighborhood_parts,
-        "wilson_ci_events": _wilson_ci_events,
-        "lang_purity_documents": _lang_purity_documents,
-        "mojibake_documents": _mojibake_documents,
-        "byte_token_budget_documents": _byte_token_budget_documents,
-        "script_mix_documents": _script_mix_documents,
-        "ndcg_bm25_documents": _ndcg_bm25_documents,
-        "line_stats_documents": _line_stats_documents,
-        "hard_positives_embeddings": _hard_positives_embeddings,
-        "dedup_sweep_documents": _dedup_sweep_documents,
-        "fix_mojibake_check": _fix_mojibake_check,
-        "hard_negatives_embeddings": _hard_negatives_embeddings,
         # rows-only by declared design (hash-green derived/known-answer
         # siblings: recall bounds / sketch checks / fixed-point checks):
         "kmeans_embeddings": _kmeans_embeddings,
