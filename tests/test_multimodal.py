@@ -693,3 +693,49 @@ def test_image_dhash_matches_manual_bits(spark):
         "1" if g[y, x] > g[y, x + 1] else "0" for y in range(8) for x in range(8)
     )
     assert got == want
+
+
+def test_jpeg_pixel_boundary_contract(spark):
+    """The JPEG pixel boundary, contract-tested (r10 verdict task 6):
+    the in-sandbox pixel tier decodes PNG + BMP only. For a
+    structurally valid baseline JPEG the pixel operators must yield
+    NULL rows (undecodable media is data, not a job failure), the
+    zero-UDF header tier must STILL extract the true SOF0 dimensions
+    (metadata always flows), and the real-codec tier must raise the
+    documented NotImplementedError while Pillow is absent — so the
+    boundary is an asserted contract, not an implied gap."""
+    import pytest
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        decode_media,
+        image_dhash,
+        image_header_meta,
+        image_pixel_stats,
+        make_jpeg,
+        pillow_available,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(make_jpeg(12, 7)))], "doc_id long, media binary"
+    )
+
+    # header metadata flows: the SOFn walk finds the true dimensions
+    meta = image_header_meta(df).collect()[0]
+    assert meta["kind"] == "jpeg"
+    assert meta["width"] == 12 and meta["height"] == 7
+
+    # pixel tier: NULL, never an exception
+    dh = image_dhash(df).collect()[0]
+    assert dh["dhash_bits"] is None and dh["width"] is None
+    ps = image_pixel_stats(df).collect()[0]
+    assert ps["pixel_sum"] is None and ps["width"] is None
+    rz = resize_images(df, 4, 4, decoder="stdlib").collect()[0]
+    assert rz["media"] is None and rz["width"] is None
+
+    # real-codec tier: the documented gate fires while Pillow is absent
+    if pillow_available():
+        pytest.skip("Pillow installed: the gate legitimately opens")
+    with pytest.raises(NotImplementedError):
+        decode_media(df, decoder="real")
+    with pytest.raises(NotImplementedError):
+        resize_images(df, 4, 4, decoder="real")
