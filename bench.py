@@ -3,8 +3,15 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timings are median-of-3 wall-clock per query (best-of-2 for the 10x
-scale probe — replica runs are expensive); session startup is excluded.
+Timings are median-of-3 wall-clock per headline query, MIN-of-3 with
+the [lo, mid, hi] spread recorded for extras (the plan is
+deterministic, contention only adds time — r10's setsim benched 15.4s
+at 1x vs its own 3.97s 10x probe run, a pure measurement race), and
+best-of-2 for the 10x/30x scale probes (replica runs are expensive);
+session startup is excluded. Any extra still slower than its own 10x
+probe time after a warm re-measure is recorded in
+measurement_inversions — that inversion is a measurement bug by
+definition, never a plan fact.
 
 Output protocol (the round driver keeps only a ~2 KB tail of stdout,
 which silently truncated the r6 record): the FULL detail blob — extra
@@ -137,6 +144,27 @@ PROBE_QUERIES = [
     "image_dhash_check",
 ]
 PROBE_REPLICAS = 10
+
+# 30x tier (r10 verdict task 3): the 10 slowest 10x-probe members get a
+# second probe at 30x replicas, with per-member 30x/10x ratios recorded
+# in BENCH_DETAIL.json. Volume-dominated shapes should ratio ~3 (linear
+# in replicas); the iterative/fixed-point members (star clusters,
+# pagerank, kcore) are round-count-dominated and the dup-pair planting
+# grows ~replicas^2, so their ratio target is documented per-member in
+# PLANS.md, not assumed 3. Disable with SPARK_GRAFT_PROBE30=0.
+PROBE30_QUERIES = [
+    "dedup_star_clusters",
+    "pagerank_dup_graph",
+    "hist_quantile_rollup_check",
+    "kcore_copurchase",
+    "winnow_fingerprints_documents",
+    "setsim_join_documents",
+    "clustering_coefficient_copurchase",
+    "analyze_orders",
+    "duplicate_spans_documents",
+    "max_concurrency_events",
+]
+PROBE30_REPLICAS = 30
 
 
 def _build_scale_replicas(spark, sf_dir: str, base: str, n_rep: int) -> None:
@@ -561,20 +589,25 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         calibration_sec = None
         errors["__calibration__"] = f"{type(e).__name__}: {e}"[:300]
-    def _median3(name: str, prime: bool = False) -> float:
-        # median-of-3: the documented single-VM run-to-run variance
-        # (PLANS.md §10: 15.9s vs 28.6s on identical code) makes a
-        # single sample — or even best-of-2 — noisy; the median damps
-        # both a cold first run and a one-off GC/scheduler stall.
-        # prime=True adds one UNTIMED execution first (headline list
-        # only): the session warmup warms the JVM but not per-query
-        # codegen/page cache, so the first of 3 timed runs could still
-        # dominate a sub-second median (r8: skyline_twophase 1.18s
-        # recorded vs 0.71-0.80s warm).
+    def _runs3(name: str, prime: bool = False) -> list[float]:
+        # prime=True adds one UNTIMED execution first: the session
+        # warmup warms the JVM but not per-query codegen/page cache,
+        # so the first of 3 timed runs could still dominate (r8:
+        # skyline_twophase 1.18s recorded vs 0.71-0.80s warm).
         if prime:
             _run_once(name)
-        runs = sorted(_run_once(name) for _ in range(3))
-        return round(runs[1], 3)
+        return sorted(_run_once(name) for _ in range(3))
+
+    def _median3(name: str, prime: bool = False) -> float:
+        # median-of-3 for the HEADLINE: the documented single-VM
+        # run-to-run variance (PLANS.md §10: 15.9s vs 28.6s on
+        # identical code) makes a single sample — or even best-of-2 —
+        # noisy; the median damps both a cold first run and a one-off
+        # GC/scheduler stall, and keeps the headline metric comparable
+        # with every prior round's artifact.
+        return round(_runs3(name, prime)[1], 3)
+
+    extra_spread: dict[str, list[float]] = {}
 
     if not probe_only:
         for name in BENCH_QUERIES:
@@ -583,13 +616,21 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
 
-        # extras are primed too: a cold first run (page cache + codegen)
-        # can double a median-of-3 — measured 14.2s cold vs 5.3s warm on
-        # decontaminate_fuzzy — and cross-round extra comparisons should
-        # track plans, not cache state
+        # extras: MIN-of-3 with the full spread recorded (r10 verdict
+        # task 4). The r10 artifact benched setsim at 15.4s at 1x while
+        # the SAME artifact's 10x probe ran it in 3.97s — the extras
+        # pass races machine/session state, and a median still lets one
+        # slow run plus one average run swamp the statistic. The plan
+        # is deterministic; contention only ever ADDS time, so the min
+        # is the faithful plan-cost estimate and the [lo, mid, hi]
+        # spread makes the drift itself part of the artifact instead
+        # of a per-round forensic exercise. (Primed for the same
+        # page-cache/codegen reason as the headline.)
         for name in EXTRA_QUERIES:
             try:
-                extra[name] = _median3(name, prime=True)
+                runs = _runs3(name, prime=True)
+                extra[name] = round(runs[0], 3)
+                extra_spread[name] = [round(r, 3) for r in runs]
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
 
@@ -635,6 +676,78 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             scale_probe = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Measurement-inversion gate (r10 verdict task 4): a 1x extra that
+    # benched SLOWER than its own 10x probe run is a measurement bug by
+    # definition — the probe ran the identical plan on 10x the data in
+    # the same process. On inversion, re-measure the extra once more
+    # (warm, post-probe) and keep the min; anything still inverted is
+    # recorded loudly in the artifact instead of silently shipping a
+    # number we know is wrong.
+    inversions: dict[str, dict] = {}
+    probe_q0 = scale_probe.get("queries", {}) if isinstance(scale_probe, dict) else {}
+    for name, t1x in list(extra.items()):
+        t10x = probe_q0.get(name)
+        if t10x is not None and t1x > t10x:
+            try:
+                remeasured = round(min(_run_once(name) for _ in range(2)), 3)
+            except Exception:  # noqa: BLE001
+                remeasured = t1x
+            best = min(t1x, remeasured)
+            extra[name] = best
+            if name in extra_spread:
+                extra_spread[name] = sorted(
+                    set(extra_spread[name] + [remeasured])
+                )[:3]
+            if best > t10x:
+                inversions[name] = {"extra_1x": best, "probe_10x": t10x}
+
+    # 30x tier over the 10 slowest 10x members (r10 verdict task 3):
+    # same best-of-2 discipline, per-member 30x/10x ratio recorded so a
+    # super-linear shape is a number in the artifact, not a hunch.
+    scale_probe_30x: dict = {}
+    if (
+        isinstance(scale_probe, dict)
+        and scale_probe.get("queries")
+        and os.environ.get("SPARK_GRAFT_PROBE30", "1") != "0"
+    ):
+        base30 = "/tmp/scale_probe_%s_x%d_v3" % (
+            os.path.basename(sf_dir.rstrip("/")),
+            PROBE30_REPLICAS,
+        )
+        try:
+            t0 = time.time()
+            _build_scale_replicas(spark, sf_dir, base30, PROBE30_REPLICAS)
+            build30_sec = round(time.time() - t0, 3)
+            times30: dict[str, float] = {}
+            errors30: dict[str, str] = {}
+            for name in PROBE30_QUERIES:
+                try:
+                    def _p30_once() -> float:
+                        t0 = time.time()
+                        qs[name](spark, base30).write.format("noop").mode(
+                            "overwrite"
+                        ).save()
+                        return time.time() - t0
+
+                    times30[name] = round(min(_p30_once() for _ in range(2)), 3)
+                except Exception as e:  # noqa: BLE001
+                    errors30[name] = f"{type(e).__name__}: {e}"[:300]
+            ratios = {
+                k: round(v / probe_q0[k], 2)
+                for k, v in times30.items()
+                if probe_q0.get(k)
+            }
+            scale_probe_30x = {
+                "replicas": PROBE30_REPLICAS,
+                "build_sec": build30_sec,
+                "queries": times30,
+                "ratio_vs_10x": ratios,
+            }
+            if errors30:
+                scale_probe_30x["errors"] = errors30
+        except Exception as e:  # noqa: BLE001
+            scale_probe_30x = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     total = round(sum(timings.values()), 3)
     detail = {
         "metric": "headline_queries_total",
@@ -642,6 +755,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "extra_queries": extra,
+        # extras statistic changed r11: min-of-3 (was median-of-3);
+        # the full sorted [lo, mid, hi] spread per extra is below, so
+        # cross-round diffs vs r<=10 artifacts should compare against
+        # the mid element, and the drift is visible per entry
+        "extra_stat": "min_of_3",
+        "extra_spread": extra_spread,
         "extra_total": round(sum(extra.values()), 3),
         "calibration_sec": calibration_sec,
         # extras normalized to the calibration unit: compare THESE
@@ -656,6 +775,9 @@ def main() -> None:
     }
     if scale_probe:
         detail["scale_probe"] = scale_probe
+    if scale_probe_30x:
+        detail["scale_probe_30x"] = scale_probe_30x
+    detail["measurement_inversions"] = inversions
     if errors:
         detail["errors"] = errors
     # Full record to disk (survives any stdout truncation) and to
@@ -690,6 +812,14 @@ def main() -> None:
             and not (isinstance(scale_probe, dict) and scale_probe.get("errors"))
         ),
         "probe_total": round(sum(probe_q.values()), 3),
+        "probe30_ok": (
+            None
+            if not scale_probe_30x
+            else bool(scale_probe_30x.get("queries"))
+            and not scale_probe_30x.get("errors")
+            and not scale_probe_30x.get("error")
+        ),
+        "n_inversions": len(inversions),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)

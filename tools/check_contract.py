@@ -1,7 +1,12 @@
 """Local driver-mimic: run every __spark_entry__ query against its
 DuckDB oracle at a given sf and report row-count / schema / value
 matches. Usage:
-    python tools/check_contract.py [--json out.json] [sf_dir] [query ...]
+    python tools/check_contract.py [--json out.json]
+        [--oracle-timeout SEC] [sf_dir] [query ...]
+
+--oracle-timeout interrupts a DuckDB oracle after SEC seconds and
+records 'oracle timeout' for that entry (some oracles are deliberately
+naive all-pairs specs that are intractable beyond sf0.01).
 
 With --json, a machine-readable artifact is written mapping each
 checked entry to {rows_match, schema_match, hash_match, spark_rows,
@@ -54,12 +59,51 @@ def _norm_df(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
 
 
+def _fetch_with_timeout(con, sql: str, timeout_sec: float | None):
+    """Run the oracle in a worker thread; interrupt DuckDB on timeout.
+
+    Some oracles are deliberately naive (all-pairs NOT EXISTS / self
+    joins — that is their value as specs), so at larger scale factors
+    they can be intractable. A timeout records 'oracle timeout'
+    honestly instead of hanging a multi-entry artifact run forever.
+    """
+    if not timeout_sec:
+        return con.execute(sql).fetchdf(), None
+    import threading
+
+    box: dict = {}
+
+    def run():
+        try:
+            box["df"] = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            box["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_sec)
+    if t.is_alive():
+        con.interrupt()
+        t.join(30)
+        return None, f"oracle timeout after {timeout_sec}s"
+    if "err" in box:
+        raise box["err"]
+    return box["df"], None
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
-    if argv and argv[0] == "--json":
-        json_out = argv[1]
-        argv = argv[2:]
+    oracle_timeout = None
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--json":
+            json_out = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--oracle-timeout":
+            oracle_timeout = float(argv[1])
+            argv = argv[2:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results: dict[str, dict] = {}
@@ -100,7 +144,13 @@ def main() -> int:
             print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{rec['sec']}s]")
             continue
         try:
-            opdf = con.execute(oracles[name]).fetchdf()
+            opdf, terr = _fetch_with_timeout(con, oracles[name], oracle_timeout)
+            if terr is not None:
+                rec["err"] = terr
+                rec["sec"] = round(time.time() - t0, 2)
+                print(f"TIMEOUT {name}: {terr}")
+                n_fail += 1
+                continue
         except Exception as e:
             rec["err"] = f"oracle error: {type(e).__name__}: {e}"
             rec["sec"] = round(time.time() - t0, 2)
