@@ -1,0 +1,143 @@
+"""Scale-sliced oracle check for the PAIR-LOCAL quadratic-oracle
+entries (r10 verdict task 2, the honest path past oracle timeouts).
+
+The all-pairs DuckDB oracles for the set-similarity family are
+deliberately naive specs; at sf0.1 (60k docs -> 1.8B candidate pairs
+each needing a list_intersect) they are intractable, so
+LOCALCHECK_SF01 records 'oracle timeout' for them. But their measures
+are PAIR-LOCAL — Jaccard, containment and cosine of a pair (a, b)
+depend on a and b alone — so slicing COMMUTES with the join:
+
+    {pairs from the FULL corpus, restricted to ids in slice S}
+  = {pairs from the corpus restricted to S}
+
+This tool therefore runs the Spark side at FULL sf0.1 (proving the
+at-scale execution path: prefix filters, bucket joins, shuffle plans),
+restricts the OUTPUT to pairs with both ids in a deterministic residue
+slice, and compares against the entry's EXISTING oracle SQL run over a
+DuckDB view of the sliced table — the oracle text is reused verbatim;
+only the view definition changes, so the spec stays independent.
+
+Slice: id % MOD == RES (default 10/7, ~6k docs at sf0.1 — exactly the
+pair work the sf0.01 full oracle already does in seconds). MOD must
+divide 100000 (asserted) so embedding_near_dup's planted +100000
+duplicate ids stay in their source's residue class — planting and
+slicing commute too.
+
+Usage:
+    python tools/check_scale_sliced.py [--json out.json]
+        [--mod M --res R] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from check_contract import _norm_df  # same normalization as the driver mimic
+from skylinemapreducehadoop_spark.session import get_session
+from skylinemapreducehadoop_spark.sources.tables import TABLES
+
+# entry -> (sliced table, id column of that table, output id columns)
+SLICED = {
+    "setsim_join_documents": ("documents", "doc_id", ["id_a", "id_b"]),
+    "ngram_jaccard_documents": ("documents", "doc_id", ["id_a", "id_b"]),
+    "containment_pairs_documents": ("documents", "doc_id", ["id_a", "id_b"]),
+    "embedding_near_dup": ("embeddings", "vec_id", ["id_a", "id_b"]),
+}
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    json_out, mod, res = None, 10, 7
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--json":
+            json_out = argv[1]; argv = argv[2:]
+        elif argv[0] == "--mod":
+            mod = int(argv[1]); argv = argv[2:]
+        elif argv[0] == "--res":
+            res = int(argv[1]); argv = argv[2:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    assert 100000 % mod == 0, (
+        "MOD must divide 100000 so embedding_near_dup's planted "
+        "+100000 ids stay in their source's residue class"
+    )
+
+    spark = get_session()
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results: dict[str, dict] = {}
+    n_pass = n_fail = 0
+
+    for name, (table, id_col, out_ids) in SLICED.items():
+        t0 = time.time()
+        rec = {
+            "mod": mod, "res": res, "sliced_table": table,
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows_full": None, "spark_rows_sliced": None,
+            "oracle_rows": None, "err": None, "sec": None,
+        }
+        results[name] = rec
+        try:
+            # Spark: FULL-scale run, slice the OUTPUT pairs
+            full = qs[name](spark, sf_dir).toPandas()
+            rec["spark_rows_full"] = len(full)
+            mask = (full[out_ids[0]] % mod == res)
+            for c in out_ids[1:]:
+                mask &= (full[c] % mod == res)
+            spdf = full[mask].reset_index(drop=True)
+            rec["spark_rows_sliced"] = len(spdf)
+
+            # DuckDB: the entry's EXISTING oracle over the sliced view
+            con = duckdb.connect()
+            for t in TABLES:
+                pred = f" WHERE {id_col} % {mod} = {res}" if t == table else ""
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet'){pred}"
+                )
+            opdf = con.execute(oracles[name]).fetchdf()
+            con.close()
+            rec["oracle_rows"] = len(opdf)
+            rec["schema_match"] = sorted(spdf.columns) == sorted(opdf.columns)
+            rec["rows_match"] = len(spdf) == len(opdf)
+            if rec["schema_match"] and rec["rows_match"]:
+                rec["hash_match"] = _norm_df(spdf) == _norm_df(opdf)
+            else:
+                rec["hash_match"] = False
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"{type(e).__name__}: {e}"[:400]
+        rec["sec"] = round(time.time() - t0, 2)
+        ok = rec["hash_match"] is True
+        n_pass += ok
+        n_fail += not ok
+        print(
+            f"{'OK  ' if ok else 'FAIL'}  {name}: full={rec['spark_rows_full']} "
+            f"sliced={rec['spark_rows_sliced']} oracle={rec['oracle_rows']} "
+            f"[{rec['sec']}s]" + (f" err={rec['err']}" if rec["err"] else "")
+        )
+
+    print(f"\n{n_pass} ok, {n_fail} fail")
+    if json_out:
+        json.dump(
+            {"sf_dir": sf_dir, "mod": mod, "res": res,
+             "n_pass": n_pass, "n_fail": n_fail, "results": results},
+            open(json_out, "w"), indent=1, default=str,
+        )
+        print(f"wrote {json_out}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
