@@ -1039,7 +1039,12 @@ def weighted_median(
     one min aggregate. The fact table is never sorted.
     """
     g, v = F.col(group_col), F.col(value_col).cast("long")
-    w = F.col(weight_col).cast("long")
+    # weights fold in decimal(38,0): a long weight sum (and the
+    # boundary's cum*2 product) wraps silently past 2^63 in non-ANSI
+    # Spark — the same overflow class the ks_test/roc_auc ADVICE fix
+    # closed. The output total_weight stays a long (the oracle
+    # contract); only the internal folds widen.
+    w = F.col(weight_col).cast(_DEC)
     per_v = (
         df.where(v.isNotNull() & w.isNotNull())
         .groupBy(g.alias("__g"), v.alias("__v"))
@@ -1059,7 +1064,7 @@ def weighted_median(
         .groupBy(F.col("__g").alias(group_col))
         .agg(
             F.min("__v").alias("w_median"),
-            F.max("__tot").alias("total_weight"),
+            F.max("__tot").cast("long").alias("total_weight"),
         )
     )
 
@@ -1153,7 +1158,9 @@ def weighted_quantiles(
     if not qs or any(n < 0 or d < 1 or n > d for n, d in qs):
         raise ValueError("quantiles must be (num, den) with 0 <= num <= den")
     g, v = F.col(group_col), F.col(value_col).cast("long")
-    w = F.col(weight_col).cast("long")
+    # decimal weight folds for the same overflow reason as
+    # weighted_median: cum * q_den as longs wraps past 2^63
+    w = F.col(weight_col).cast(_DEC)
     per_v = (
         df.where(v.isNotNull() & w.isNotNull())
         .groupBy(g.alias("__g"), v.alias("__v"))
@@ -1168,7 +1175,7 @@ def weighted_quantiles(
     cum = per_v.withColumn("__cum", F.sum("__w").over(seq)).withColumn(
         "__tot", F.sum("__w").over(grp)
     )
-    aggs = [F.max("__tot").alias("total_weight")]
+    aggs = [F.max("__tot").cast("long").alias("total_weight")]
     for num, den in qs:
         hit = F.col("__cum") * den >= F.col("__tot") * num
         aggs.append(
