@@ -777,8 +777,11 @@ def leadlag_corr(
         else:
             bl = F.lag("__b", -lag).over(w)
         pair = base.withColumn("__bl", bl).where(F.col("__bl").isNotNull())
-        av = F.col("__a")
-        bv = F.col("__bl")
+        # operands cast to decimal BEFORE the squares/cross products: a
+        # single long*long product wraps past 2^63 for values >= ~3e9
+        # on the cents grid (the ks_test/roc_auc overflow class)
+        av = F.col("__a").cast("decimal(38,0)")
+        bv = F.col("__bl").cast("decimal(38,0)")
         agg = pair.agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
             F.sum(av).alias("__sa"),
