@@ -26,7 +26,12 @@ slicing commute too.
 
 Usage:
     python tools/check_scale_sliced.py [--json out.json]
-        [--mod M --res R] [sf_dir]
+        [--mod M --res R | --all-res] [sf_dir]
+
+--all-res sweeps EVERY residue class 0..M-1 against the one full-scale
+Spark result (the expensive side runs once; each sliced oracle is an
+sf0.01-sized job), so the union of checks covers every same-residue
+pair — ~1/M of the full pair set instead of ~1/M^2.
 """
 
 from __future__ import annotations
@@ -47,17 +52,59 @@ from skylinemapreducehadoop_spark.session import get_session
 from skylinemapreducehadoop_spark.sources.tables import TABLES
 
 # entry -> (sliced table, id column of that table, output id columns)
+# Only SCALE-PATH operators belong here (prefix-filter join, inverted
+# index, LSH buckets): the point is to exercise the at-scale Spark
+# execution. ngram_jaccard_documents is deliberately absent — it is
+# the documented brute-force all-pairs twin ("small inputs / test
+# oracle only", dedup.py:ngram_jaccard_pairs), so running its Spark
+# side at full sf0.1 is 1.8B pairs of array_intersect and checks
+# nothing the setsim scale path doesn't already cover.
 SLICED = {
     "setsim_join_documents": ("documents", "doc_id", ["id_a", "id_b"]),
-    "ngram_jaccard_documents": ("documents", "doc_id", ["id_a", "id_b"]),
     "containment_pairs_documents": ("documents", "doc_id", ["id_a", "id_b"]),
     "embedding_near_dup": ("embeddings", "vec_id", ["id_a", "id_b"]),
 }
 
 
+def _check_res(con_args, full, out_ids, oracle_sql, mod, res):
+    """Compare the residue-res slice of the full Spark result against
+    the oracle over the sliced view. Returns a result record."""
+    sf_dir, table, id_col = con_args
+    rec = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows_sliced": None, "oracle_rows": None, "err": None,
+    }
+    try:
+        mask = (full[out_ids[0]] % mod == res)
+        for c in out_ids[1:]:
+            mask &= (full[c] % mod == res)
+        spdf = full[mask].reset_index(drop=True)
+        rec["spark_rows_sliced"] = len(spdf)
+
+        con = duckdb.connect()
+        for t in TABLES:
+            pred = f" WHERE {id_col} % {mod} = {res}" if t == table else ""
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet'){pred}"
+            )
+        opdf = con.execute(oracle_sql).fetchdf()
+        con.close()
+        rec["oracle_rows"] = len(opdf)
+        rec["schema_match"] = sorted(spdf.columns) == sorted(opdf.columns)
+        rec["rows_match"] = len(spdf) == len(opdf)
+        if rec["schema_match"] and rec["rows_match"]:
+            rec["hash_match"] = _norm_df(spdf) == _norm_df(opdf)
+        else:
+            rec["hash_match"] = False
+    except Exception as e:  # noqa: BLE001
+        rec["err"] = f"{type(e).__name__}: {e}"[:400]
+    return rec
+
+
 def main() -> int:
     argv = sys.argv[1:]
-    json_out, mod, res = None, 10, 7
+    json_out, mod, res, all_res = None, 10, 7, False
     while argv and argv[0].startswith("--"):
         if argv[0] == "--json":
             json_out = argv[1]; argv = argv[2:]
@@ -65,6 +112,8 @@ def main() -> int:
             mod = int(argv[1]); argv = argv[2:]
         elif argv[0] == "--res":
             res = int(argv[1]); argv = argv[2:]
+        elif argv[0] == "--all-res":
+            all_res = True; argv = argv[1:]
         else:
             raise SystemExit(f"unknown flag {argv[0]}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
@@ -78,52 +127,49 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     results: dict[str, dict] = {}
     n_pass = n_fail = 0
+    residues = list(range(mod)) if all_res else [res]
 
     for name, (table, id_col, out_ids) in SLICED.items():
         t0 = time.time()
         rec = {
-            "mod": mod, "res": res, "sliced_table": table,
-            "rows_match": None, "schema_match": None, "hash_match": None,
-            "spark_rows_full": None, "spark_rows_sliced": None,
-            "oracle_rows": None, "err": None, "sec": None,
+            "mod": mod, "residues": residues, "sliced_table": table,
+            "spark_rows_full": None, "sliced_total": 0,
+            "per_res": {}, "hash_match": None, "err": None, "sec": None,
         }
         results[name] = rec
         try:
-            # Spark: FULL-scale run, slice the OUTPUT pairs
+            # Spark: ONE full-scale run; every residue slices the same
+            # in-memory result, so the expensive side is never repeated
             full = qs[name](spark, sf_dir).toPandas()
             rec["spark_rows_full"] = len(full)
-            mask = (full[out_ids[0]] % mod == res)
-            for c in out_ids[1:]:
-                mask &= (full[c] % mod == res)
-            spdf = full[mask].reset_index(drop=True)
-            rec["spark_rows_sliced"] = len(spdf)
-
-            # DuckDB: the entry's EXISTING oracle over the sliced view
-            con = duckdb.connect()
-            for t in TABLES:
-                pred = f" WHERE {id_col} % {mod} = {res}" if t == table else ""
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet'){pred}"
+            for r in residues:
+                sub = _check_res(
+                    (sf_dir, table, id_col), full, out_ids,
+                    oracles[name], mod, r,
                 )
-            opdf = con.execute(oracles[name]).fetchdf()
-            con.close()
-            rec["oracle_rows"] = len(opdf)
-            rec["schema_match"] = sorted(spdf.columns) == sorted(opdf.columns)
-            rec["rows_match"] = len(spdf) == len(opdf)
-            if rec["schema_match"] and rec["rows_match"]:
-                rec["hash_match"] = _norm_df(spdf) == _norm_df(opdf)
-            else:
-                rec["hash_match"] = False
+                rec["per_res"][r] = sub
+                rec["sliced_total"] += sub["spark_rows_sliced"] or 0
+            rec["hash_match"] = all(
+                s["hash_match"] is True for s in rec["per_res"].values()
+            )
+            first_bad = next(
+                (f"res={r}: {s['err'] or 'mismatch'}"
+                 for r, s in rec["per_res"].items()
+                 if s["hash_match"] is not True),
+                None,
+            )
+            if first_bad:
+                rec["err"] = first_bad
         except Exception as e:  # noqa: BLE001
             rec["err"] = f"{type(e).__name__}: {e}"[:400]
+            rec["hash_match"] = False
         rec["sec"] = round(time.time() - t0, 2)
         ok = rec["hash_match"] is True
         n_pass += ok
         n_fail += not ok
         print(
             f"{'OK  ' if ok else 'FAIL'}  {name}: full={rec['spark_rows_full']} "
-            f"sliced={rec['spark_rows_sliced']} oracle={rec['oracle_rows']} "
+            f"sliced_total={rec['sliced_total']} over {len(residues)} residues "
             f"[{rec['sec']}s]" + (f" err={rec['err']}" if rec["err"] else "")
         )
 
