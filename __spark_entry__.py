@@ -6629,7 +6629,14 @@ WITH u AS (
   FROM embeddings WHERE embedding IS NOT NULL
 )
 SELECT dim, count(*) AS n,
-       round(CAST(sum(vq) AS DOUBLE) / 1000000.0 / count(*), 9) AS mean,
+       -- engine-exact HALF-UP mean (exact_round_div twin): rounded
+       -- scaled integer via exact HUGEINT floor-division, then one
+       -- float step on the identical integer
+       (CASE WHEN sum(vq) < 0 THEN -1 ELSE 1 END)
+         * CAST((2 * abs(CAST(sum(vq) AS HUGEINT)) * 1000000000
+                 + CAST(1000000 AS HUGEINT) * count(*))
+                // (2 * CAST(1000000 AS HUGEINT) * count(*)) AS DOUBLE)
+         / 1000000000.0 AS mean,
        round(sqrt(greatest(
          CAST(sum(vq::HUGEINT * vq) AS DOUBLE) / (1000000.0 * 1000000.0) / count(*)
          - pow(CAST(sum(vq) AS DOUBLE) / 1000000.0 / count(*), 2), 0.0)), 9) AS std,
@@ -8844,10 +8851,10 @@ WITH m AS (
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS revenue_cents
   FROM orders GROUP BY 1, 2
-)
-SELECT o_orderpriority, month, revenue_cents,
-       round(
-         CAST(coalesce(CAST((revenue_cents) AS HUGEINT), 0) * 100000000000
+),
+e AS (
+  SELECT o_orderpriority, month, revenue_cents,
+         coalesce(CAST((revenue_cents) AS HUGEINT), 0) * 100000000000
            + coalesce(CAST((lag(revenue_cents, 1) OVER w) AS HUGEINT), 0) * 70000000000
            + coalesce(CAST((lag(revenue_cents, 2) OVER w) AS HUGEINT), 0) * 49000000000
            + coalesce(CAST((lag(revenue_cents, 3) OVER w) AS HUGEINT), 0) * 34300000000
@@ -8858,8 +8865,8 @@ SELECT o_orderpriority, month, revenue_cents,
            + coalesce(CAST((lag(revenue_cents, 8) OVER w) AS HUGEINT), 0) * 5764801000
            + coalesce(CAST((lag(revenue_cents, 9) OVER w) AS HUGEINT), 0) * 4035360700
            + coalesce(CAST((lag(revenue_cents, 10) OVER w) AS HUGEINT), 0) * 2824752490
-           + coalesce(CAST((lag(revenue_cents, 11) OVER w) AS HUGEINT), 0) * 1977326743 AS DOUBLE)
-         / CAST(CASE WHEN (revenue_cents) IS NOT NULL THEN CAST(100000000000 AS HUGEINT) ELSE 0 END
+           + coalesce(CAST((lag(revenue_cents, 11) OVER w) AS HUGEINT), 0) * 1977326743 AS nm,
+         CASE WHEN (revenue_cents) IS NOT NULL THEN CAST(100000000000 AS HUGEINT) ELSE 0 END
            + CASE WHEN (lag(revenue_cents, 1) OVER w) IS NOT NULL THEN CAST(70000000000 AS HUGEINT) ELSE 0 END
            + CASE WHEN (lag(revenue_cents, 2) OVER w) IS NOT NULL THEN CAST(49000000000 AS HUGEINT) ELSE 0 END
            + CASE WHEN (lag(revenue_cents, 3) OVER w) IS NOT NULL THEN CAST(34300000000 AS HUGEINT) ELSE 0 END
@@ -8870,9 +8877,19 @@ SELECT o_orderpriority, month, revenue_cents,
            + CASE WHEN (lag(revenue_cents, 8) OVER w) IS NOT NULL THEN CAST(5764801000 AS HUGEINT) ELSE 0 END
            + CASE WHEN (lag(revenue_cents, 9) OVER w) IS NOT NULL THEN CAST(4035360700 AS HUGEINT) ELSE 0 END
            + CASE WHEN (lag(revenue_cents, 10) OVER w) IS NOT NULL THEN CAST(2824752490 AS HUGEINT) ELSE 0 END
-           + CASE WHEN (lag(revenue_cents, 11) OVER w) IS NOT NULL THEN CAST(1977326743 AS HUGEINT) ELSE 0 END AS DOUBLE), 4) AS ewma
-FROM m
-WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+           + CASE WHEN (lag(revenue_cents, 11) OVER w) IS NOT NULL THEN CAST(1977326743 AS HUGEINT) ELSE 0 END AS dn
+  FROM m
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+)
+-- engine-exact HALF-UP: rounded scaled integer via exact HUGEINT
+-- floor-division, then ONE float step on the identical integer
+-- (the _rounding.exact_round_div twin; double-round ties diverge
+-- across engines, caught by the r11 sf0.1 sweep)
+SELECT o_orderpriority, month, revenue_cents,
+       (CASE WHEN nm < 0 THEN -1 ELSE 1 END)
+         * CAST((2 * abs(nm) * 10000 + dn) // (2 * dn) AS DOUBLE)
+         / 10000.0 AS ewma
+FROM e
 ORDER BY o_orderpriority, month
 """,
         'auc_purchase_events': """

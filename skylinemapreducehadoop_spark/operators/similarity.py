@@ -816,7 +816,23 @@ def embedding_dim_stats(
         )
     )
     n = F.col("n").cast("double")
-    mean = F.col("__s").cast("double") / q / n
+    # mean = s / (quant*n) rounded HALF-UP at digit 9 in EXACT integer
+    # arithmetic (_rounding.exact_round_div): the r11 sf0.1 sweep
+    # caught the double-round shape splitting a .5 tie differently
+    # across engines (s odd, n even -> s/(2e9) ends exactly in 5)
+    from skylinemapreducehadoop_spark.operators._rounding import (
+        exact_round_div,
+    )
+
+    agg = exact_round_div(
+        agg,
+        F.col("__s"),
+        F.lit(quant).cast("decimal(38,0)")
+        * F.col("n").cast("decimal(38,0)"),
+        9,
+        "mean",
+        prefix="__eds",
+    )
     # population variance of the quantized values: E[x^2] - E[x]^2
     var = (
         F.col("__s2").cast("double") / (q * q) / n
@@ -825,7 +841,7 @@ def embedding_dim_stats(
     return agg.select(
         "dim",
         "n",
-        F.round(mean, 9).alias("mean"),
+        "mean",
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("std"),
         (F.col("__mn").cast("double") / q).alias("vmin"),
         (F.col("__mx").cast("double") / q).alias("vmax"),

@@ -607,11 +607,14 @@ def ewma_smooth(
     Semantics are over the OBSERVATION sequence (lag k = k-th previous
     row); run :func:`gapfill_time_series` first for calendar lags.
 
-    ``round_digits`` bounds the output grid; for cross-engine
-    bit-parity keep ``|ewma| * 10^round_digits < 2^53`` (rounding a
-    double to d decimals is engine-divergent once the scaled value
-    leaves the exact-integer range of doubles — pick d from the
-    value magnitude, e.g. 4 for cents-grid monthly revenues).
+    ``round_digits`` bounds the output grid. The rounding itself is
+    ENGINE-EXACT (r11): the half-up-rounded scaled integer is computed
+    in exact decimal arithmetic (``_rounding.exact_round_div``) and the
+    single float step divides that identical integer by 10^d — the r11
+    sf0.1 sweep caught the previous double-round shape emitting
+    …2140 vs …2139 across engines when the exact rational landed on a
+    .5 tie at digit 4. Budget: ``|ewma| * 10^round_digits`` must fit a
+    BIGINT (~9.2e18), far above any cents-grid aggregate.
 
     Scale shape: ONE window pass (one Exchange on the group, one sort)
     evaluates all L lag expressions — static codegen, no self-join, no
@@ -638,9 +641,12 @@ def ewma_smooth(
         )
         num = term if num is None else num + term
         den = have if den is None else den + have
-    return df.withColumn(
-        out_col,
-        F.round(num.cast("double") / den.cast("double"), round_digits),
+    from skylinemapreducehadoop_spark.operators._rounding import (
+        exact_round_div,
+    )
+
+    return exact_round_div(
+        df, num, den, round_digits, out_col, prefix="__ewma"
     )
 
 

@@ -1138,3 +1138,68 @@ def test_wilson_ci_matches_reference(spark):
     assert b["k"] == b["n"] == 1
     assert b["ci_high"] == 1.0
     assert 0.05 < b["ci_low"] < 0.9
+
+
+def test_exact_round_div_breaks_ties_half_up(spark):
+    # r11 sf0.1 sweep regression: an exact rational landing on a .5
+    # tie at the rounding digit must round HALF-UP (away from zero)
+    # identically on every engine — the double-round shape diverged
+    # (Spark BigDecimal expansion vs DuckDB multiply-then-round).
+    from skylinemapreducehadoop_spark.operators._rounding import (
+        exact_round_div,
+    )
+
+    rows = [
+        (15, 10000, 3, 0.002),     # 0.0015 -> .002 (tie, up)
+        (-15, 10000, 3, -0.002),   # -0.0015 -> -.002 (tie, away)
+        (25, 10000, 3, 0.003),     # 0.0025 -> .003
+        (14, 10000, 3, 0.001),     # 0.0014 -> .001 (no tie)
+        (16, 10000, 3, 0.002),     # 0.0016 -> .002
+        # the embedding_dim_stats shape: odd sum over even denominator
+        (-2706883, 2000000000, 9, -0.001353442),
+    ]
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(n, d, e) for n, d, _, e in [(r[0], r[1], r[2], r[3]) for r in rows]],
+        "n long, d long, expect double",
+    )
+    checked = []
+    for num, den, digits, expect in rows:
+        one = spark.createDataFrame([(num, den)], "n long, d long")
+        out = exact_round_div(
+            one,
+            F.col("n").cast("decimal(38,0)"),
+            F.col("d").cast("decimal(38,0)"),
+            digits,
+            "r",
+        ).collect()[0]["r"]
+        checked.append((num, den, digits, out, expect))
+        assert out == expect, (num, den, digits, out, expect)
+    assert len(checked) == len(rows)
+
+
+def test_exact_round_div_matches_duckdb_twin(spark):
+    # the SQL twin must produce the identical double for the same
+    # (num, den, digits) — including planted ties
+    import duckdb
+    import pyspark.sql.functions as F
+    from skylinemapreducehadoop_spark.operators._rounding import (
+        exact_round_div,
+        oracle_round_div_sql,
+    )
+
+    cases = [(15, 10000, 3), (-15, 10000, 3), (-2706883, 2000000000, 9),
+             (91510085852139 * 2 + 1, 20000, 4), (7, 3, 9)]
+    con = duckdb.connect()
+    for num, den, digits in cases:
+        got = exact_round_div(
+            spark.createDataFrame([(num, den)], "n long, d long"),
+            F.col("n").cast("decimal(38,0)"),
+            F.col("d").cast("decimal(38,0)"),
+            digits,
+            "r",
+        ).collect()[0]["r"]
+        sql = oracle_round_div_sql(str(num), str(den), digits)
+        want = con.execute(f"SELECT {sql}").fetchone()[0]
+        assert got == want, (num, den, digits, got, want)
