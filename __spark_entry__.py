@@ -3265,8 +3265,13 @@ def _above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # GPT-2-style pre-tokenizer, restricted to syntax with identical semantics in
 # Java regex (Spark) and RE2 (DuckDB): contractions, letter runs, digit runs,
-# punctuation runs, whitespace runs.
-_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+# punctuation runs, whitespace runs. Whitespace uses the PINNED explicit
+# class, not \s — Java's \s includes \x0B, RE2's does not (the r11
+# driver-red divergence class; see functions/text.py PINNED_WS_CHARS).
+_BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    + f"| ?[^A-Za-z0-9{TX.PINNED_WS_CHARS}']+|[{TX.PINNED_WS_CHARS}]+"
+)
 
 
 def _token_bpe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6366,8 +6371,16 @@ FROM f ORDER BY doc_id, frame_idx
 
 
 def oracle_sql() -> dict[str, str]:
+    """Per-entry DuckDB oracle SQL. EVERY string is routed through
+    ``TX.pin_ws_oracle`` on the way out (see the return at the bottom):
+    the readable ``'\\s+'`` tokenizer literal each oracle writes is
+    rewritten to the ONE pinned explicit whitespace class that
+    ``tokens()`` splits on — Java's \\s and RE2's \\s disagree on
+    \\x0B, which is exactly the r11 driver-red class
+    (vocab_growth_documents / strip_boilerplate_documents). A bare \\s
+    anywhere else in an oracle raises at registry-build time."""
     sky = _sky_oracle()
-    return {
+    sqls = {
         # round-9 additions
         "distribution_drift_orders": _DRIFT_SQL,
         "duplicate_spans_documents": _DUP_SPANS_SQL,
@@ -8730,9 +8743,11 @@ FROM orders
 WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT CAST(count(*) AS DECIMAL(10,0)) FROM orders)
       > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
 """,
+        # whitespace via the pinned explicit class (doubled '' = SQL
+        # apostrophe escape), mirroring _BPE_PATTERN exactly
         "token_bpe_documents": r"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')) AS INTEGER) AS n_bpe_tokens
+       CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r'']+|[ \t\n\x0B\f\r]+')) AS INTEGER) AS n_bpe_tokens
 FROM documents
 """,
         "percentile_value_by_type": """
@@ -9902,3 +9917,7 @@ SELECT qid, CAST(rank AS BIGINT) AS rank, neg_id, neg_label, score
 FROM r WHERE rank <= 5 ORDER BY qid, rank
 """,
     }
+    # The single shared oracle-side tokenizer route (r11 verdict task
+    # 1): rewrite every '\s+' to the pinned explicit class; raise on
+    # any other bare \s. Tested by test_tokenization_law.py.
+    return {name: TX.pin_ws_oracle(sql) for name, sql in sqls.items()}

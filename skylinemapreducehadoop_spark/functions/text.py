@@ -23,10 +23,48 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Java's \s (as used by tokens() / bpe_train's engine-side split) is
-# ASCII-only: [ \t\n\x0B\f\r]. Python-side word splitting must match it
-# exactly or train/encode word boundaries diverge on Unicode whitespace.
+# THE repo-wide whitespace-tokenization law, pinned to ONE explicit
+# character class (r11 verdict task 1). History: tokens() used Java's
+# `\s+` on the Spark side while every DuckDB oracle hand-embedded
+# `'\s+'` — but the two engines disagree on the class: Java's \s is
+# [ \t\n\x0B\f\r] while RE2 (DuckDB's regex engine) defines \s as
+# [\t\n\f\r ] — NO vertical tab. A corpus containing \x0B therefore
+# tokenizes differently per engine (the r11 driver-red pair
+# vocab_growth_documents / strip_boilerplate_documents). The fix is to
+# never trust an engine's \s again: both sides split on this explicit
+# run, which Java regex, RE2, and Python `re` all parse identically.
+# Unicode whitespace (NBSP U+00A0, IDEOGRAPHIC SPACE U+3000, ZWSP
+# U+200B) is deliberately NOT a separator — same as Java \s today, so
+# Spark-side behavior (and every committed LOCALCHECK hash) is
+# bit-identical; only the oracle side changes on exotic corpora.
+PINNED_WS_CHARS = " \\t\\n\\x0B\\f\\r"  # literal backslash escapes
+PINNED_WS_RUN = f"[{PINNED_WS_CHARS}]+"
+
+# Python-side twin (pandas UDF word splitting in bpe_encode): the SAME
+# class, compiled — Python str.split() would additionally break on
+# NBSP etc., violating the law.
 _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def pin_ws_oracle(sql: str) -> str:
+    """Route a DuckDB oracle SQL string through the pinned whitespace
+    law: every `'\\s+'` tokenizer literal is rewritten to the explicit
+    PINNED_WS_RUN class, and any other bare `\\s` is rejected loudly.
+
+    This is the single shared oracle-side tokenizer (the rounding
+    law's ``oracle_round_div_sql`` pattern applied to whitespace):
+    oracle authors keep writing the readable `'\\s+'`, and this helper
+    guarantees what DuckDB actually executes is the same class Spark
+    splits on, instead of RE2's \\s (which lacks \\x0B).
+    """
+    pinned = sql.replace(r"'\s+'", f"'{PINNED_WS_RUN}'")
+    if r"\s" in pinned:
+        raise ValueError(
+            "oracle SQL contains a bare \\s outside the \"'\\s+'\" "
+            "tokenizer literal — engine-divergent whitespace class; "
+            f"use PINNED_WS_RUN explicitly: {pinned[:200]!r}"
+        )
+    return pinned
 
 # Small multilingual stopword marker lists for the n-gram/marker
 # language heuristic. Public common-word lists; intentionally tiny —
@@ -43,9 +81,15 @@ DEFAULT_STOPWORDS: tuple[str, ...] = ("the", "a", "an", "of", "to", "and", "in",
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization: split on runs of whitespace after trim."""
+    """Whitespace tokenization: split on runs of whitespace after trim.
+
+    Splits on PINNED_WS_RUN — the explicit class identical to Java's
+    \\s (so behavior is unchanged vs the historical `\\s+`), pinned so
+    the DuckDB oracle twin (``pin_ws_oracle``) provably splits on the
+    same characters.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), PINNED_WS_RUN)
 
 
 def token_count(col: Column | str) -> Column:
@@ -85,7 +129,13 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     letter/digit/punctuation boundaries — a cheap deterministic stand-in
     for a BPE tokenizer's token count (regex, JVM-side)."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(F.trim(c), r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])")
+    # whitespace alternatives use the pinned class, not the Java-only \s
+    pieces = F.split(
+        F.trim(c),
+        PINNED_WS_RUN
+        + r"|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])"
+        + f"|(?=[^\\w{PINNED_WS_CHARS}])",
+    )
     return F.size(F.filter(pieces, lambda p: p != F.lit("")))
 
 
@@ -334,7 +384,7 @@ def chunk_documents(
         *id_cols,
         "chunk_id",
         "chunk_text",
-        F.size(F.split("chunk_text", r"\s+")).alias("n_chunk_tokens"),
+        F.size(F.split("chunk_text", PINNED_WS_RUN)).alias("n_chunk_tokens"),
     )
 
 
