@@ -9,9 +9,13 @@ deterministic, contention only adds time — r10's setsim benched 15.4s
 at 1x vs its own 3.97s 10x probe run, a pure measurement race), and
 best-of-2 for the 10x/30x scale probes (replica runs are expensive);
 session startup is excluded. Any extra still slower than its own 10x
-probe time after a warm re-measure is recorded in
-measurement_inversions — that inversion is a measurement bug by
-definition, never a plan fact.
+probe time after a warm re-measure is re-measured once more in a
+FRESH process (--measure-single); only if inverted even then does it
+land in measurement_inversions — an inversion is a measurement bug by
+definition, never a plan fact. The same fresh-session rule gates the
+30x probe tier: a 30x/10x ratio breaching its pre-declared band
+(PROBE30_RATIO_BANDS) triggers a fresh-process re-measure of both
+tiers, recorded side-by-side in band_breaches.
 
 Output protocol (the round driver keeps only a ~2 KB tail of stdout,
 which silently truncated the r6 record): the FULL detail blob — extra
@@ -165,6 +169,86 @@ PROBE30_QUERIES = [
     "max_concurrency_events",
 ]
 PROBE30_REPLICAS = 30
+
+# Pre-declared 30x/10x ratio UPPER bounds per member (PLANS.md §22):
+# ~3-linear shapes get 3.4 (the documented linear band top), the
+# planted-quadratic / iterative members get 9.0 ((30/10)^2 pair
+# planting), hist is cell-bounded (flat) but gets the linear top. Only
+# the upper side gates: sub-linear is a win, super-band is either a
+# scaling regression or session drift — and the r11 kcore incident
+# (19.98 in-session vs 6.04 fresh) showed drift must be ruled out by a
+# FRESH-SESSION re-measure before the number is believed. That rule is
+# now code: any member whose ratio breaches its band is re-measured at
+# both replica tiers in a fresh process (--measure-single), and both
+# observations land in the artifact (band_breaches).
+PROBE30_RATIO_BANDS = {
+    "dedup_star_clusters": 9.0,
+    "pagerank_dup_graph": 9.0,
+    "hist_quantile_rollup_check": 3.4,
+    "kcore_copurchase": 9.0,
+    "winnow_fingerprints_documents": 3.4,
+    "setsim_join_documents": 3.4,
+    "clustering_coefficient_copurchase": 9.0,
+    "analyze_orders": 3.4,
+    "duplicate_spans_documents": 9.0,
+    "max_concurrency_events": 3.4,
+}
+
+
+def _measure_single_fresh(name: str, dirs: list[str], timeout: int = 1800) -> dict:
+    """Re-measure `name` against each dir in a FRESH python process
+    (new JVM/session — the drift-proof protocol of PLANS.md §22).
+    Returns {dir: sec} (missing entries on subprocess failure)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure-single", name, *dirs],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("mode") == "measure_single" and rec.get("name") == name:
+                return rec.get("times", {})
+        return {}
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def _measure_single_main(name: str, dirs: list[str]) -> None:
+    """Child-process entry for --measure-single: one fresh session,
+    prime + best-of-2 per dir (the probe discipline), one JSON line."""
+    spark = get_session("skyline-bench-single")
+    qs = entrymod.queries()
+    qs["skyline_gsod_volume"] = _skyline_gsod_volume
+    qs["bpe_train_documents"] = _bpe_train_documents
+    qs["bpe_encode_documents"] = _bpe_encode_documents
+    qs["kcore_copurchase"] = _kcore_copurchase
+    times: dict[str, float] = {}
+    for d in dirs:
+        def once() -> float:
+            t0 = time.time()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        try:
+            once()  # prime codegen/page cache like the probes
+            times[d] = round(min(once() for _ in range(2)), 3)
+        except Exception as e:  # noqa: BLE001
+            times[d] = None
+            print(f"measure-single error on {d}: {type(e).__name__}: {e}", file=sys.stderr)
+    print(json.dumps({"mode": "measure_single", "name": name, "times": times}))
+    sys.stdout.flush()
+    try:
+        spark.stop()
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def _build_scale_replicas(spark, sf_dir: str, base: str, n_rep: int) -> None:
@@ -676,28 +760,37 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             scale_probe = {"error": f"{type(e).__name__}: {e}"[:300]}
 
-    # Measurement-inversion gate (r10 verdict task 4): a 1x extra that
-    # benched SLOWER than its own 10x probe run is a measurement bug by
-    # definition — the probe ran the identical plan on 10x the data in
-    # the same process. On inversion, re-measure the extra once more
-    # (warm, post-probe) and keep the min; anything still inverted is
-    # recorded loudly in the artifact instead of silently shipping a
-    # number we know is wrong.
+    # Measurement-inversion gate (r10 verdict task 4, hardened r12 per
+    # the r11 verdict task 5): a 1x extra that benched SLOWER than its
+    # own 10x probe run is a measurement bug by definition — the probe
+    # ran the identical plan on 10x the data in the same process. On
+    # inversion: (1) re-measure warm in-process and keep the min;
+    # (2) if STILL inverted, re-measure in a FRESH session (the same
+    # drift-proof step the 30x band rule uses — the residual r11
+    # inversions were <=10% session-state noise that a fresh process
+    # removes) and keep the min; (3) anything inverted even then is
+    # recorded loudly in measurement_inversions. The original 3-run
+    # spread is kept INTACT (ADVICE r11: truncating it to the 3
+    # smallest hid exactly the drift it documents); re-measured values
+    # land separately in extra_remeasured.
     inversions: dict[str, dict] = {}
+    extra_remeasured: dict[str, list[float]] = {}
     probe_q0 = scale_probe.get("queries", {}) if isinstance(scale_probe, dict) else {}
     for name, t1x in list(extra.items()):
         t10x = probe_q0.get(name)
         if t10x is not None and t1x > t10x:
             try:
-                remeasured = round(min(_run_once(name) for _ in range(2)), 3)
+                warm = round(min(_run_once(name) for _ in range(2)), 3)
             except Exception:  # noqa: BLE001
-                remeasured = t1x
-            best = min(t1x, remeasured)
+                warm = t1x
+            extra_remeasured[name] = [warm]
+            best = min(t1x, warm)
+            if best > t10x:
+                fresh = _measure_single_fresh(name, [sf_dir]).get(sf_dir)
+                if fresh is not None:
+                    extra_remeasured[name].append(fresh)
+                    best = min(best, fresh)
             extra[name] = best
-            if name in extra_spread:
-                extra_spread[name] = sorted(
-                    set(extra_spread[name] + [remeasured])
-                )[:3]
             if best > t10x:
                 inversions[name] = {"extra_1x": best, "probe_10x": t10x}
 
@@ -737,12 +830,40 @@ def main() -> None:
                 for k, v in times30.items()
                 if probe_q0.get(k)
             }
+            # Band gate (r11 verdict task 4, now code): any member
+            # whose 30x/10x ratio breaches its pre-declared upper band
+            # is re-measured at BOTH tiers in a fresh process before
+            # the number is believed (the r11 kcore lesson: 19.98
+            # in-session after ~50 min of state vs 6.04 fresh). Both
+            # observations are recorded; ratio_vs_10x carries the
+            # fresh value with the in-session one preserved alongside.
+            band_breaches: dict[str, dict] = {}
+            for k, r in list(ratios.items()):
+                hi = PROBE30_RATIO_BANDS.get(k)
+                if hi is None or r <= hi:
+                    continue
+                fresh = _measure_single_fresh(k, [base, base30])
+                f10, f30 = fresh.get(base), fresh.get(base30)
+                rec = {
+                    "in_session_ratio": r,
+                    "band_hi": hi,
+                    "fresh_10x": f10,
+                    "fresh_30x": f30,
+                }
+                if f10 and f30:
+                    rec["fresh_ratio"] = round(f30 / f10, 2)
+                    rec["in_band_fresh"] = rec["fresh_ratio"] <= hi
+                    ratios[k] = rec["fresh_ratio"]
+                band_breaches[k] = rec
             scale_probe_30x = {
                 "replicas": PROBE30_REPLICAS,
                 "build_sec": build30_sec,
                 "queries": times30,
                 "ratio_vs_10x": ratios,
+                "ratio_bands": PROBE30_RATIO_BANDS,
             }
+            if band_breaches:
+                scale_probe_30x["band_breaches"] = band_breaches
             if errors30:
                 scale_probe_30x["errors"] = errors30
         except Exception as e:  # noqa: BLE001
@@ -761,6 +882,9 @@ def main() -> None:
         # the mid element, and the drift is visible per entry
         "extra_stat": "min_of_3",
         "extra_spread": extra_spread,
+        # inversion re-measures live here, NOT folded into the spread
+        # (ADVICE r11 — the spread documents the original 3 runs)
+        "extra_remeasured": extra_remeasured,
         "extra_total": round(sum(extra.values()), 3),
         "calibration_sec": calibration_sec,
         # extras normalized to the calibration unit: compare THESE
@@ -820,6 +944,11 @@ def main() -> None:
             and not scale_probe_30x.get("error")
         ),
         "n_inversions": len(inversions),
+        "n_band_breaches": len(
+            scale_probe_30x.get("band_breaches", {})
+            if isinstance(scale_probe_30x, dict)
+            else {}
+        ),
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)
@@ -834,4 +963,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--measure-single":
+        _measure_single_main(sys.argv[2], sys.argv[3:])
+    else:
+        main()

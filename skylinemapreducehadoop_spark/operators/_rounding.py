@@ -22,8 +22,11 @@ identically. The DuckDB oracle twin is the same formula with HUGEINT
 ``//``. No tie survives because no float rounding ever happens.
 
 Digit budget: ``|num| * 2 * 10^d + den`` must fit decimal(38,0) and
-the rounded scaled integer must fit a BIGINT (|result| < 2^63/10^d) —
-both asserted by the caller's value-magnitude contract.
+the rounded scaled integer must fit a BIGINT (|result| < 2^63/10^d).
+Both are enforced IN-PLAN by a lazy ``assert_true`` guard (the gini_by
+idiom): in non-ANSI Spark a decimal overflow would otherwise yield a
+silent NULL, diverging from the repo's fail-loudly discipline
+(ADVICE r11).
 """
 
 from __future__ import annotations
@@ -72,8 +75,37 @@ def exact_round_div(
             f"{prefix}_q", F.expr(f"{prefix}_x div {prefix}_d")
         )
     )
+    # Loud digit-budget guard (ADVICE r11): enforce the documented
+    # contract in-plan instead of trusting callers. (1) the staged
+    # 2*|num|*10^d + den fits decimal(38,0): |num| <= (10^37-1) div
+    # (2*10^d) and den < 10^19 (sum then < 10^37 + 10^19 < 10^38-1);
+    # (2) the rounded scaled integer fits `div`'s BIGINT result:
+    # |num| <= den * ((2^62-1) div 10^d) implies q <= 2^62 + 1 < 2^63.
+    # The caps are far above any real caller's magnitudes (money on a
+    # cents grid, token counts), so the guard only ever fires on a
+    # genuine contract break. NULL operands and den<=0 pass through to
+    # the existing NULL-result path.
+    # caps exceed a Java long, so they travel as strings into DECIMAL
+    num_cap = F.lit(str((10**37 - 1) // (2 * scale))).cast(_DEC)
+    den_cap = F.lit(str(10**19)).cast(_DEC)
+    ratio_cap = F.lit(str((2**62 - 1) // scale)).cast(_DEC)
+    guard = F.assert_true(
+        nn.isNull()
+        | dd.isNull()
+        | ~(dd > 0)
+        | (
+            (F.abs(nn) <= num_cap)
+            & (dd < den_cap)
+            & (F.abs(nn) <= dd * ratio_cap)
+        ),
+        F.lit(
+            "exact_round_div: operand magnitude breaks the decimal(38,0)"
+            "/BIGINT digit budget (see _rounding.py docstring); rescale "
+            "num/den upstream"
+        ),
+    )
     val = F.when(
-        dd > 0,
+        guard.isNull() & (dd > 0),
         (F.when(nn < 0, -1).otherwise(1) * F.col(f"{prefix}_q")).cast(
             "double"
         )

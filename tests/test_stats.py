@@ -1203,3 +1203,44 @@ def test_exact_round_div_matches_duckdb_twin(spark):
         sql = oracle_round_div_sql(str(num), str(den), digits)
         want = con.execute(f"SELECT {sql}").fetchone()[0]
         assert got == want, (num, den, digits, got, want)
+
+
+def test_exact_round_div_digit_budget_guard_is_loud(spark):
+    # ADVICE r11: a contract-breaking operand magnitude must FAIL, not
+    # silently NULL (non-ANSI decimal overflow behavior). num at 10^37
+    # breaks the staged 2*|num|*10^d + den decimal(38,0) budget.
+    import pytest
+    import pyspark.sql.functions as F
+    from skylinemapreducehadoop_spark.operators._rounding import exact_round_div
+
+    df = spark.createDataFrame([("9" * 37, 7)], "n string, d long")
+    out = exact_round_div(
+        df,
+        F.col("n").cast("decimal(38,0)"),
+        F.col("d").cast("decimal(38,0)"),
+        4,
+        "r",
+    )
+    with pytest.raises(Exception, match="digit budget"):
+        out.collect()
+
+
+def test_exact_round_div_bigint_ratio_guard_is_loud(spark):
+    # q = round(num/den * 10^d) must fit `div`'s BIGINT result: den=1
+    # with a ~10^24 num passes the decimal(38,0) staging budget at
+    # digits=4 but breaks |num| <= den * ((2^62-1) div 10^d) — the
+    # guard must catch it instead of letting `div` overflow.
+    import pytest
+    import pyspark.sql.functions as F
+    from skylinemapreducehadoop_spark.operators._rounding import exact_round_div
+
+    df = spark.createDataFrame([("1" + "0" * 24, 1)], "n string, d long")
+    out = exact_round_div(
+        df,
+        F.col("n").cast("decimal(38,0)"),
+        F.col("d").cast("decimal(38,0)"),
+        4,
+        "r",
+    )
+    with pytest.raises(Exception, match="digit budget"):
+        out.collect()

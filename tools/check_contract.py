@@ -59,6 +59,16 @@ def _norm_df(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
 
 
+def _connect(sf_dir: str):
+    """Fresh DuckDB connection with all table views registered."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
 def _fetch_with_timeout(con, sql: str, timeout_sec: float | None):
     """Run the oracle in a worker thread; interrupt DuckDB on timeout.
 
@@ -66,9 +76,15 @@ def _fetch_with_timeout(con, sql: str, timeout_sec: float | None):
     joins — that is their value as specs), so at larger scale factors
     they can be intractable. A timeout records 'oracle timeout'
     honestly instead of hanging a multi-entry artifact run forever.
+
+    Returns (df, err, poisoned): after a timeout the connection has an
+    interrupted (possibly still-running) worker on it, so the caller
+    must DISCARD it and reconnect rather than reuse it for the next
+    entry (ADVICE r11) — `poisoned=True` signals that, and the err
+    string records whether the worker actually exited.
     """
     if not timeout_sec:
-        return con.execute(sql).fetchdf(), None
+        return con.execute(sql).fetchdf(), None, False
     import threading
 
     box: dict = {}
@@ -85,34 +101,46 @@ def _fetch_with_timeout(con, sql: str, timeout_sec: float | None):
     if t.is_alive():
         con.interrupt()
         t.join(30)
-        return None, f"oracle timeout after {timeout_sec}s"
+        err = f"oracle timeout after {timeout_sec}s"
+        if t.is_alive():
+            err += " (worker still running after interrupt+30s)"
+        return None, err, True
     if "err" in box:
         raise box["err"]
-    return box["df"], None
+    return box["df"], None, False
 
 
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
     oracle_timeout = None
+    usage = (
+        "usage: check_contract.py [--json OUT.json] "
+        "[--oracle-timeout SEC] [sf_dir] [query ...]"
+    )
     while argv and argv[0].startswith("--"):
+        if argv[0] not in ("--json", "--oracle-timeout"):
+            raise SystemExit(f"unknown flag {argv[0]}\n{usage}")
+        if len(argv) < 2:  # flag without its value (ADVICE r11)
+            raise SystemExit(f"{argv[0]} requires a value\n{usage}")
         if argv[0] == "--json":
             json_out = argv[1]
             argv = argv[2:]
         elif argv[0] == "--oracle-timeout":
-            oracle_timeout = float(argv[1])
+            try:
+                oracle_timeout = float(argv[1])
+            except ValueError:
+                raise SystemExit(
+                    f"--oracle-timeout expects seconds, got {argv[1]!r}\n{usage}"
+                ) from None
             argv = argv[2:]
         else:
-            raise SystemExit(f"unknown flag {argv[0]}")
+            raise SystemExit(f"unknown flag {argv[0]}\n{usage}")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     results: dict[str, dict] = {}
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = _connect(sf_dir)
 
     spark = get_session()
     qs = entrymod.queries()
@@ -144,7 +172,18 @@ def main() -> int:
             print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{rec['sec']}s]")
             continue
         try:
-            opdf, terr = _fetch_with_timeout(con, oracles[name], oracle_timeout)
+            opdf, terr, poisoned = _fetch_with_timeout(
+                con, oracles[name], oracle_timeout
+            )
+            if poisoned:
+                # the interrupted connection may still have a live
+                # worker on it — never reuse it for the next entry
+                # (ADVICE r11); reconnect with fresh views instead
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                con = _connect(sf_dir)
             if terr is not None:
                 rec["err"] = terr
                 rec["sec"] = round(time.time() - t0, 2)
