@@ -5018,82 +5018,15 @@ def _hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness checks the FIRST
-    # 50 entries only. Round-11 window per the rotation priority rule
-    # and the prepared r11 arithmetic in COVERAGE.md (never-checked
-    # first, oldest first; touched operators re-earn rows).
+    # 50 entries only. Round-12 window per the rotation priority rule
+    # and the prepared r12 arithmetic in COVERAGE.md (never-checked
+    # first; touched operators re-earn rows; stalest-first with the
+    # family-coverage tiebreak for the remaining slots).
     return {
-        # ---- ROUND-11 WINDOW (driver checks the FIRST 50) ----
-        # Per the rotation priority rule (COVERAGE.md): never-driver-
-        # checked entries first, oldest first; operators materially
-        # TOUCHED this round re-earn their row at the same priority.
-        # (a) positions 1-44: ALL 44 never-checked pre-end-r10 entries
-        # (the 21 mid-r10 + 23 late-r10 additions — the prepared plan
-        # said 45; the actual block is 44, see COVERAGE.md erratum):
-        "k_anonymity_customers": _k_anonymity_customers,
-        "length_buckets_documents": _length_buckets_documents,
-        "vocab_coverage_documents": _vocab_coverage_documents,
-        "temperature_mix_documents": _temperature_mix_documents,
-        "bloom_semi_join_orders": _bloom_semi_join_orders,
-        "seasonal_anomalies_events": _seasonal_anomalies_events,
-        "percentile_ranks_lineitem": _percentile_ranks_lineitem,
-        "salted_join_agg_nation": _salted_join_agg_nation,
-        "bfs_hops_copurchase": _bfs_hops_copurchase,
-        "containment_pairs_documents": _containment_pairs_documents,
-        "shortest_paths_copurchase": _shortest_paths_copurchase,
-        "leakage_safe_split_documents": _leakage_safe_split_documents,
-        "negative_pairs_documents": _negative_pairs_documents,
-        "target_encode_events": _target_encode_events,
-        "embedding_dim_stats": _embedding_dim_stats,
-        "gram_matrix_embeddings": _gram_matrix_embeddings,
-        "vocab_growth_documents": _vocab_growth_documents,
-        "attribution_events": _attribution_events,
-        "covariance_embeddings": _covariance_embeddings,
-        "skew_report_events": _skew_report_events,
-        "props_stats_events": _props_stats_events,
-        "cm_rollup_check": _cm_rollup_check,
-        "hist_quantile_rollup_check": _hist_quantile_rollup_check,
-        "cusum_events": _cusum_events,
-        "rfm_segments_customers": _rfm_segments_customers,
-        "skipgram_cooc_documents": _skipgram_cooc_documents,
-        "interval_union_events": _interval_union_events,
-        "kmv_overlap_check": _kmv_overlap_check,
-        "rrf_fusion_documents": _rrf_fusion_documents,
-        "item_cf_parts": _item_cf_parts,
-        "winnow_fingerprints_documents": _winnow_fingerprints_documents,
-        "streaming_sketch_replay": _streaming_sketch_replay,
-        "ab_test_events": _ab_test_events,
-        "grouped_topk_orders": _grouped_topk_orders,
-        "impute_values_events": _impute_values_events,
-        "bmp_pixel_check": _bmp_pixel_check,
-        "time_travel_check": _time_travel_check,
-        "weighted_median_lineitem": _weighted_median_lineitem,
-        "version_diff_check": _version_diff_check,
-        "trend_by_type_events": _trend_by_type_events,
-        "langid_confusion_documents": _langid_confusion_documents,
-        "kmv_setops_check": _kmv_setops_check,
-        "class_scatter_embeddings": _class_scatter_embeddings,
-        "weighted_deciles_lineitem": _weighted_deciles_lineitem,
-        # (b) positions 45-50: the 5 end-r10 entries named in the
-        # prepared r11 plan (boilerplate, strip_boilerplate, gini,
-        # ewma, auc) + ks_test_events for the freed 45th slot —
-        # ks_test's numerator arithmetic changed this round (decimal
-        # fold before multiply, ADVICE r10 medium), so it re-earns a
-        # driver row per rule 2. gini_by and roc_auc were also touched
-        # this round and are already in the named 5.
-        "boilerplate_documents": _boilerplate_documents,
-        "strip_boilerplate_documents": _strip_boilerplate_documents,
-        "gini_orders": _gini_orders,
-        "ewma_orders": _ewma_orders,
-        "auc_purchase_events": _auc_purchase_events,
-        "ks_test_events": _ks_test_events,
-        # --- past the driver's 50-entry window ---
-        # Remaining 37 never-driver-checked end-r10 entries: they LEAD
-        # the r12 window (rotation rule 1). seasonality_orders and
-        # pca_invariant_check were touched this round but only on
-        # paths their registry entries do not exercise (month
-        # bucketing / empty-input guard — both pytest-covered); they
-        # stay in this group and are flagged touched in
-        # STALENESS_r11.json.
+        # ---- ROUND-12 WINDOW (driver checks the FIRST 50) ----
+        # Per the rotation priority rule (COVERAGE.md): (a) positions
+        # 1-37: ALL 37 remaining never-driver-checked end-r10 entries,
+        # in their original order (the prepared r12 arithmetic);
         "chi2_events": _chi2_events,
         "survival_km_users": _survival_km_users,
         "benford_orders": _benford_orders,
@@ -5131,8 +5064,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_sweep_documents": _dedup_sweep_documents,
         "fix_mojibake_check": _fix_mojibake_check,
         "hard_negatives_embeddings": _hard_negatives_embeddings,
-        # r10 driver window (staleness 1 — all 50 hash-green in
-        # CORRECTNESS_r10.json):
+        # (b) positions 38-40 (rule 2 — operators materially touched
+        # this round re-earn their row at never-checked priority): the
+        # two r11 driver-red entries whose root cause was the \s
+        # whitespace-class divergence fixed this round, plus
+        # token_bpe_documents, whose pre-tokenizer pattern AND oracle
+        # were both pinned to the explicit class:
+        "vocab_growth_documents": _vocab_growth_documents,
+        "strip_boilerplate_documents": _strip_boilerplate_documents,
+        "token_bpe_documents": _token_bpe_documents,
+        # (c) positions 41-50: 10 of the 22 stalest once-green entries
+        # (r7-green, staleness 5) by the family-coverage tiebreak —
+        # two distinct skyline algorithms, profile, window, rollup,
+        # the two heaviest tokens()-consumers on the driver corpus
+        # (text_stats, quality_flags — the best at-driver probes of
+        # the tokenizer pin), exact dedup, multimodal, chunking. The
+        # 12 that slip (histogram_orders, skyline_bruteforce/5dim/
+        # events, fingerprint_rolling, dedup_simhash, ngram_jaccard,
+        # topk_similarity, token_entropy, window_analytics_orders,
+        # kmeans_embeddings, pagerank_dup_graph) lead the r13 window
+        # with the 45 r8-green entries:
+        "skyline_layers": _sky_layers,
+        "skyline_kband_events": _sky_kband_events,
+        "profile_lineitem": _profile_lineitem,
+        "window_top2_orders": _window_top2_orders,
+        "events_hourly": _events_hourly,
+        "text_stats_documents": _text_stats,
+        "quality_flags_documents": _quality_flags,
+        "dedup_exact_documents": _dedup_exact,
+        "multimodal_stats": _multimodal_stats,
+        "chunk_documents": _chunk_documents,
+        # --- past the driver's 50-entry window ---
+        # (rotation log in COVERAGE.md; every entry below is
+        # hash-green in the committed LOCALCHECK artifacts)
+        # r11 driver window (48 green r11, staleness 1):
+        "k_anonymity_customers": _k_anonymity_customers,
+        "length_buckets_documents": _length_buckets_documents,
+        "vocab_coverage_documents": _vocab_coverage_documents,
+        "temperature_mix_documents": _temperature_mix_documents,
+        "bloom_semi_join_orders": _bloom_semi_join_orders,
+        "seasonal_anomalies_events": _seasonal_anomalies_events,
+        "percentile_ranks_lineitem": _percentile_ranks_lineitem,
+        "salted_join_agg_nation": _salted_join_agg_nation,
+        "bfs_hops_copurchase": _bfs_hops_copurchase,
+        "containment_pairs_documents": _containment_pairs_documents,
+        "shortest_paths_copurchase": _shortest_paths_copurchase,
+        "leakage_safe_split_documents": _leakage_safe_split_documents,
+        "negative_pairs_documents": _negative_pairs_documents,
+        "target_encode_events": _target_encode_events,
+        "embedding_dim_stats": _embedding_dim_stats,
+        "gram_matrix_embeddings": _gram_matrix_embeddings,
+        "attribution_events": _attribution_events,
+        "covariance_embeddings": _covariance_embeddings,
+        "skew_report_events": _skew_report_events,
+        "props_stats_events": _props_stats_events,
+        "cm_rollup_check": _cm_rollup_check,
+        "hist_quantile_rollup_check": _hist_quantile_rollup_check,
+        "cusum_events": _cusum_events,
+        "rfm_segments_customers": _rfm_segments_customers,
+        "skipgram_cooc_documents": _skipgram_cooc_documents,
+        "interval_union_events": _interval_union_events,
+        "kmv_overlap_check": _kmv_overlap_check,
+        "rrf_fusion_documents": _rrf_fusion_documents,
+        "item_cf_parts": _item_cf_parts,
+        "winnow_fingerprints_documents": _winnow_fingerprints_documents,
+        "streaming_sketch_replay": _streaming_sketch_replay,
+        "ab_test_events": _ab_test_events,
+        "grouped_topk_orders": _grouped_topk_orders,
+        "impute_values_events": _impute_values_events,
+        "bmp_pixel_check": _bmp_pixel_check,
+        "time_travel_check": _time_travel_check,
+        "weighted_median_lineitem": _weighted_median_lineitem,
+        "version_diff_check": _version_diff_check,
+        "trend_by_type_events": _trend_by_type_events,
+        "langid_confusion_documents": _langid_confusion_documents,
+        "kmv_setops_check": _kmv_setops_check,
+        "class_scatter_embeddings": _class_scatter_embeddings,
+        "weighted_deciles_lineitem": _weighted_deciles_lineitem,
+        "boilerplate_documents": _boilerplate_documents,
+        "gini_orders": _gini_orders,
+        "ewma_orders": _ewma_orders,
+        "auc_purchase_events": _auc_purchase_events,
+        "ks_test_events": _ks_test_events,
+        # r10 driver window (all 50 green r10, staleness 2):
         "duplicate_spans_documents": _duplicate_spans_documents,
         "distribution_drift_orders": _distribution_drift_orders,
         "streaming_drift_replay": _streaming_drift_replay,
@@ -5183,26 +5197,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score_documents": _classifier_score_documents,
         "unigram_logprob_documents": _unigram_logprob_documents,
         "window_analytics_events": _window_analytics_events,
-        # r7/r8/r9-green groups (rotation log in COVERAGE.md; every
-        # entry hash-green in LOCALCHECK_r10.json):
+        # r7/r8/r9-green groups (in original order; the 12
+        # slipped r7-green entries are interleaved here and
+        # lead the r13 window):
         "histogram_orders": _histogram_orders,
         "skyline_bruteforce": _sky("bruteforce"),
         "skyline_5dim": _sky_5dim,
-        "skyline_layers": _sky_layers,
         "skyline_events": _sky_events,
-        "skyline_kband_events": _sky_kband_events,
-        "profile_lineitem": _profile_lineitem,
-        "window_top2_orders": _window_top2_orders,
-        "events_hourly": _events_hourly,
-        "text_stats_documents": _text_stats,
         "fingerprint_rolling_documents": _fingerprint_rolling,
-        "quality_flags_documents": _quality_flags,
-        "dedup_exact_documents": _dedup_exact,
         "dedup_simhash_documents": _dedup_simhash,
         "ngram_jaccard_documents": _ngram_jaccard,
         "topk_similarity": _topk_similarity,
-        "multimodal_stats": _multimodal_stats,
-        "chunk_documents": _chunk_documents,
         "token_entropy_documents": _token_entropy_documents,
         "window_analytics_orders": _window_analytics_orders,
         "linreg_lineitem": _linreg_lineitem,
@@ -5289,7 +5294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_documents": _reservoir_documents,
         "semi_join_customers": _semi_join_customers,
         "above_avg_orders": _above_avg_orders,
-        "token_bpe_documents": _token_bpe_documents,
         "explode_tokens_topk": _explode_tokens_topk,
         "string_funcs_documents": _string_funcs_documents,
         "curate_corpus": _curate_corpus,
@@ -5300,8 +5304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt": _q16_supplier_cnt,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_sales_opportunity": _q22_sales_opportunity,
-        # rows-only by declared design (hash-green derived/known-answer
-        # siblings: recall bounds / sketch checks / fixed-point checks):
+        # rows-only by declared design (hash-green derived/known-
+        # answer siblings: recall bounds / sketch / fixed-point):
         "kmeans_embeddings": _kmeans_embeddings,
         "pagerank_dup_graph": _pagerank_dup_graph,
         "approx_percentile_value": _approx_percentile_value,
