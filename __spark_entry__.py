@@ -4695,6 +4695,25 @@ def _seasonality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonality_index(o, "o_orderdate", "cents", period="dow")
 
 
+def _seasonality_month_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # month-of-year seasonal index of order revenue ("is December
+    # really 2x?"): the period='month' branch of seasonality_index —
+    # positions by month 1-12, n_p counts distinct CALENDAR MONTHS
+    # ('yyyy-MM' buckets). This branch was corrected in r11
+    # (month-bucket granularity, temporal.py:850-855) but only the
+    # dow path had a registry entry; this makes the fixed branch
+    # driver-checkable (r11 verdict task 7).
+    from skylinemapreducehadoop_spark.operators.temporal import (
+        seasonality_index,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return seasonality_index(o, "o_orderdate", "cents", period="month")
+
+
 
 def _interarrival_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # burstiness screen per event type: exact integer-microsecond gap
@@ -5097,6 +5116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the driver's 50-entry window ---
         # (rotation log in COVERAGE.md; every entry below is
         # hash-green in the committed LOCALCHECK artifacts)
+        # new in r12 (r11 verdict task 7 — the corrected month-bucket
+        # branch of seasonality_index gets its own oracle-checked
+        # entry); never driver-checked, leads the r13 window:
+        "seasonality_month_orders": _seasonality_month_orders,
         # r11 driver window (48 green r11, staleness 1):
         "k_anonymity_customers": _k_anonymity_customers,
         "length_buckets_documents": _length_buckets_documents,
@@ -9445,6 +9468,28 @@ SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
                       * CAST(n*sbb - sb*sb AS DOUBLE)), 9)
        END AS corr
 FROM m ORDER BY lag
+""",
+        # month-period twin of seasonality_orders (r11 verdict task 7:
+        # the r11-corrected month-bucket branch, now oracle-checkable)
+        "seasonality_month_orders": """
+WITH o AS (
+  SELECT o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+pp AS (
+  SELECT month(o_orderdate) AS pos,
+         strftime(o_orderdate, '%Y-%m') AS bkt,
+         sum(CAST(cents AS HUGEINT)) AS s
+  FROM o GROUP BY 1, 2
+),
+px AS (
+  SELECT pos, sum(s) AS sp, CAST(count(*) AS HUGEINT) AS np FROM pp GROUP BY pos
+),
+t AS (SELECT sum(sp) AS ss, sum(np) AS nn FROM px)
+SELECT CAST(pos AS INTEGER) AS pos, CAST(np AS BIGINT) AS n_periods,
+       CAST(sp AS BIGINT) AS total_value,
+       round(CAST(sp * nn AS DOUBLE) / CAST(np * ss AS DOUBLE), 6) AS index
+FROM px CROSS JOIN t ORDER BY pos
 """,
         "seasonality_orders": """
 WITH o AS (

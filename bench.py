@@ -520,6 +520,8 @@ EXTRA_QUERIES = [
     "hard_positives_embeddings",
     "byte_token_budget_documents",
     "hard_negatives_embeddings",
+    # new in round 12
+    "seasonality_month_orders",
 ]
 
 
