@@ -5092,26 +5092,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth_documents": _vocab_growth_documents,
         "strip_boilerplate_documents": _strip_boilerplate_documents,
         "token_bpe_documents": _token_bpe_documents,
-        # (c) positions 41-50: 10 of the 22 stalest once-green entries
-        # (r7-green, staleness 5) by the family-coverage tiebreak —
-        # two distinct skyline algorithms, profile, window, rollup,
-        # the two heaviest tokens()-consumers on the driver corpus
-        # (text_stats, quality_flags — the best at-driver probes of
-        # the tokenizer pin), exact dedup, multimodal, chunking. The
-        # 12 that slip (histogram_orders, skyline_bruteforce/5dim/
-        # events, fingerprint_rolling, dedup_simhash, ngram_jaccard,
-        # topk_similarity, token_entropy, window_analytics_orders,
-        # kmeans_embeddings, pagerank_dup_graph) lead the r13 window
-        # with the 45 r8-green entries:
+        # (c) positions 41-50: the stalest once-green entries, stalest
+        # first (rule 3), family-coverage tiebreak within a tier. The
+        # 16 r7-green that slip (histogram_orders, skyline_bruteforce/
+        # 5dim/events, window_top2_orders, events_hourly,
+        # fingerprint_rolling, dedup_exact, dedup_simhash,
+        # ngram_jaccard, topk_similarity, multimodal_stats,
+        # token_entropy, window_analytics_orders, kmeans_embeddings,
+        # pagerank_dup_graph) lead the r13 window with the 45 r8-green:
+        # (c1) the four STALEST once-green entries (r6, staleness 6 —
+        # surfaced by the staleness tool's rows-only fix: their
+        # declared rows-only driver rows previously read as red, so
+        # prior rotations never ranked them). Rows-only by design,
+        # with hash-green derived siblings (approx_*_check, ann_recall_*):
+        "approx_percentile_value": _approx_percentile_value,
+        "approx_distinct_users": _approx_distinct_users,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        # (c2) six of the 22 r7-green entries (staleness 5) by the
+        # family-coverage tiebreak — two distinct skyline algorithms,
+        # the profile rep, the two heaviest tokens()-consumers on the
+        # driver corpus (the best at-driver probes of the tokenizer
+        # pin), chunking:
         "skyline_layers": _sky_layers,
         "skyline_kband_events": _sky_kband_events,
         "profile_lineitem": _profile_lineitem,
-        "window_top2_orders": _window_top2_orders,
-        "events_hourly": _events_hourly,
         "text_stats_documents": _text_stats,
         "quality_flags_documents": _quality_flags,
-        "dedup_exact_documents": _dedup_exact,
-        "multimodal_stats": _multimodal_stats,
         "chunk_documents": _chunk_documents,
         # --- past the driver's 50-entry window ---
         # (rotation log in COVERAGE.md; every entry below is
@@ -5224,6 +5231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slipped r7-green entries are interleaved here and
         # lead the r13 window):
         "histogram_orders": _histogram_orders,
+        "window_top2_orders": _window_top2_orders,
+        "events_hourly": _events_hourly,
+        "dedup_exact_documents": _dedup_exact,
+        "multimodal_stats": _multimodal_stats,
         "skyline_bruteforce": _sky("bruteforce"),
         "skyline_5dim": _sky_5dim,
         "skyline_events": _sky_events,
@@ -5331,10 +5342,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # answer siblings: recall bounds / sketch / fixed-point):
         "kmeans_embeddings": _kmeans_embeddings,
         "pagerank_dup_graph": _pagerank_dup_graph,
-        "approx_percentile_value": _approx_percentile_value,
-        "approx_distinct_users": _approx_distinct_users,
-        "ann_lsh_topk": _ann_lsh_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
     }
 
 

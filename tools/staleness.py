@@ -110,7 +110,16 @@ def main() -> int:
     for f in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", f).group(1))
         for name, rec in json.load(open(f)).items():
-            green = bool(
+            # declared rows-only entries (no oracle by design) record
+            # err='no_oracle' with a row count: that IS their green
+            # (the weaker rows-only contract COVERAGE.md documents),
+            # not a failure — r6/r7 rows for kmeans/pagerank/ann/approx
+            # otherwise read as permanently red here.
+            rows_only_green = (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+            )
+            green = rows_only_green or bool(
                 rec.get("rows_match")
                 and rec.get("schema_match", True) is not False
                 and rec.get("hash_match", True) is not False
