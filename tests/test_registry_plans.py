@@ -123,6 +123,7 @@ BNLJ_OK = {
     "benford_orders",  # 1-row digit-total (N) frame
     "referential_integrity_check",  # 1-row orphan-count scalar frames
     "seasonality_orders",  # 1-row grand-total frame
+    "seasonality_month_orders",  # same 1-row grand-total frame (month path)
     "leadlag_corr_events",  # 2L+1 unioned 1-row moment frames
     "transition_entropy_events",  # 1-row totals frame + sorted fold
     # bounded anchor-slate theta-join (label-inequality predicate over
