@@ -4633,13 +4633,18 @@ def _mi_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _image_dhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # container-robust image near-dup: the SAME closed-form RGB planes
-    # rendered as a PNG (doc_id) and as a BMP (doc_id+900000) must
-    # produce IDENTICAL perceptual dHashes while their bytes differ —
-    # the oracle recomputes every gradient bit arithmetically from
-    # doc_id (multimodal.image_dhash over the exact luma + floor
-    # resize)
+    # rendered as a PNG (doc_id) and as a BMP (doc_id+900000), AND the
+    # same block-uniform grayscale mosaic rendered as a gray8 PNG
+    # (doc_id+1800000) and as a REAL baseline JPEG (doc_id+2700000,
+    # entropy-coded DCT — exact round-trip because every 8x8 block is
+    # DC-only at quant=1), must produce IDENTICAL perceptual dHashes
+    # while their bytes differ — the oracle recomputes every gradient
+    # bit arithmetically from doc_id (multimodal.image_dhash over the
+    # exact luma + floor resize; mosaic law in multimodal._mosaic_gray)
     from skylinemapreducehadoop_spark.operators.multimodal import (
         image_dhash,
+        synthesize_mosaic_jpeg_column,
+        synthesize_mosaic_png_column,
         synthesize_rgb_bmp_column,
         synthesize_rgb_png_column,
     )
@@ -4651,7 +4656,22 @@ def _image_dhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("doc_id")).alias("__k")),
         "__k",
     ).select("doc_id", "media")
-    both = png.select("doc_id", "media").unionByName(bmp)
+    mos_png = synthesize_mosaic_png_column(
+        docs.select((F.col("doc_id") + 1800000).alias("doc_id"),
+                    (F.col("doc_id")).alias("__k")),
+        "__k",
+    ).select("doc_id", "media")
+    mos_jpg = synthesize_mosaic_jpeg_column(
+        docs.select((F.col("doc_id") + 2700000).alias("doc_id"),
+                    (F.col("doc_id")).alias("__k")),
+        "__k",
+    ).select("doc_id", "media")
+    both = (
+        png.select("doc_id", "media")
+        .unionByName(bmp)
+        .unionByName(mos_png)
+        .unionByName(mos_jpg)
+    )
     h = image_dhash(both)
     return (
         h.groupBy("dhash_bits")
@@ -9401,24 +9421,35 @@ ORDER BY mi_bits DESC, feature
 """,
         "image_dhash_check": """
 WITH d AS (
-  SELECT doc_id AS id, doc_id AS k FROM documents
+  SELECT doc_id AS id, doc_id AS k, 'g' AS fam FROM documents
   UNION ALL
-  SELECT doc_id + 900000, doc_id FROM documents
+  SELECT doc_id + 900000, doc_id, 'g' FROM documents
+  UNION ALL
+  SELECT doc_id + 1800000, doc_id, 'm' FROM documents
+  UNION ALL
+  SELECT doc_id + 2700000, doc_id, 'm' FROM documents
 ),
-dims AS (SELECT id, k, 1 + k % 16 AS w, 1 + k % 12 AS h FROM d),
+dims AS (
+  SELECT id, k, fam,
+         CASE WHEN fam = 'm' THEN 8 * (1 + k % 3) ELSE 1 + k % 16 END AS w,
+         CASE WHEN fam = 'm' THEN 8 * (1 + k % 2) ELSE 1 + k % 12 END AS h
+  FROM d
+),
 grid AS (
-  SELECT id, k, w, h, gy.j AS j, gx.i AS i
+  SELECT id, k, fam, w, h, gy.j AS j, gx.i AS i
   FROM dims, range(8) gy(j), range(9) gx(i)
 ),
 sam AS (
-  SELECT id, j, i, k, (j * h) // 8 AS y, (i * w) // 9 AS x
+  SELECT id, j, i, k, fam, (j * h) // 8 AS y, (i * w) // 9 AS x
   FROM grid
 ),
 lum AS (
   SELECT id, j, i,
-         (299 * ((k + 5*x + 11*y) % 256)
-          + 587 * ((3*k + 7*x + y) % 256)
-          + 114 * ((2*k + x + 13*y) % 256)) // 1000 AS g
+         CASE WHEN fam = 'm'
+              THEN (k + 11 * (x // 8) + 29 * (y // 8)) % 256
+              ELSE (299 * ((k + 5*x + 11*y) % 256)
+                    + 587 * ((3*k + 7*x + y) % 256)
+                    + 114 * ((2*k + x + 13*y) % 256)) // 1000 END AS g
   FROM sam
 ),
 b AS (

@@ -866,17 +866,407 @@ def _bmp_decode(b) -> "tuple[int, int, np.ndarray] | None":
     return w, h, np.ascontiguousarray(px)
 
 
+# --------------------------------------------------------------------
+# Baseline JPEG pixel tier (public format: ITU T.81 / ISO 10918-1).
+#
+# Scope of the no-codec tier: BASELINE sequential DCT (SOF0), 8-bit,
+# SINGLE component (grayscale) — the deterministic subset where the
+# repo can pin every arithmetic step (FDCT/quantize on encode, Huffman
+# + dequantize + IDCT on decode) and therefore state an exactness law:
+# an 8x8-block-UNIFORM image encoded with an all-ones quantization
+# table round-trips bit-exactly (each block is DC-only, and the DC
+# path 8*(v-128) -> /8 -> +128 is exact in IEEE double). General
+# content round-trips within ±1 grey level at quant=1 (float rounding
+# in the AC basis). Multi-component (color) and progressive (SOF2)
+# payloads return None here and fall through to the Pillow tier —
+# their chroma upsampling/IDCT variants are codec-defined, not
+# pinnable. T.81 itself does not pin the IDCT; this tier's pinned
+# definition is the orthonormal separable float IDCT with
+# round-half-even (np.rint) then clip to [0, 255].
+# --------------------------------------------------------------------
+
+# T.81 Figure A.6 zig-zag index order (natural index of each scan pos)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Flat canonical Huffman tables embedded in DHT (the format carries
+# its tables, so any conformant decoder reads these): DC categories
+# 0..11 all at 4 bits, AC symbols (EOB, ZRL, every run/size) all at
+# 8 bits. Valid canonical codes with the all-ones code unused;
+# compression is untuned — fixtures optimize determinism, not size.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_JPEG_AC_BITS = [0] * 7 + [len(_JPEG_AC_VALS)] + [0] * 8
+
+
+def _dct8_matrix() -> "np.ndarray":
+    """Orthonormal 8-point DCT-II matrix C (C @ C.T == I):
+    C[u, x] = c(u)/2 * cos((2x+1) u pi / 16), c(0)=1/sqrt(2) else 1.
+    Forward 2-D: S = C @ s @ C.T; inverse: s = C.T @ S @ C."""
+    u = np.arange(8).reshape(-1, 1)
+    x = np.arange(8).reshape(1, -1)
+    c = np.full((8, 1), 0.5)
+    c[0, 0] = 0.5 / np.sqrt(2.0)
+    return c * np.cos((2 * x + 1) * u * np.pi / 16)
+
+
+def _huffman_codes(bits: "Sequence[int]", vals: "Sequence[int]"):
+    """Canonical Huffman assignment per T.81 Annex C: symbols in
+    ``vals`` order get consecutive codes, shorter lengths first.
+    Returns {symbol: (length, code)}."""
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[i]] = (ln, code)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def make_jpeg_pixels(
+    width: int,
+    height: int,
+    gray: "np.ndarray",
+    *,
+    quant: "Sequence[int] | None" = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Real baseline JPEG ENCODER (grayscale, public ITU T.81 layout):
+    SOI, APP0/JFIF, DQT (zig-zag order), SOF0 (8-bit, 1 component),
+    DHT (the flat canonical tables above), SOS, Huffman-coded scan
+    with 0xFF byte stuffing, EOI — the JPEG twin of :func:`make_png` /
+    :func:`make_bmp_pixels` for driving an actual entropy-coded DCT
+    decode with no codec library.
+
+    ``gray`` is (height, width) uint8; edges replicate to pad to 8x8
+    blocks. ``quant`` is a 64-entry natural-order table, default
+    all-ones (the exact-fixture table: block-uniform content
+    round-trips bit-exactly; see the tier note above).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (byte-aligned, DC predictor reset) — the
+    T.81 resync structure large scans carry in the wild."""
+    import struct
+
+    gray = np.asarray(gray, dtype=np.uint8)
+    if gray.shape != (height, width):
+        raise ValueError("gray must be (height, width)")
+    q = np.ones(64, dtype=np.int64) if quant is None else np.asarray(
+        list(quant), dtype=np.int64
+    )
+    if q.shape != (64,) or q.min() < 1 or q.max() > 255:
+        raise ValueError("quant must be 64 values in 1..255")
+    # pad to whole blocks by edge replication
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(gray, ((0, ph - height), (0, pw - width)), mode="edge")
+    c = _dct8_matrix()
+    blocks = (
+        img.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128.0
+    )
+    coefs = np.rint(
+        np.einsum("ux,nxy,vy->nuv", c, blocks, c) / q.reshape(8, 8)
+    ).astype(np.int64)
+    # Baseline AC categories stop at 10 (±1023); the one 8-bit input
+    # that exceeds it (a perfect ±checkerboard hits exactly ±1024 at
+    # u=v=4 with quant=1) is clamped by 1 LSB, as real encoders do.
+    dc_saved = coefs[:, 0, 0].copy()
+    np.clip(coefs, -1023, 1023, out=coefs)
+    coefs[:, 0, 0] = dc_saved
+
+    dc_code = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_code = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = bytearray()
+    acc, nbits = 0, 0
+
+    def put(ln: int, val: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << ln) | (val & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # T.81 byte stuffing
+
+    pred = 0
+    zz = _JPEG_ZIGZAG
+    for n_blk, blk in enumerate(coefs):
+        if restart_interval and n_blk and n_blk % restart_interval == 0:
+            if nbits:  # byte-align with 1-bits, per T.81
+                put(8 - nbits, (1 << (8 - nbits)) - 1)
+            out.append(0xFF)
+            out.append(0xD0 + (n_blk // restart_interval - 1) % 8)
+            pred = 0
+        flat = blk.ravel()
+        diff = int(flat[0]) - pred
+        t = abs(diff).bit_length()
+        ln, code = dc_code[t]
+        put(ln, code)
+        if t:
+            put(t, diff if diff >= 0 else diff + (1 << t) - 1)
+        pred = int(flat[0])
+        run = 0
+        for kpos in range(1, 64):
+            v = int(flat[zz[kpos]])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_code[0xF0]
+                put(ln, code)
+                run -= 16
+            t = abs(v).bit_length()
+            ln, code = ac_code[(run << 4) | t]
+            put(ln, code)
+            put(t, v if v >= 0 else v + (1 << t) - 1)
+            run = 0
+        if run:
+            ln, code = ac_code[0x00]
+            put(ln, code)  # EOB
+    if nbits:
+        put(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(int(q[zz[i]]) for i in range(64)))
+    sof0 = seg(0xC0, b"\x08" + struct.pack(">HH", height, width) + b"\x01\x01\x11\x00")
+    dht = seg(
+        0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ) + seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht + dri + sos + bytes(out) + b"\xff\xd9"
+    )
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at any
+    other marker (exposes it for RST handling)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.acc, self.nbits = buf, pos, 0, 0
+
+    def _fill(self) -> bool:
+        b = self.buf
+        if self.pos >= len(b):
+            return False
+        v = b[self.pos]
+        if v == 0xFF:
+            if self.pos + 1 < len(b) and b[self.pos + 1] == 0x00:
+                self.pos += 2  # stuffed data byte
+            else:
+                return False  # a real marker: entropy data ends
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | v
+        self.nbits += 8
+        return True
+
+    def read(self, n: int) -> "int | None":
+        while self.nbits < n:
+            if not self._fill():
+                return None
+        self.nbits -= n
+        val = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1  # keep the int bounded
+        return val
+
+    def at_marker(self) -> "int | None":
+        """The marker byte ahead of the cursor, if the next bytes are
+        a marker (used for RSTn). Only valid at a byte boundary."""
+        b = self.buf
+        if self.pos + 1 < len(b) and b[self.pos] == 0xFF and b[self.pos + 1] != 0x00:
+            return b[self.pos + 1]
+        return None
+
+    def skip_marker(self) -> None:
+        self.pos += 2
+        self.acc = self.nbits = 0
+
+
+def _jpeg_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
+    """Baseline JPEG DECODER for the no-codec tier: marker walk (DQT
+    zig-zag, DHT canonical build, SOF0, DRI, SOS), Huffman entropy
+    decode with DC prediction + RSTn restarts, dequantize, pinned
+    orthonormal float IDCT, +128 level shift, rint, clip, crop the
+    block padding. 8-bit single-component SOF0 only — anything else
+    (color, progressive, arithmetic coding) returns None and falls
+    through to the Pillow tier. Malformed streams return None:
+    corrupt bytes are data, not bugs."""
+    import struct
+
+    if b is None:
+        return None
+    buf = bytes(b)
+    if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        return None
+    pos, w, h, qid = 2, None, None, 0
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dc_id = ac_id = 0
+    restart = 0
+    scan_pos = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        body = buf[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT: one or more tables, zig-zag order
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0 or len(body) < i + 65:
+                    return None  # 16-bit tables: out of tier scope
+                t = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    t[_JPEG_ZIGZAG[k]] = body[i + 1 + k]
+                quant[tq] = t
+                i += 65
+        elif marker == 0xC4:  # DHT: one or more tables
+            i = 0
+            while i + 17 <= len(body):
+                cls, tid = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                if len(vals) < n:
+                    return None
+                codes = _huffman_codes(bits, vals)
+                huff[(cls, tid)] = {
+                    (lc[0], lc[1]): sym for sym, lc in codes.items()
+                }
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 8 or body[0] != 8:
+                return None
+            h, w = struct.unpack(">HH", body[1:5])
+            if body[5] != 1:
+                return None  # multi-component: Pillow tier
+            if (body[7] >> 4) != 1 or (body[7] & 15) != 1:
+                return None
+            qid = body[8]
+            if h == 0 or w == 0:
+                return None
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # non-baseline SOF / arithmetic coding
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if w is None or len(body) < 4 or body[0] != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 15
+            scan_pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_pos is None or w is None:
+        return None
+    dct = huff.get((0, dc_id))
+    act = huff.get((1, ac_id))
+    q = quant.get(qid)
+    if dct is None or act is None or q is None:
+        return None
+
+    rd = _JpegBitReader(buf, scan_pos)
+
+    def decode_sym(table) -> "int | None":
+        code = 0
+        for ln2 in range(1, 17):
+            bit = rd.read(1)
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            sym = table.get((ln2, code))
+            if sym is not None:
+                return sym
+        return None
+
+    def extend(v: int, t: int) -> int:
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    bx, by = -(-w // 8), -(-h // 8)
+    coefs = np.zeros((bx * by, 64), dtype=np.int64)
+    pred = 0
+    zz = _JPEG_ZIGZAG
+    for n in range(bx * by):
+        if restart and n and n % restart == 0:
+            mk = rd.at_marker()
+            if mk is not None and 0xD0 <= mk <= 0xD7:
+                rd.skip_marker()
+                pred = 0
+        t = decode_sym(dct)
+        if t is None or t > 11:
+            return None
+        if t:
+            v = rd.read(t)
+            if v is None:
+                return None
+            pred += extend(v, t)
+        coefs[n, 0] = pred
+        k = 1
+        while k < 64:
+            rs = decode_sym(act)
+            if rs is None:
+                return None
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if rs == 0xF0:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                return None
+            v = rd.read(s)
+            if v is None:
+                return None
+            coefs[n, zz[k]] = extend(v, s)
+            k += 1
+    c = _dct8_matrix()
+    s = np.einsum(
+        "xu,nuv,yv->nxy", c.T, (coefs * q).reshape(-1, 8, 8).astype(np.float64), c.T
+    )
+    px = np.clip(np.rint(s) + 128, 0, 255).astype(np.uint8)
+    img = (
+        px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    )
+    return int(w), int(h), np.ascontiguousarray(img[:h, :w])
+
+
 def _stdlib_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
-    """No-codec-library decode dispatcher: 8-bit PNG (gray/RGB/palette)
-    or 24-bit uncompressed BMP, returned as exact-luma grayscale."""
+    """No-codec-library decode dispatcher: 8-bit PNG (gray/RGB/palette),
+    24-bit uncompressed BMP, or baseline single-component JPEG
+    (:func:`_jpeg_decode_gray8`), returned as exact-luma grayscale."""
     dec = _png_decode_gray8(b)
     if dec is not None:
         return dec
     bmp = _bmp_decode(b)
-    if bmp is None:
-        return None
-    w, h, px = bmp
-    return w, h, _png_to_gray(px)
+    if bmp is not None:
+        w, h, px = bmp
+        return w, h, _png_to_gray(px)
+    return _jpeg_decode_gray8(b)
 
 
 def resize_nearest(px: "np.ndarray", dst_w: int, dst_h: int) -> "np.ndarray":
@@ -973,8 +1363,10 @@ def image_pixel_stats(
     media_col: str = "media",
 ) -> DataFrame:
     """Decode 8-bit PNG payloads (stdlib tier: gray, RGB and palette
-    color types) or 24-bit uncompressed BMPs (byte-walk decode, no
-    library), RGB reduced by exact integer Rec.601 luma, and emit
+    color types), 24-bit uncompressed BMPs (byte-walk decode, no
+    library) or baseline single-component JPEGs (entropy-coded DCT
+    decode, :func:`_jpeg_decode_gray8`), RGB reduced by exact integer
+    Rec.601 luma, and emit
     exact pixel statistics: width, height, pixel_sum, pixel_min,
     pixel_max —
     the image feature-extraction twin of ``audio_features``.
@@ -1107,6 +1499,55 @@ def synthesize_rgb_bmp_column(
     return df.withColumn(out_col, synth(F.col(seed_col)))
 
 
+def _mosaic_gray(k: int) -> "tuple[int, int, np.ndarray]":
+    """Closed-form 8x8-block-uniform grayscale mosaic for the exact
+    JPEG tier: ``width = 8*(1 + k % 3)``, ``height = 8*(1 + k % 2)``,
+    ``pixel(x, y) = (k + 11*(x//8) + 29*(y//8)) % 256``. Every block
+    is uniform, so the baseline JPEG round-trip is bit-exact (DC-only
+    blocks; see the tier note above) and an oracle recomputes any
+    sampled pixel arithmetically from k."""
+    w, h = 8 * (1 + k % 3), 8 * (1 + k % 2)
+    y, x = np.mgrid[0:h, 0:w]
+    px = ((k + 11 * (x // 8) + 29 * (y // 8)) % 256).astype(np.uint8)
+    return w, h, px
+
+
+def synthesize_mosaic_png_column(
+    df: DataFrame, seed_col: str, *, out_col: str = "media"
+) -> DataFrame:
+    """The :func:`_mosaic_gray` planes in a gray8 PNG container."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ks: pd.Series) -> pd.Series:
+        out = []
+        for k in ks:
+            w, h, px = _mosaic_gray(int(k))
+            out.append(make_png(w, h, px.tobytes()))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, synth(F.col(seed_col)))
+
+
+def synthesize_mosaic_jpeg_column(
+    df: DataFrame, seed_col: str, *, out_col: str = "media"
+) -> DataFrame:
+    """The SAME :func:`_mosaic_gray` planes as a real baseline JPEG
+    (all-ones quantization: the exact-fixture table) — the container
+    pair that drives the entropy-coded DCT decode path end-to-end
+    with an arithmetic oracle: dHash(PNG twin) == dHash(JPEG twin)
+    bit-for-bit because the block-uniform round-trip is exact."""
+
+    @F.pandas_udf(T.BinaryType())
+    def synth(ks: pd.Series) -> pd.Series:
+        out = []
+        for k in ks:
+            w, h, px = _mosaic_gray(int(k))
+            out.append(make_jpeg_pixels(w, h, px))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, synth(F.col(seed_col)))
+
+
 def image_dhash(
     df: DataFrame,
     *,
@@ -1115,7 +1556,8 @@ def image_dhash(
 ) -> DataFrame:
     """Perceptual difference-hash (dHash) of image payloads — the
     image near-duplicate key: decode to exact-luma grayscale
-    (:func:`_stdlib_decode_gray8`, PNG/BMP tiers), nearest-resize to
+    (:func:`_stdlib_decode_gray8`, PNG/BMP/baseline-JPEG tiers),
+    nearest-resize to
     a 9x8 grid with the exact floor mapping (:func:`resize_nearest`),
     then emit the 64 horizontal-gradient bits ``g[y][x] > g[y][x+1]``
     row-major as a bit string.

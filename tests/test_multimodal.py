@@ -696,14 +696,16 @@ def test_image_dhash_matches_manual_bits(spark):
 
 
 def test_jpeg_pixel_boundary_contract(spark):
-    """The JPEG pixel boundary, contract-tested (r10 verdict task 6):
-    the in-sandbox pixel tier decodes PNG + BMP only. For a
-    structurally valid baseline JPEG the pixel operators must yield
-    NULL rows (undecodable media is data, not a job failure), the
-    zero-UDF header tier must STILL extract the true SOF0 dimensions
-    (metadata always flows), and the real-codec tier must raise the
-    documented NotImplementedError while Pillow is absent — so the
-    boundary is an asserted contract, not an implied gap."""
+    """The JPEG pixel boundary, contract-tested (r10 verdict task 6,
+    narrowed in r12): the pixel tier now decodes baseline
+    single-component JPEGs with real scan data (see
+    test_jpeg_roundtrip_* below), but a marker-only JPEG stub — valid
+    structure, NO entropy-coded scan — must still yield NULL rows
+    (undecodable media is data, not a job failure), the zero-UDF
+    header tier must STILL extract the true SOF0 dimensions (metadata
+    always flows), and the real-codec tier must raise the documented
+    NotImplementedError while Pillow is absent — so the boundary is
+    an asserted contract, not an implied gap."""
     import pytest
     from skylinemapreducehadoop_spark.operators.multimodal import (
         decode_media,
@@ -739,3 +741,204 @@ def test_jpeg_pixel_boundary_contract(spark):
         decode_media(df, decoder="real")
     with pytest.raises(NotImplementedError):
         resize_images(df, 4, 4, decoder="real")
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG pixel tier (r12): real entropy-coded DCT encode/decode
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_block_uniform_exact():
+    """The tier's exactness LAW: an 8x8-block-uniform image encoded at
+    quant=1 round-trips bit-exactly (every block is DC-only; the DC
+    path 8*(v-128) -> /8 -> +128 is exact in IEEE double). This is
+    what makes the JPEG container usable in the closed-form dHash /
+    pixel-stat fixtures."""
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _jpeg_decode_gray8,
+        _mosaic_gray,
+        make_jpeg_pixels,
+    )
+
+    for k in (0, 1, 5, 37, 250, 255, 256, 511, 1000003):
+        w, h, px = _mosaic_gray(k)
+        dec = _jpeg_decode_gray8(make_jpeg_pixels(w, h, px))
+        assert dec is not None
+        dw, dh, got = dec
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(got, px), f"k={k}"
+
+
+def test_jpeg_roundtrip_general_within_one_and_stuffing():
+    """General content at quant=1 round-trips within ±1 grey level
+    (AC float rounding), including odd (non-multiple-of-8) dimensions
+    cropped from the padded canvas; a high-entropy image is asserted
+    to actually produce stuffed 0xFF00 bytes so the un-stuffing path
+    is exercised, not assumed."""
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _jpeg_decode_gray8,
+        make_jpeg_pixels,
+    )
+
+    y, x = np.mgrid[0:7, 0:13]
+    grad = ((5 + 7 * x + 13 * y) % 256).astype(np.uint8)
+    dw, dh, got = _jpeg_decode_gray8(make_jpeg_pixels(13, 7, grad))
+    assert (dw, dh) == (13, 7)
+    assert np.abs(got.astype(int) - grad.astype(int)).max() <= 1
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (40, 56)).astype(np.uint8)
+    b = make_jpeg_pixels(56, 40, img)
+    assert b.count(b"\xff\x00") > 0, "stuffing never fired: test is vacuous"
+    dw, dh, got = _jpeg_decode_gray8(b)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+
+    cb = np.zeros((8, 8), np.uint8)
+    cb[::2, ::2] = 255
+    cb[1::2, 1::2] = 255  # the ±1024-coefficient adversarial case (clamped)
+    dw, dh, got = _jpeg_decode_gray8(make_jpeg_pixels(8, 8, cb))
+    assert np.abs(got.astype(int) - cb.astype(int)).max() <= 1
+
+
+def test_jpeg_quant_table_zigzag_order():
+    """DQT bytes are stored in ZIG-ZAG order (T.81 B.2.4.1): encode
+    with a deliberately asymmetric natural-order table and assert the
+    decode equals the reference FDCT->quant->dequant->IDCT pipeline
+    computed directly — a transposed/raster DQT write or read would
+    pair the wrong step sizes and fail loudly."""
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _dct8_matrix,
+        _jpeg_decode_gray8,
+        make_jpeg_pixels,
+    )
+
+    q = np.ones(64, dtype=np.int64)
+    q[1] = 97  # natural index (0,1): horizontal first harmonic
+    q[8] = 11  # natural index (1,0): vertical first harmonic
+    y, x = np.mgrid[0:8, 0:8]
+    img = ((31 * x + 3 * y) % 256).astype(np.uint8)
+
+    c = _dct8_matrix()
+    s = c @ (img.astype(np.float64) - 128.0) @ c.T
+    ref = np.clip(
+        np.rint(c.T @ (np.rint(s / q.reshape(8, 8)) * q.reshape(8, 8)) @ c) + 128,
+        0,
+        255,
+    ).astype(np.uint8)
+
+    dw, dh, got = _jpeg_decode_gray8(make_jpeg_pixels(8, 8, img, quant=list(q)))
+    assert np.array_equal(got, ref)
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn resync structure: byte-aligned restart markers every N
+    MCUs with DC predictor reset survive the round trip (exactly on a
+    block-uniform mosaic, within ±1 on random content)."""
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _jpeg_decode_gray8,
+        _mosaic_gray,
+        make_jpeg_pixels,
+    )
+
+    w, h, mos = _mosaic_gray(300)
+    b = make_jpeg_pixels(w, h, mos, restart_interval=1)
+    assert b.count(b"\xff\xdd") == 1
+    dec = _jpeg_decode_gray8(b)
+    assert dec is not None and np.array_equal(dec[2], mos)
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)
+    dw, dh, got = _jpeg_decode_gray8(
+        make_jpeg_pixels(40, 24, img, restart_interval=2)
+    )
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_decoder_scope_gates():
+    """Out-of-tier payloads return None (fall through to the Pillow
+    tier) rather than mis-decoding: marker-only stubs (no scan),
+    multi-component SOF0, progressive SOF2, truncated scans, and
+    non-JPEG bytes."""
+    import struct
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _jpeg_decode_gray8,
+        _mosaic_gray,
+        make_jpeg,
+        make_jpeg_pixels,
+    )
+
+    assert _jpeg_decode_gray8(make_jpeg(12, 7)) is None
+    assert _jpeg_decode_gray8(None) is None
+    assert _jpeg_decode_gray8(b"\x89PNG\r\n\x1a\n") is None
+
+    w, h, mos = _mosaic_gray(9)
+    good = make_jpeg_pixels(w, h, mos)
+    # flip the SOF0 marker to SOF2 (progressive): same bytes, gated
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _jpeg_decode_gray8(prog) is None
+    # truncate mid-scan: a malformed stream is data, not an exception
+    assert _jpeg_decode_gray8(good[: len(good) - 8]) is None
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # hand-built 3-component SOF0 header: multi-component is gated
+    sof3 = seg(
+        0xC0,
+        b"\x08" + struct.pack(">HH", 8, 8) + b"\x03"
+        + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    assert _jpeg_decode_gray8(b"\xff\xd8" + sof3 + b"\xff\xd9") is None
+
+
+def test_jpeg_pixel_stats_and_dhash_flow(spark):
+    """The Spark plumbing end-to-end on REAL JPEG payloads: exact
+    pixel stats through image_pixel_stats, and the container law —
+    the same mosaic as gray8 PNG and as baseline JPEG hashes to the
+    IDENTICAL dHash while the bytes differ."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _mosaic_gray,
+        image_dhash,
+        image_pixel_stats,
+        synthesize_mosaic_jpeg_column,
+        synthesize_mosaic_png_column,
+    )
+
+    ks = [0, 7, 37, 250, 511]
+    base = spark.createDataFrame([(k,) for k in ks], "k long")
+    jpg = synthesize_mosaic_jpeg_column(
+        base.select(F.col("k").alias("doc_id"), "k"), "k"
+    ).select("doc_id", "media")
+
+    got = {
+        r["doc_id"]: r for r in image_pixel_stats(jpg).collect()
+    }
+    for k in ks:
+        w, h, px = _mosaic_gray(k)
+        r = got[k]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["pixel_sum"] == int(px.sum(dtype=np.int64))
+        assert r["pixel_min"] == int(px.min()) and r["pixel_max"] == int(px.max())
+
+    png = synthesize_mosaic_png_column(
+        base.select((F.col("k") + 1000).alias("doc_id"), "k"), "k"
+    ).select("doc_id", "media")
+    hashes = {
+        r["doc_id"]: r["dhash_bits"]
+        for r in image_dhash(jpg.unionByName(png)).collect()
+    }
+    for k in ks:
+        assert hashes[k] is not None
+        assert hashes[k] == hashes[k + 1000], f"container law broke at k={k}"
