@@ -114,6 +114,20 @@ def _real_decode(payload: bytes | None) -> tuple[int, int, list[float]]:
     )
 
 
+def _stdlib_feat_decode(payload) -> "tuple[int, int, list[float]] | None":
+    """No-codec REAL decode for the feature schema: the stdlib pixel
+    tier (8-bit PNG, 24-bit BMP, baseline gray JPEG — dispatch in
+    :func:`_stdlib_decode_gray8`) with the same grayscale
+    mean/std/min/max features as the Pillow tier; None when the
+    payload is outside the tier."""
+    dec = _stdlib_decode_gray8(payload)
+    if dec is None:
+        return None
+    w, h, px = dec
+    a = px.astype(np.float64)
+    return w, h, [float(a.mean()), float(a.std()), float(a.min()), float(a.max())]
+
+
 def decode_media(
     df: DataFrame,
     *,
@@ -128,17 +142,21 @@ def decode_media(
     output cardinality may differ from the input (frame sampling).
 
     Decoder selection: ``'auto'`` (default) uses the REAL Pillow codec
-    when the library is importable and falls back to the deterministic
-    fake otherwise; ``'real'`` requires Pillow and raises
-    ``NotImplementedError`` without it; ``'header'`` parses genuine
-    PNG/GIF/BMP/JPEG structure for true dimensions with byte-stat
-    features — real format decoding with no codec dependency;
-    ``'fake'`` forces the synthetic decode. The probe runs on the
-    driver — workers are assumed to share the driver's environment
-    (standard Spark deployment).
+    when the library is importable, else per payload the no-codec
+    stdlib pixel tier (8-bit PNG, 24-bit BMP, baseline gray JPEG —
+    genuine decoded stats) with the deterministic fake as the final
+    fallback; ``'real'`` requires Pillow and raises
+    ``NotImplementedError`` without it; ``'stdlib'`` forces the
+    no-codec pixel tier (out-of-tier payloads get the (0, 0, zeros)
+    sentinel); ``'header'`` parses genuine PNG/GIF/BMP/JPEG structure
+    for true dimensions with byte-stat features — real format
+    decoding with no codec dependency; ``'fake'`` forces the
+    synthetic decode. The probe runs on the driver — workers are
+    assumed to share the driver's environment (standard Spark
+    deployment).
     """
     if decoder == "auto":
-        decoder = "real" if pillow_available() else "fake"
+        decoder = "real" if pillow_available() else "hybrid"
     if decoder == "real":
         if not pillow_available():
             raise NotImplementedError(
@@ -149,6 +167,10 @@ def decode_media(
         decode_one = _real_decode
     elif decoder == "header":
         decode_one = _header_decode
+    elif decoder == "stdlib":
+        decode_one = lambda p: _stdlib_feat_decode(p) or (0, 0, [0.0] * 4)  # noqa: E731
+    elif decoder == "hybrid":
+        decode_one = lambda p: _stdlib_feat_decode(p) or _fake_decode(p)  # noqa: E731
     elif decoder == "fake":
         decode_one = _fake_decode
     else:
@@ -1207,6 +1229,12 @@ def _jpeg_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
     bx, by = -(-w // 8), -(-h // 8)
+    # a block costs >= 12 entropy bits (DC category + EOB), so any
+    # stream with more blocks than BYTES is structurally truncated —
+    # reject before allocating a canvas a forged 65535x65535 SOF0
+    # header would otherwise size (corrupt bytes are data, not OOM)
+    if bx * by > len(buf):
+        return None
     coefs = np.zeros((bx * by, 64), dtype=np.int64)
     pred = 0
     zz = _JPEG_ZIGZAG

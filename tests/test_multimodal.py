@@ -942,3 +942,45 @@ def test_jpeg_pixel_stats_and_dhash_flow(spark):
     for k in ks:
         assert hashes[k] is not None
         assert hashes[k] == hashes[k + 1000], f"container law broke at k={k}"
+
+
+def test_decode_media_stdlib_tier_and_auto_hybrid(spark):
+    """decode_media gains the no-codec REAL tier (r12): 'stdlib'
+    returns genuine decoded stats for PNG/BMP/baseline-JPEG payloads
+    and the (0,0,zeros) sentinel outside the tier; without Pillow,
+    'auto' prefers the real stdlib decode per payload and only falls
+    back to the deterministic fake for undecodable bytes."""
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _fake_decode,
+        _mosaic_gray,
+        decode_media,
+        make_jpeg_pixels,
+        make_png,
+        pillow_available,
+    )
+
+    w, h, mos = _mosaic_gray(37)
+    rows = [
+        (1, bytearray(make_jpeg_pixels(w, h, mos))),
+        (2, bytearray(make_png(4, 3, bytes(range(12))))),
+        (3, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    got = {r["doc_id"]: r for r in decode_media(df, decoder="stdlib").collect()}
+    a = mos.astype(np.float64)
+    assert (got[1]["width"], got[1]["height"]) == (w, h)
+    assert got[1]["features"] == [
+        float(a.mean()), float(a.std()), float(a.min()), float(a.max())
+    ]
+    assert (got[2]["width"], got[2]["height"]) == (4, 3)
+    assert got[3]["width"] == 0 and got[3]["features"] == [0.0] * 4
+
+    if pillow_available():
+        return  # 'auto' legitimately resolves to the Pillow tier
+    auto = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert auto[1]["features"] == got[1]["features"]  # real, not fake
+    fw, fh, ff = _fake_decode(b"not an image at all")
+    assert (auto[3]["width"], auto[3]["height"], auto[3]["features"]) == (fw, fh, ff)
