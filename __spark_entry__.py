@@ -9939,12 +9939,15 @@ SELECT 20 AS k, d.n_ranked,
        round(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg
 FROM dcg d CROSS JOIN idcg i
 """,
-        "script_mix_documents": """
+        # script classes are the PINNED explicit ranges (TX.PINNED_*)
+        # — RE2's \p{Latin} ships newer Unicode tables than the JVM's
+        # \p{IsLatin} and diverges on Unicode-14/15 codepoints
+        "script_mix_documents": f"""
 WITH per AS (
   SELECT lang, length(text) AS n,
-         len(regexp_extract_all(text, '\\p{Latin}')) AS lat,
-         len(regexp_extract_all(text, '\\p{Han}')) AS han,
-         len(regexp_extract_all(text, '\\p{Cyrillic}')) AS cyr,
+         len(regexp_extract_all(text, '{TX.PINNED_LATIN_CLASS}')) AS lat,
+         len(regexp_extract_all(text, '{TX.PINNED_HAN_CLASS}')) AS han,
+         len(regexp_extract_all(text, '{TX.PINNED_CYRILLIC_CLASS}')) AS cyr,
          len(regexp_extract_all(text, '[0-9]')) AS dig
   FROM documents
 )

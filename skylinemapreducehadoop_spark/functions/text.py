@@ -45,6 +45,64 @@ PINNED_WS_RUN = f"[{PINNED_WS_CHARS}]+"
 # NBSP etc., violating the law.
 _ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
+# ---------------------------------------------------------------------
+# Pinned Unicode SCRIPT classes (the second engine-divergent regex
+# class after \s): Java's \p{IsLatin}/\p{IsHan}/\p{IsCyrillic} follow
+# the JDK's Unicode tables (JDK 17 = Unicode 13.0) while DuckDB's RE2
+# ships newer tables (Unicode 15+), so codepoints added in Unicode
+# 14/15 — e.g. U+A7C0 LATIN CAPITAL LETTER OLD POLISH O, U+9FFD-9FFF
+# Han, U+1E030+ Cyrillic Extended-D — match in the oracle but not in
+# Spark. Same fix as PINNED_WS_RUN: both engines get the EXPLICIT
+# range class below, extracted from JDK 17's own behavior by
+# tools/pin_scripts.py (a full 0..0x10FFFF enumeration through Spark's
+# regexp_count), so the Spark side is bit-identical to the historical
+# \p{IsXxx} and only the oracle side narrows to match. Range
+# endpoints are law-tested against both engines in
+# tests/test_script_law.py.
+# ---------------------------------------------------------------------
+_LATIN_RANGES: tuple = (
+    (0x41, 0x5A), (0x61, 0x7A), (0xAA, 0xAA), (0xBA, 0xBA),
+    (0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x2B8), (0x2E0, 0x2E4),
+    (0x1D00, 0x1D25), (0x1D2C, 0x1D5C), (0x1D62, 0x1D65),
+    (0x1D6B, 0x1D77), (0x1D79, 0x1DBE), (0x1E00, 0x1EFF),
+    (0x2071, 0x2071), (0x207F, 0x207F), (0x2090, 0x209C),
+    (0x212A, 0x212B), (0x2132, 0x2132), (0x214E, 0x214E),
+    (0x2160, 0x2188), (0x2C60, 0x2C7F), (0xA722, 0xA787),
+    (0xA78B, 0xA7BF), (0xA7C2, 0xA7CA), (0xA7F5, 0xA7FF),
+    (0xAB30, 0xAB5A), (0xAB5C, 0xAB64), (0xAB66, 0xAB69),
+    (0xFB00, 0xFB06), (0xFF21, 0xFF3A), (0xFF41, 0xFF5A),
+)
+_HAN_RANGES: tuple = (
+    (0x2E80, 0x2E99), (0x2E9B, 0x2EF3), (0x2F00, 0x2FD5),
+    (0x3005, 0x3005), (0x3007, 0x3007), (0x3021, 0x3029),
+    (0x3038, 0x303B), (0x3400, 0x4DBF), (0x4E00, 0x9FFC),
+    (0xF900, 0xFA6D), (0xFA70, 0xFAD9), (0x16FF0, 0x16FF1),
+    (0x20000, 0x2A6DD), (0x2A700, 0x2B734), (0x2B740, 0x2B81D),
+    (0x2B820, 0x2CEA1), (0x2CEB0, 0x2EBE0), (0x2F800, 0x2FA1D),
+    (0x30000, 0x3134A),
+)
+_CYRILLIC_RANGES: tuple = (
+    (0x400, 0x484), (0x487, 0x52F), (0x1C80, 0x1C88),
+    (0x1D2B, 0x1D2B), (0x1D78, 0x1D78), (0x2DE0, 0x2DFF),
+    (0xA640, 0xA69F), (0xFE2E, 0xFE2F),
+)
+
+
+def _ranges_to_class(ranges) -> str:
+    """Explicit regex character class from codepoint ranges, in the
+    ``\\x{...}`` escape form Java regex and RE2 parse identically."""
+    parts = []
+    for a, b in ranges:
+        parts.append(
+            f"\\x{{{a:x}}}" if a == b else f"\\x{{{a:x}}}-\\x{{{b:x}}}"
+        )
+    return "[" + "".join(parts) + "]"
+
+
+PINNED_LATIN_CLASS = _ranges_to_class(_LATIN_RANGES)
+PINNED_HAN_CLASS = _ranges_to_class(_HAN_RANGES)
+PINNED_CYRILLIC_CLASS = _ranges_to_class(_CYRILLIC_RANGES)
+
 
 def pin_ws_oracle(sql: str) -> str:
     """Route a DuckDB oracle SQL string through the pinned whitespace
@@ -1615,18 +1673,19 @@ def script_mix(
     Per language: total chars plus the share of Latin / Han / Cyrillic
     script characters and ASCII digits (each rounded to 9).
 
-    Pure JVM ``regexp_count`` over Unicode script properties (Java
-    spells the class ``\\p{IsLatin}``, RE2/DuckDB ``\\p{Latin}`` —
-    the same script property, so both engines count the same chars)
-    plus one hash aggregate: map-only until the |langs|-row exchange.
+    Pure JVM ``regexp_count`` over the PINNED script classes (explicit
+    codepoint ranges identical on Java regex and RE2 — engine-native
+    ``\\p{IsLatin}`` vs ``\\p{Latin}`` disagree on Unicode-14/15
+    additions; see the pin block above) plus one hash aggregate:
+    map-only until the |langs|-row exchange.
     """
     c = F.col(text_col)
     per = df.select(
         F.col(lang_col).alias("lang"),
         F.length(c).cast("long").alias("__n"),
-        F.regexp_count(c, F.lit(r"\p{IsLatin}")).cast("long").alias("__lat"),
-        F.regexp_count(c, F.lit(r"\p{IsHan}")).cast("long").alias("__han"),
-        F.regexp_count(c, F.lit(r"\p{IsCyrillic}"))
+        F.regexp_count(c, F.lit(PINNED_LATIN_CLASS)).cast("long").alias("__lat"),
+        F.regexp_count(c, F.lit(PINNED_HAN_CLASS)).cast("long").alias("__han"),
+        F.regexp_count(c, F.lit(PINNED_CYRILLIC_CLASS))
         .cast("long")
         .alias("__cyr"),
         F.regexp_count(c, F.lit("[0-9]")).cast("long").alias("__dig"),
