@@ -3313,11 +3313,16 @@ def _explode_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _string_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head_upper is the PINNED ASCII-only uppercase (Spark's native
+    # upper() is full Unicode mapping — 'ß' -> 'SS' — while DuckDB's
+    # is simple — 'ß' -> 'ẞ'); head_rev pins CODEPOINT reverse (the
+    # Spark/Java definition; the oracle reproduces it by splitting to
+    # codepoints, since DuckDB's native reverse() is grapheme-aware)
     docs = load_table(spark, sf_dir, "documents")
     head = F.substring("text", 1, 20)
     return docs.select(
         "doc_id",
-        F.upper(head).alias("head_upper"),
+        TX.ascii_upper(head).alias("head_upper"),
         F.reverse(head).alias("head_rev"),
         F.levenshtein(head, F.lit("the quick brown fox")).alias("lev_dist"),
     )
@@ -5802,7 +5807,7 @@ def _lang_id_oracle() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+') AS toks,
+         regexp_split_to_array(trim({TX.ascii_lower_sql("coalesce(text, '')")}), '\\s+') AS toks,
          octet_length(encode(coalesce(text, ''))) - length(coalesce(text, '')) AS extra_bytes,
          length(coalesce(text, '')) AS n_chars
   FROM documents),
@@ -5855,7 +5860,7 @@ segs AS (
 ),
 st AS (
   SELECT doc_id, seg,
-         regexp_split_to_array(trim(lower(coalesce(seg, ''))), '\\s+')
+         regexp_split_to_array(trim({TX.ascii_lower_sql("coalesce(seg, '')")}), '\\s+')
            AS stoks,
          octet_length(encode(coalesce(seg, ''))) - length(coalesce(seg, ''))
            AS extra_bytes,
@@ -8817,10 +8822,15 @@ SELECT t AS token, count(*) AS n
 FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents)
 GROUP BY t ORDER BY n DESC, t LIMIT 20
 """,
-        "string_funcs_documents": """
+        # head_upper: pinned ASCII-only case law (TX.ascii_upper_sql);
+        # head_rev: pinned CODEPOINT reverse — DuckDB's reverse() is
+        # grapheme-aware (keeps combining sequences/ZWJ/flags intact)
+        # while Spark's reverses codepoints, so the oracle splits to
+        # codepoints first ('(?s).' = any char including newline)
+        "string_funcs_documents": f"""
 SELECT doc_id,
-       upper(substr(text, 1, 20)) AS head_upper,
-       reverse(substr(text, 1, 20)) AS head_rev,
+       {TX.ascii_upper_sql("substr(text, 1, 20)")} AS head_upper,
+       array_to_string(list_reverse(regexp_extract_all(substr(text, 1, 20), '(?s).')), '') AS head_rev,
        CAST(levenshtein(substr(text, 1, 20), 'the quick brown fox') AS INTEGER) AS lev_dist
 FROM documents
 """,

@@ -103,6 +103,45 @@ PINNED_LATIN_CLASS = _ranges_to_class(_LATIN_RANGES)
 PINNED_HAN_CLASS = _ranges_to_class(_HAN_RANGES)
 PINNED_CYRILLIC_CLASS = _ranges_to_class(_CYRILLIC_RANGES)
 
+# ---------------------------------------------------------------------
+# Pinned ASCII-only case mapping (the third engine-divergent primitive
+# after \s and the script classes): Spark's lower()/upper() perform
+# FULL Unicode case mapping (lower('İ') = 'i' + COMBINING DOT ABOVE,
+# upper('ß') = 'SS', Greek final sigma) while DuckDB's utf8proc path
+# does SIMPLE 1:1 mapping (lower('İ') = plain ASCII 'i', upper('ß') =
+# 'ẞ') — so a corpus token like 'İT' lowercases to the English marker
+# word 'it' in the oracle but not in Spark, and head_upper('ß...')
+# differs outright. Where a cross-engine-compared value needs case
+# folding, BOTH sides use the ASCII-only translate below: identical to
+# both engines' native mapping on ASCII text (committed hashes stand),
+# and a no-op on everything else. Law-tested in tests/test_case_law.py.
+# ---------------------------------------------------------------------
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_LOWER_TABLE = str.maketrans(ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """ASCII-only lowercase (pinned cross-engine case law)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_upper(col: Column | str) -> Column:
+    """ASCII-only uppercase (pinned cross-engine case law)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ASCII_LOWER, ASCII_UPPER)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`ascii_lower` for oracle SQL."""
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
+def ascii_upper_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`ascii_upper` for oracle SQL."""
+    return f"translate({expr}, '{ASCII_LOWER}', '{ASCII_UPPER}')"
+
 
 def pin_ws_oracle(sql: str) -> str:
     """Route a DuckDB oracle SQL string through the pinned whitespace
@@ -334,10 +373,29 @@ def repetition_stats(
     )
 
 
-#: (name, Java+RE2-compatible pattern, replacement) — patterns avoid
-#: constructs that differ between Java regex (Spark) and RE2 (DuckDB,
-#: used by the correctness oracle): no backrefs, no lookaround.
+#: (name, Java pattern, replacement). The pinned BOUNDARY LAW: a PII
+#: occurrence is delimited by ASCII word boundaries — adjacency to
+#: [0-9A-Za-z_] blocks the match, anything else (including non-ASCII
+#: letters) does not. RE2's ``\b`` IS that ASCII boundary, so the
+#: DuckDB oracle keeps the readable ``\b`` spelling; Java's ``\b`` is
+#: Unicode-aware (it treats é/ﬁ/中 as word characters, so "中555-123-
+#: 4567" silently escapes redaction), so the Spark side spells the
+#: SAME semantic with explicit ASCII lookarounds — zero-width, hence
+#: count- and replacement-identical to the oracle's ``\b``.
+#: Law-tested in tests/test_case_law.py. Beyond the boundary, the
+#: bodies avoid every construct the engines disagree on (no backrefs
+#: in patterns, no engine \w/\s/\d surprises — all classes explicit).
+_B = r"(?<![0-9A-Za-z_])"  # Java spelling of RE2's leading \b
+_E = r"(?![0-9A-Za-z_])"  # Java spelling of RE2's trailing \b
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", _B + r"\d{3}[-.]\d{3}[-.]\d{4}" + _E, "<PHONE>"),
+    ("ipv4", _B + r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}" + _E, "<IPV4>"),
+)
+
+#: The RE2/DuckDB spellings of the same pinned patterns (``\b`` is
+#: ASCII-word-based in RE2, which is exactly the law).
+PII_PATTERNS_SQL: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
@@ -378,15 +436,26 @@ def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred
     Returns ``df`` plus ``out_col``. Unknown/ambiguous → 'en' (ties are
     broken by marker-list order), non-ASCII-heavy → 'zh'.
     """
-    # one whitespace-bounded alternation regex per language
+    # One whitespace-bounded alternation regex per language. The
+    # boundaries use the PINNED whitespace class, not \S: Python's \s
+    # is Unicode-aware (NBSP, U+3000 count as whitespace) while the
+    # oracle tokenizes on the pinned ASCII run — so "x the" must
+    # NOT count as a marker hit on either side. "(?<![^...])" reads
+    # "preceded by pinned whitespace or start of string".
+    _not_ws = "[^ \\t\\n\\x0b\\f\\r]"
     lang_patterns = {
-        lang: r"(?<!\S)(?:" + "|".join(markers) + r")(?!\S)"
+        lang: f"(?<!{_not_ws})(?:" + "|".join(markers) + f")(?!{_not_ws})"
         for lang, markers in _LANG_MARKERS.items()
     }
 
     @F.pandas_udf(T.StringType())
     def marker_vote(texts: pd.Series) -> pd.Series:
-        sl = texts.fillna("").str.lower()
+        # ASCII-only lowercase (the pinned case law): Python's full
+        # str.lower() maps 'İ' to 'i'+combining-dot while DuckDB's
+        # simple lower() maps it to plain 'i' — which IS the marker
+        # word 'it' when followed by 't'. ASCII translate is identical
+        # on both engines and a no-op outside A-Z.
+        sl = texts.fillna("").str.translate(_ASCII_LOWER_TABLE)
         hits = pd.DataFrame({lang: sl.str.count(pat) for lang, pat in lang_patterns.items()})
         # idxmax returns the FIRST max column → ties break by dict
         # (marker-list) order, 'en' first
