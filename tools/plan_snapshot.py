@@ -37,6 +37,12 @@ from skylinemapreducehadoop_spark.session import get_session
 
 
 def fingerprint(plan: str) -> dict:
+    # Once any part of an AQE plan has executed (e.g. an operator's
+    # internal sampling job), toString() appends the pre-execution
+    # tree after an "== Initial Plan ==" marker — counting both halves
+    # doubles every metric for that entry depending on session state.
+    # Fingerprint only the CURRENT plan so counts are state-stable.
+    plan = plan.split("== Initial Plan ==")[0]
     global_windows = 0
     for ln in plan.splitlines():
         if "windowspecdefinition" not in ln or "__pid" in ln:
