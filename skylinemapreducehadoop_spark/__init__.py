@@ -203,6 +203,10 @@ __all__ = [
     "pca_project",
     "sorted_neighborhood_pairs",
     "image_dhash",
+    "image_pixel_stats",
+    "make_jpeg_pixels",
+    "ascii_lower",
+    "ascii_upper",
     "referential_integrity",
     "normalize_nfc",
     "encoding_artifacts",
@@ -261,11 +265,17 @@ from skylinemapreducehadoop_spark.operators.similarity import (
 from skylinemapreducehadoop_spark.operators.fuzzy import (
     sorted_neighborhood_pairs,
 )
-from skylinemapreducehadoop_spark.operators.multimodal import image_dhash
+from skylinemapreducehadoop_spark.operators.multimodal import (
+    image_dhash,
+    image_pixel_stats,
+    make_jpeg_pixels,
+)
 from skylinemapreducehadoop_spark.functions.expect import (
     referential_integrity,
 )
 from skylinemapreducehadoop_spark.functions.text import (
+    ascii_lower,
+    ascii_upper,
     corpus_budget_stats,
     encoding_artifacts,
     fix_mojibake,
