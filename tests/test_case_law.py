@@ -170,3 +170,41 @@ def test_reverse_codepoint_law_cross_engine(spark):
         assert got[i] == pinned, f"{c!r}"
         diverged += int(native != pinned)
     assert diverged >= 2  # control: the native spelling is NOT the law
+
+
+def test_oracle_lint_no_unpinned_divergent_primitives():
+    """Mechanical pin enforcement for FUTURE oracles (the
+    pin_ws_oracle bare-\\s guard generalized): no registered oracle
+    may use an engine-native spelling of a primitive the divergence
+    registry (PLANS.md §24) has pinned — native \\p{...} property
+    classes (Unicode table versions differ), lower()/upper() case
+    folding on data (full vs simple mapping), or native reverse()
+    (grapheme vs codepoint). Allowlisted survivors are the provably
+    safe or pinned-by-construction sites."""
+    import re
+
+    import __spark_entry__ as entry
+
+    sqls = entry.oracle_sql()
+    # upper() over hex() output is ASCII [0-9a-f] — case-safe
+    CASE_SAFE = {"multimodal_stats"}
+    # \b in oracle SQL IS the pinned ASCII boundary (RE2); the Spark
+    # twin's lookaround spelling is law-tested in this file
+    B_ALLOWED = {"redact_pii_documents"}
+    for name, sql in sqls.items():
+        assert "\\p{" not in sql, f"{name}: native Unicode property class"
+        if name not in CASE_SAFE:
+            assert not re.search(r"(?<![a-z_])(?:lower|upper)\(", sql), (
+                f"{name}: native case folding — use TX.ascii_lower_sql/"
+                "ascii_upper_sql (pinned case law)"
+            )
+        if name != "string_funcs_documents":
+            assert not re.search(r"(?<![a-z_])reverse\(", sql), (
+                f"{name}: native reverse() is grapheme-based — split to "
+                "codepoints first (pinned reverse law)"
+            )
+        if name not in B_ALLOWED:
+            assert "\\b" not in sql, (
+                f"{name}: \\b outside the allowlisted PII oracle — confirm "
+                "the Spark twin pins the ASCII boundary, then allowlist"
+            )
