@@ -768,13 +768,19 @@ def main() -> None:
     # ran the identical plan on 10x the data in the same process. On
     # inversion: (1) re-measure warm in-process and keep the min;
     # (2) if STILL inverted, re-measure in a FRESH session (the same
-    # drift-proof step the 30x band rule uses — the residual r11
-    # inversions were <=10% session-state noise that a fresh process
-    # removes) and keep the min; (3) anything inverted even then is
-    # recorded loudly in measurement_inversions. The original 3-run
+    # drift-proof step the 30x band rule uses) and keep the min;
+    # (3) every residual is recorded loudly in measurement_inversions
+    # with its magnitude, but only inversions ABOVE the documented 15%
+    # noise band count in n_inversions (r11 verdict task 5's widened
+    # gate, adopted after the ladder alone left <=11% residuals on
+    # overhead-dominated members — a query whose 10x probe runs in
+    # ~the same time as 1x is flat-curve, so a sub-15% "inversion"
+    # carries no signal; minor ones are tallied separately in
+    # n_inversions_minor, nothing is dropped). The original 3-run
     # spread is kept INTACT (ADVICE r11: truncating it to the 3
     # smallest hid exactly the drift it documents); re-measured values
     # land separately in extra_remeasured.
+    INVERSION_NOISE_BAND = 0.15
     inversions: dict[str, dict] = {}
     extra_remeasured: dict[str, list[float]] = {}
     probe_q0 = scale_probe.get("queries", {}) if isinstance(scale_probe, dict) else {}
@@ -794,7 +800,12 @@ def main() -> None:
                     best = min(best, fresh)
             extra[name] = best
             if best > t10x:
-                inversions[name] = {"extra_1x": best, "probe_10x": t10x}
+                inversions[name] = {
+                    "extra_1x": best,
+                    "probe_10x": t10x,
+                    "pct": round((best - t10x) / t10x * 100, 1),
+                    "significant": (best - t10x) > INVERSION_NOISE_BAND * t10x,
+                }
 
     # 30x tier over the 10 slowest 10x members (r10 verdict task 3):
     # same best-of-2 discipline, per-member 30x/10x ratio recorded so a
@@ -945,7 +956,12 @@ def main() -> None:
             and not scale_probe_30x.get("errors")
             and not scale_probe_30x.get("error")
         ),
-        "n_inversions": len(inversions),
+        "n_inversions": sum(
+            1 for v in inversions.values() if v.get("significant")
+        ),
+        "n_inversions_minor": sum(
+            1 for v in inversions.values() if not v.get("significant")
+        ),
         "n_band_breaches": len(
             scale_probe_30x.get("band_breaches", {})
             if isinstance(scale_probe_30x, dict)
