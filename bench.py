@@ -772,11 +772,15 @@ def main() -> None:
     # (3) every residual is recorded loudly in measurement_inversions
     # with its magnitude, but only inversions ABOVE the documented 15%
     # noise band count in n_inversions (r11 verdict task 5's widened
-    # gate, adopted after the ladder alone left <=11% residuals on
-    # overhead-dominated members — a query whose 10x probe runs in
-    # ~the same time as 1x is flat-curve, so a sub-15% "inversion"
-    # carries no signal; minor ones are tallied separately in
-    # n_inversions_minor, nothing is dropped). The original 3-run
+    # gate). The band is a PURE MAGNITUDE threshold, deliberately NOT
+    # conditioned on curve shape (ADVICE r12): any <=15% inversion is
+    # automatically "flat" in the only sense that matters — an
+    # inverted pair satisfies t10x >= best/1.15, so a would-be
+    # flatness gate (t10x within 2x of t1x) is vacuously true for
+    # every banded member; the per-record flat_curve field documents
+    # this rather than silently implying the band is flat-only. Minor
+    # ones are tallied separately in n_inversions_minor, nothing is
+    # dropped. The original 3-run
     # spread is kept INTACT (ADVICE r11: truncating it to the 3
     # smallest hid exactly the drift it documents); re-measured values
     # land separately in extra_remeasured.
@@ -805,6 +809,9 @@ def main() -> None:
                     "probe_10x": t10x,
                     "pct": round((best - t10x) / t10x * 100, 1),
                     "significant": (best - t10x) > INVERSION_NOISE_BAND * t10x,
+                    # overhead-dominated flat curve: 10x within 2x of
+                    # 1x (always true for banded members — see comment)
+                    "flat_curve": t10x >= best / 2.0,
                 }
 
     # 30x tier over the 10 slowest 10x members (r10 verdict task 3):
@@ -915,6 +922,13 @@ def main() -> None:
     if scale_probe_30x:
         detail["scale_probe_30x"] = scale_probe_30x
     detail["measurement_inversions"] = inversions
+    # environment fingerprint in every artifact (r12 verdict task 6)
+    try:
+        from tools.envinfo import env_fingerprint
+
+        detail["env"] = env_fingerprint(spark)
+    except Exception:  # noqa: BLE001
+        pass
     if errors:
         detail["errors"] = errors
     # Full record to disk (survives any stdout truncation) and to

@@ -142,18 +142,23 @@ def decode_media(
     output cardinality may differ from the input (frame sampling).
 
     Decoder selection: ``'auto'`` (default) uses the REAL Pillow codec
-    when the library is importable, else per payload the no-codec
-    stdlib pixel tier (8-bit PNG, 24-bit BMP, baseline gray JPEG —
-    genuine decoded stats) with the deterministic fake as the final
-    fallback; ``'real'`` requires Pillow and raises
-    ``NotImplementedError`` without it; ``'stdlib'`` forces the
-    no-codec pixel tier (out-of-tier payloads get the (0, 0, zeros)
-    sentinel); ``'header'`` parses genuine PNG/GIF/BMP/JPEG structure
-    for true dimensions with byte-stat features — real format
-    decoding with no codec dependency; ``'fake'`` forces the
-    synthetic decode. The probe runs on the driver — workers are
-    assumed to share the driver's environment (standard Spark
-    deployment).
+    when the library is importable, else falls back to ``'hybrid'``;
+    ``'hybrid'`` (an explicit value too) decodes each payload with the
+    no-codec stdlib pixel tier (8-bit PNG, 24-bit BMP, baseline gray
+    JPEG — genuine decoded stats) and the deterministic fake for
+    out-of-tier payloads — NOTE the mixed-semantics contract: one
+    output column can hold real decoded stats for in-tier payloads
+    and synthetic stats for the rest (ADVICE r12 — explicit, by
+    design, so no-Pillow environments still exercise the real tier);
+    ``'real'`` requires Pillow and raises ``NotImplementedError``
+    without it (fall back to ``'hybrid'``/``'auto'``/``'fake'``);
+    ``'stdlib'`` forces the no-codec pixel tier (out-of-tier payloads
+    get the (0, 0, zeros) sentinel); ``'header'`` parses genuine
+    PNG/GIF/BMP/JPEG structure for true dimensions with byte-stat
+    features — real format decoding with no codec dependency;
+    ``'fake'`` forces the synthetic decode. The probe runs on the
+    driver — workers are assumed to share the driver's environment
+    (standard Spark deployment).
     """
     if decoder == "auto":
         decoder = "real" if pillow_available() else "hybrid"
@@ -161,8 +166,9 @@ def decode_media(
         if not pillow_available():
             raise NotImplementedError(
                 "real media decoding requires Pillow/ffmpeg, which are not "
-                "installed in this environment; use decoder='fake' (or "
-                "'auto') for pipeline plumbing"
+                "installed in this environment; use decoder='hybrid' (the "
+                "no-codec pixel tier + fake fallback), 'fake', or 'auto' "
+                "for pipeline plumbing"
             )
         decode_one = _real_decode
     elif decoder == "header":
@@ -1179,7 +1185,11 @@ def _jpeg_decode_gray8(b) -> "tuple[int, int, np.ndarray] | None":
                 }
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
-            if len(body) < 8 or body[0] != 8:
+            # a single-component frame needs 9 bytes (precision,
+            # h, w, ncomp, comp-id, sampling, qid): a crafted 8-byte
+            # body would otherwise IndexError at body[8] instead of
+            # falling through as malformed (ADVICE r12)
+            if len(body) < 9 or body[0] != 8:
                 return None
             h, w = struct.unpack(">HH", body[1:5])
             if body[5] != 1:

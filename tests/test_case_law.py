@@ -189,8 +189,10 @@ def test_oracle_lint_no_unpinned_divergent_primitives():
     # upper() over hex() output is ASCII [0-9a-f] — case-safe
     CASE_SAFE = {"multimodal_stats"}
     # \b in oracle SQL IS the pinned ASCII boundary (RE2); the Spark
-    # twin's lookaround spelling is law-tested in this file
-    B_ALLOWED = {"redact_pii_documents"}
+    # twin's lookaround spelling is law-tested in this file. The r13
+    # canary_word_boundary entry probes exactly this law pair (its
+    # Spark side uses the lookaround spelling, tests/test_canary.py).
+    B_ALLOWED = {"redact_pii_documents", "canary_word_boundary"}
     for name, sql in sqls.items():
         assert "\\p{" not in sql, f"{name}: native Unicode property class"
         if name not in CASE_SAFE:

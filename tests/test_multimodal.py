@@ -984,3 +984,34 @@ def test_decode_media_stdlib_tier_and_auto_hybrid(spark):
     assert auto[1]["features"] == got[1]["features"]  # real, not fake
     fw, fh, ff = _fake_decode(b"not an image at all")
     assert (auto[3]["width"], auto[3]["height"], auto[3]["features"]) == (fw, fh, ff)
+
+
+def test_jpeg_truncated_sof0_returns_none():
+    """ADVICE r12: a crafted SOF0 with an 8-byte body (one byte short
+    of the single-component frame's qid at body[8]) must fall through
+    as malformed (None), not IndexError inside the UDF. Built from a
+    valid stream by shrinking the SOF0 segment."""
+    import struct
+
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.multimodal import (
+        _jpeg_decode_gray8,
+        make_jpeg_pixels,
+    )
+
+    good = make_jpeg_pixels(8, 8, np.zeros((8, 8), np.uint8))
+    i = good.find(b"\xff\xc0")
+    assert i >= 0
+    (seg_len,) = struct.unpack(">H", good[i + 2 : i + 4])
+    body = good[i + 4 : i + 2 + seg_len]
+    assert len(body) >= 9
+    # rebuild the stream with the SOF0 body truncated to 8 bytes
+    crafted = (
+        good[:i]
+        + b"\xff\xc0"
+        + struct.pack(">H", 2 + 8)
+        + body[:8]
+        + good[i + 2 + seg_len :]
+    )
+    assert _jpeg_decode_gray8(crafted) is None

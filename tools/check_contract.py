@@ -224,10 +224,12 @@ def main() -> int:
 
     print(f"\n{n_pass} ok, {n_fail} fail")
     if json_out:
+        from tools.envinfo import env_fingerprint
+
         with open(json_out, "w") as fh:
             json.dump(
                 {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-                 "results": results},
+                 "env": env_fingerprint(spark), "results": results},
                 fh, indent=1, default=str,
             )
         print(f"wrote {json_out}")

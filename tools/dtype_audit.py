@@ -1,0 +1,73 @@
+"""Cross-engine OUTPUT DTYPE audit (r13 divergence forensics).
+
+The local comparator (`check_contract._norm_df`) compares cells with
+Python `==`, which is int/float tolerant (600 == 600.0) — but a
+VALUE-HASH comparator (the driver's) serializes cells before hashing,
+so an int64 Spark column vs a float64 oracle column (DuckDB returns
+HUGEINT `sum(BIGINT)` as float64 through fetchdf) hashes differently
+even when every value is numerically identical. This tool runs every
+requested entry on BOTH engines and reports, per column, the pandas
+dtype pair and whether the NORMALIZED PYTHON TYPES of the first rows
+differ — the exact class of silent divergence a value-hash sees and
+`==` does not.
+
+Usage: python tools/dtype_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from skylinemapreducehadoop_spark.session import get_session  # noqa: E402
+from tools.check_contract import _connect, _norm_cell  # noqa: E402
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    con = _connect(sf_dir)
+    spark = get_session()
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_mismatch = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            opdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR   {name}: {type(e).__name__}: {e}")
+            continue
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            print(f"SCHEMA {name}: {sorted(spdf.columns)} vs {sorted(opdf.columns)}")
+            continue
+        bad = []
+        for c in spdf.columns:
+            sv = next((x for x in (_norm_cell(v) for v in spdf[c]) if x is not None), None)
+            ov = next((x for x in (_norm_cell(v) for v in opdf[c]) if x is not None), None)
+            if sv is None or ov is None:
+                continue
+            if type(sv) is not type(ov):
+                bad.append(
+                    f"{c}: spark {spdf[c].dtype}/{type(sv).__name__}"
+                    f" vs oracle {opdf[c].dtype}/{type(ov).__name__}"
+                )
+        if bad:
+            n_mismatch += 1
+            print(f"TYPE  {name}: " + "; ".join(bad))
+        else:
+            print(f"ok    {name}")
+    print(f"\n{n_mismatch} entries with cell-type mismatches")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
