@@ -785,18 +785,24 @@ def _digest_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = F.coalesce(F.col("text"), F.lit(""))
+    # the bucket sum is folded mod 2^52 in exact DECIMAL: n_docs
+    # buckets of < 2^52 each overflow a BIGINT beyond ~2k rows (caught
+    # by the r13 sf0.1 sweep), and the digest only needs equality, not
+    # magnitude
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        F.lit(4503599627370496),
+    )
     return docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length(t)).cast("long").alias("sum_chars"),
         F.sum(F.octet_length(t)).cast("long").alias("sum_bytes"),
-        F.sum(
-            F.pmod(
-                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-                F.lit(4503599627370496),
-            )
+        F.pmod(
+            F.sum(bucket.cast("decimal(38,0)")),
+            F.lit(4503599627370496).cast("decimal(38,0)"),
         )
         .cast("long")
-        .alias("sum_bucket"),
+        .alias("bucket_digest"),
     )
 
 
@@ -805,8 +811,99 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars,
        CAST(sum(strlen(coalesce(text, ''))) AS BIGINT) AS sum_bytes,
        CAST(sum(('0x' || substr(md5(coalesce(text, '')), 1, 15))::BIGINT
-                % 4503599627370496) AS BIGINT) AS sum_bucket
+                % 4503599627370496)::HUGEINT
+            % 4503599627370496 AS BIGINT) AS bucket_digest
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------
+# C14 — datetime conventions (below-window law canary, added late r13)
+# ---------------------------------------------------------------------
+# The repo's session pins spark.sql.session.timeZone=UTC and reads the
+# nanos events timestamps via integer micros division, so every
+# temporal oracle pair relies on: identical epoch-micros extraction,
+# identical 'yyyy-MM-dd HH' formatting, the day-of-week convention
+# bridge (Spark weekday() 0=Mon ... 6=Sun == DuckDB isodow - 1), and
+# identical date_trunc + timestamp MATERIALIZATION (both sides
+# isoformat to the same string through pandas). All probed on one
+# planted literal (2024-03-10 01:30:45, a Sunday).
+
+_DT_LIT = "2024-03-10 01:30:45"
+_DT_EPOCH_US = 1710034245000000
+_DT_HOUR_FMT = "2024-03-10 01"
+_DT_WEEKDAY = 6  # Monday=0 convention; the probe date is a Sunday
+
+
+def _dt_spark(spark: SparkSession) -> DataFrame:
+    ts = F.to_timestamp(F.lit(_DT_LIT))
+    return spark.range(1).select(
+        F.lit("dt").alias("probe"),
+        F.unix_micros(ts).alias("s_epoch_us"),
+        F.date_format(ts, "yyyy-MM-dd HH").alias("s_hour_fmt"),
+        F.weekday(ts).cast("long").alias("s_weekday"),
+        F.date_trunc("hour", ts).alias("s_trunc_hour"),
+        F.lit(_DT_EPOCH_US).alias("o_epoch_us"),
+        F.lit(_DT_HOUR_FMT).alias("o_hour_fmt"),
+        F.lit(_DT_WEEKDAY).cast("long").alias("o_weekday"),
+        F.to_timestamp(F.lit("2024-03-10 01:00:00")).alias("o_trunc_hour"),
+    )
+
+
+_DT_ORACLE = f"""
+SELECT 'dt' AS probe,
+       {_DT_EPOCH_US} AS s_epoch_us,
+       '{_DT_HOUR_FMT}' AS s_hour_fmt,
+       {_DT_WEEKDAY} AS s_weekday,
+       TIMESTAMP '2024-03-10 01:00:00' AS s_trunc_hour,
+       epoch_us(TIMESTAMP '{_DT_LIT}') AS o_epoch_us,
+       strftime(TIMESTAMP '{_DT_LIT}', '%Y-%m-%d %H') AS o_hour_fmt,
+       isodow(TIMESTAMP '{_DT_LIT}') - 1 AS o_weekday,
+       date_trunc('hour', TIMESTAMP '{_DT_LIT}') AS o_trunc_hour
+"""
+
+
+# ---------------------------------------------------------------------
+# C15 — DECIMAL materialization law (below-window, added late r13)
+# ---------------------------------------------------------------------
+# Raw DECIMAL output columns are FORBIDDEN by the repo's parity rules:
+# Spark's toPandas materializes DecimalType as Python Decimal objects
+# (normalized to scale-preserving strings, '3.75'), while duckdb 1.0's
+# fetchdf materializes DECIMAL as float64 — a str-vs-float seam, the
+# sibling of the HUGEINT one (PLANS.md section 26). Every oracle pair
+# therefore ends a decimal-exact computation with ONE cast to DOUBLE
+# (or BIGINT on a scaled-integer grid). This canary pins that closing
+# step: an exact DECIMAL(38,2) sum, emitted through the mandated
+# double/bigint casts on both sides.
+
+_DEC_CENTS = [150, 225, 1000, 7]  # planted cents, sum 13.82
+
+
+def _dec_spark(spark: SparkSession) -> DataFrame:
+    arr = F.array(*[F.lit(c) for c in _DEC_CENTS])
+    cents = (
+        spark.range(1)
+        .select(F.explode(arr).alias("c"))
+        .select((F.col("c").cast("decimal(38,2)") / F.lit(100)).alias("v"))
+    )
+    total = sum(_DEC_CENTS)
+    return cents.agg(
+        F.lit("dec").alias("probe"),
+        F.sum("v").cast("double").alias("s_total_dbl"),
+        (F.sum("v") * F.lit(100)).cast("long").alias("s_total_cents"),
+        F.lit(total / 100.0).alias("o_total_dbl"),
+        F.lit(total).cast("long").alias("o_total_cents"),
+    )
+
+
+_DEC_ORACLE = f"""
+SELECT 'dec' AS probe,
+       {sum(_DEC_CENTS) / 100.0!r} AS s_total_dbl,
+       {sum(_DEC_CENTS)} AS s_total_cents,
+       CAST(sum(v) AS DOUBLE) AS o_total_dbl,
+       CAST(sum(v) * 100 AS BIGINT) AS o_total_cents
+FROM (SELECT CAST(c AS DECIMAL(38,2)) / 100 AS v
+      FROM (VALUES {", ".join(f"({c})" for c in _DEC_CENTS)}) t(c))
 """
 
 
@@ -837,6 +934,11 @@ CANARIES: dict = {
     "canary_int_arith": (_no_sf(_div_spark), _div_oracle()),
     "canary_group_sort": (_no_sf(_group_spark), _group_oracle()),
     "canary_corpus_digest": (_digest_spark, _DIGEST_ORACLE),
+    # below-window law canaries (late r13): data-independent, so
+    # scale-invariant — attested by LOCALCHECK, rotated into a window
+    # only if a pinned law changes (rule 2)
+    "canary_datetime": (_no_sf(_dt_spark), _DT_ORACLE),
+    "canary_decimal": (_no_sf(_dec_spark), _DEC_ORACLE),
 }
 
 
