@@ -565,11 +565,20 @@ def _round_truth(num: int, den: int, digits: int = 9) -> float:
 
 
 # native round probes on exact doubles (agreeing on both engines
-# today; a driver engine change flips this canary)
-_NATIVE_ROUND: list[tuple[str, float, int, float]] = [
-    ("rd_half", 2.5, 0, 3.0),
-    ("rd_neg", -2.5, 0, -3.0),
-    ("rd_exact", 0.125, 2, 0.13),
+# today; a driver engine change flips this canary). rd_negzero pins a
+# probed SIGNED-ZERO divergence: Spark's round(-1e-10, 6) returns
+# +0.0 while duckdb's returns -0.0 — equal under ==, DIFFERENT under
+# any serializing value-hash, so each side carries its OWN truth here
+# (the mirrored design allows it) and the repo-wide law is: never
+# emit a round() of a possibly-tiny-negative without a signed-zero
+# normalization (`+ 0.0` on both sides) — enforced by the repr pass
+# of tools/dtype_audit.py.
+_NATIVE_ROUND: list[tuple[str, float, int, float, float]] = [
+    # (probe, x, digits, spark_truth, oracle_truth)
+    ("rd_half", 2.5, 0, 3.0, 3.0),
+    ("rd_neg", -2.5, 0, -3.0, -3.0),
+    ("rd_exact", 0.125, 2, 0.13, 0.13),
+    ("rd_negzero", -1e-10, 6, 0.0, -0.0),
 ]
 
 
@@ -595,9 +604,9 @@ def _round_spark(spark: SparkSession) -> DataFrame:
         spark.range(1).select(
             F.lit(name).alias("probe"),
             F.round(F.lit(x), d).alias("s_val"),
-            F.lit(expect).alias("o_val"),
+            F.lit(o_truth).alias("o_val"),
         )
-        for name, x, d, expect in _NATIVE_ROUND
+        for name, x, d, _s_truth, o_truth in _NATIVE_ROUND
     ]
     out = ties
     for n in native:
@@ -613,8 +622,8 @@ def _round_oracle() -> str:
         for name, num, den in _TIE_PROBES
     )
     native_rows = ",\n    ".join(
-        f"({_sqlq(name)}, CAST({x!r} AS DOUBLE), {d}, CAST({expect!r} AS DOUBLE))"
-        for name, x, d, expect in _NATIVE_ROUND
+        f"({_sqlq(name)}, CAST({x!r} AS DOUBLE), {d}, CAST({s_truth!r} AS DOUBLE))"
+        for name, x, d, s_truth, _o_truth in _NATIVE_ROUND
     )
     return f"""
 WITH ties(probe, num, den, s_val) AS (VALUES

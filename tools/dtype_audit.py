@@ -59,6 +59,22 @@ def main() -> int:
                     f"{c}: spark {spdf[c].dtype}/{type(sv).__name__}"
                     f" vs oracle {opdf[c].dtype}/{type(ov).__name__}"
                 )
+        # repr-level pass (r13): a serializing value-hash distinguishes
+        # cells Python == cannot — -0.0 vs 0.0, 1 vs True, one-ulp
+        # float differences that round-trip to different reprs. Compare
+        # the SORTED normalized rows cell-by-cell by repr; only
+        # meaningful when both frames have the same row count.
+        if not bad and len(spdf) == len(opdf):
+            from tools.check_contract import _norm_df
+
+            a, b = _norm_df(spdf), _norm_df(opdf)
+            for ra, rb in zip(a, b):
+                for x, y in zip(ra, rb):
+                    if repr(x) != repr(y):
+                        bad.append(f"repr: {x!r} vs {y!r}")
+                        break
+                if bad:
+                    break
         if bad:
             n_mismatch += 1
             print(f"TYPE  {name}: " + "; ".join(bad))
