@@ -59,6 +59,32 @@ def main() -> int:
                     f"{c}: spark {spdf[c].dtype}/{type(sv).__name__}"
                     f" vs oracle {opdf[c].dtype}/{type(ov).__name__}"
                 )
+        # NaN-vs-NULL census (r13): _norm_cell maps BOTH float NaN and
+        # SQL NULL to None, so a cell that is NaN on one engine and
+        # NULL on the other is ==-green locally but may hash-red under
+        # a comparator that serializes NaN distinctly. Flag any column
+        # whose NaN count differs between engines (true NULLs arrive
+        # as None/NaN uniformly per column; a count mismatch means the
+        # two engines disagree on WHICH missing kind they emit).
+        if not bad and len(spdf) == len(opdf):
+            import math
+
+            def _nan_count(col):
+                n = 0
+                for v in col:
+                    if isinstance(v, float) and math.isnan(v):
+                        n += 1
+                return n
+
+            for c in spdf.columns:
+                ns, no = _nan_count(spdf[c]), _nan_count(opdf[c])
+                none_s = sum(1 for v in spdf[c] if v is None)
+                none_o = sum(1 for v in opdf[c] if v is None)
+                if (ns + none_s) == (no + none_o) and ns != no:
+                    bad.append(
+                        f"{c}: NaN/NULL kind mismatch (spark {ns} NaN/"
+                        f"{none_s} None vs oracle {no} NaN/{none_o} None)"
+                    )
         # repr-level pass (r13): a serializing value-hash distinguishes
         # cells Python == cannot — -0.0 vs 0.0, 1 vs True, one-ulp
         # float differences that round-trip to different reprs. Compare
