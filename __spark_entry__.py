@@ -5076,94 +5076,101 @@ def _hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The 50-entry ROUND-13 driver window (COVERAGE.md r13 rotation,
-# amended per the r12 verdict: canaries + the fixed reds take rule-1/2
-# priority). queries() reorders the registry so these lead; everything
-# else keeps its _registry() order.
-_R13_WINDOW: list[str] = [
-    # (a) positions 1-13: the cross-engine canary probes (VERDICT
-    # task 1; functions/canary.py). canary_sum_raw is the
-    # deliberately-uncast half of the dtype differential pair — green
-    # locally by `==`-comparison, and at the driver it PROVES or
-    # refutes the HUGEINT-float64 value-hash channel that
-    # tools/dtype_audit.py identified as the r11/r12 red root cause.
-    "canary_sum_cast",
-    "canary_sum_raw",
-    "canary_ws_split",
-    "canary_script_ranges",
-    "canary_case_fold",
-    "canary_word_boundary",
-    "canary_reverse_nfc",
-    "canary_len_bytes",
-    "canary_md5_hash",
-    "canary_round_law",
-    "canary_int_arith",
-    "canary_group_sort",
-    "canary_corpus_digest",
-    # (b) positions 14-17 (rule 2): the four r12 driver reds, fixed
-    # this round (oracle HUGEINT sums cast to BIGINT)
-    "vocab_growth_documents",
-    "strip_boilerplate_documents",
-    "byte_token_budget_documents",
-    "script_mix_documents",
-    # (c) positions 18-19 (rule 2): the ann_*_topk entries converted
-    # from rows-only to real exact-top-k oracles (VERDICT task 5)
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # (d) positions 20-24 (rule 1/2): the five entries COVERAGE.md's
-    # prepared r13 arithmetic seats first (mid-r12 addition + the
-    # four whose executed semantics the r12 pins changed outside the
-    # r12 window)
-    "seasonality_month_orders",
-    "redact_pii_documents",
-    "string_funcs_documents",
-    "lang_id_documents",
-    "langid_confusion_documents",
-    # (e) positions 25-40 (rule 3): the r12 slip list (r7-green,
-    # stalest tier)
-    "histogram_orders",
-    "skyline_bruteforce",
-    "skyline_5dim",
-    "skyline_events",
-    "window_top2_orders",
-    "events_hourly",
-    "fingerprint_rolling_documents",
-    "dedup_exact_documents",
-    "dedup_simhash_documents",
-    "ngram_jaccard_documents",
-    "topk_similarity",
-    "multimodal_stats",
-    "token_entropy_documents",
-    "window_analytics_orders",
-    # kmeans_embeddings / pagerank_dup_graph from the prepared slip
-    # list are declared rows-only (iterative, no SQL oracle) — under
-    # the r13 exemption policy they no longer spend window slots
-    # (their families' hash-checkable siblings attest: kmeans via
-    # class_scatter/embedding stats, pagerank via the r11-green graph
-    # family); two more r8-green family reps take their places:
-    "rollup_orders",
-    "zscore_outliers_events",
-    # (f) positions 41-50 (rule 3, family-coverage tiebreak): ten of
-    # the 45 r8-green entries — one rep per structural family
-    # (single-pass agg, correlated min, anti-join, set ops, grouping
-    # sets, pivot, regression, retrieval, multimodal, streaming); the
-    # other 35 slip to r14 (COVERAGE.md r14 arithmetic)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "anti_join_customers",
-    "set_ops_customers",
-    "cube_events",
-    "pivot_user_events",
-    "linreg_lineitem",
-    "bm25_search_documents",
-    "image_header_check",
-    "streaming_dedup_replay",
+# The 50-entry ROUND-14 driver window (COVERAGE.md r14 rotation,
+# executed per the r13 verdict: seat the two never-driver-checked
+# canaries, retire the job-done expected-red canary_sum_raw, re-attest
+# the stalest once-green tier). queries() reorders the registry so
+# these lead; everything else keeps its _registry() order. The r13
+# window is recorded in COVERAGE.md and git history.
+#
+# The other 13 r13 canaries (all driver-attested r13; canary_sum_raw
+# deliberately hash-red, its differential job DONE — root cause
+# confirmed at the driver) are data-independent fixture probes: per
+# the exemption policy they sit BELOW the window permanently and
+# re-enter only when a pinned primitive changes (rule 2), never by
+# staleness. Any future driver red is read against COVERAGE.md's
+# canary interpretation table FIRST, before any code change.
+_R14_WINDOW: list[str] = [
+    # (a) positions 1-2 (rule 1): the two canaries added below-window
+    # late in r13 — the only never-driver-checked entries
+    # (STALENESS_r13.json). Both strict-green locally; their oracles'
+    # integer/double literals pinned to BIGINT/DOUBLE this round
+    # (ADVICE r13) so no known dtype/width seam rides into the seat.
+    "canary_datetime",
+    "canary_decimal",
+    # (b) positions 3-35 (rule 3, stalest-first): ALL 33 staleness-6
+    # entries (r8-green, never re-attested — the prepared r14 pool;
+    # the prepared count of 35 included kmeans_embeddings /
+    # pagerank_dup_graph, which are declared rows-only and exempt
+    # from staleness rotation; their hash-checkable siblings
+    # kmeans_blobs_check / pagerank_cycle_check are seated in (c)).
+    "approx_percentile_check",
+    "bigram_logprob_documents",
+    "corr_lineitem",
+    "data_quality_orders",
+    "decontaminate_fuzzy_documents",
+    "encode_documents",
+    "entity_resolution_partnames",
+    "event_transitions_markov",
+    "join_nation_revenue",
+    "knn_graph_sample",
+    "percentile_value_by_type",
+    "q3_shipping_priority",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_brands",
+    "q12_priority_by_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
+    "q21_waiting_orders",
+    "segment_dedup_documents",
+    "segment_dedup_shifted",
+    "streaming_enrich_replay",
+    "streaming_interval_join_replay",
+    "streaming_rollup_replay",
+    "streaming_session_replay",
+    "streaming_skyline_replay",
+    "triangle_count_copurchase",
+    # (c) positions 36-50 (rule 3 backfill): 15 of the 46 staleness-5
+    # entries (r9-green — the actual next-stalest tier; COVERAGE.md's
+    # prepared text mislabeled this backfill pool "r11-green", the
+    # data-derived staleness governs), family-coverage tiebreak: two
+    # skyline algorithms + the reverse skyline, the flagship
+    # MinHash near-dup + the prefix-filter setsim join, ANN-IVF
+    # recall + batch similarity, the known-answer attestors of the
+    # two rows-only-exempt iterative entries, the last un-reattested
+    # streaming replay, multimodal frame sampling, BPE merges,
+    # jsonl round-trip (source/sink), interval concurrency
+    # (temporal), and table diff (CDC). The 31 staleness-5 entries
+    # not seated slip to r15 under the family-sibling rule
+    # (COVERAGE.md r15 arithmetic).
+    "skyline_twophase",
+    "skyline_quadtree",
+    "reverse_skyline_part",
+    "dedup_minhash_documents",
+    "setsim_join_documents",
+    "ann_recall_ivf",
+    "topk_batch_similarity",
+    "pagerank_cycle_check",
+    "kmeans_blobs_check",
+    "streaming_moments_replay",
+    "frame_sample_check",
+    "bpe_merges_check",
+    "jsonl_roundtrip_documents",
+    "max_concurrency_events",
+    "table_diff_orders",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: ORDER MATTERS — the harness checks the FIRST
-    50 entries only. _R13_WINDOW leads (the r13 rotation); every
+    50 entries only. _R14_WINDOW leads (the r14 rotation); every
     other entry follows in _registry() order. The rows-only-by-design
     sketch outputs (approx_percentile_value, approx_distinct_users)
     are permanently BELOW the window per the r13 rotation-exemption
@@ -5173,7 +5180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     base = _registry()
     base.update(CN.canary_queries())
-    out = {name: base[name] for name in _R13_WINDOW}
+    out = {name: base[name] for name in _R14_WINDOW}
     for name, fn in base.items():
         if name not in out:
             out[name] = fn
@@ -5183,7 +5190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The full registry in its historical order (in-dict comments
     # record each past round's window; the CURRENT window ordering is
-    # _R13_WINDOW above, applied by queries()).
+    # _R14_WINDOW above, applied by queries()).
     return {
         # ---- ROUND-12 WINDOW (driver checks the FIRST 50) ----
         # Per the rotation priority rule (COVERAGE.md): (a) positions

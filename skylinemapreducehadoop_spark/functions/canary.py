@@ -863,7 +863,7 @@ _DT_ORACLE = f"""
 SELECT 'dt' AS probe,
        {_DT_EPOCH_US} AS s_epoch_us,
        '{_DT_HOUR_FMT}' AS s_hour_fmt,
-       {_DT_WEEKDAY} AS s_weekday,
+       CAST({_DT_WEEKDAY} AS BIGINT) AS s_weekday,
        TIMESTAMP '2024-03-10 01:00:00' AS s_trunc_hour,
        epoch_us(TIMESTAMP '{_DT_LIT}') AS o_epoch_us,
        strftime(TIMESTAMP '{_DT_LIT}', '%Y-%m-%d %H') AS o_hour_fmt,
@@ -907,8 +907,8 @@ def _dec_spark(spark: SparkSession) -> DataFrame:
 
 _DEC_ORACLE = f"""
 SELECT 'dec' AS probe,
-       {sum(_DEC_CENTS) / 100.0!r} AS s_total_dbl,
-       {sum(_DEC_CENTS)} AS s_total_cents,
+       CAST({sum(_DEC_CENTS) / 100.0!r} AS DOUBLE) AS s_total_dbl,
+       CAST({sum(_DEC_CENTS)} AS BIGINT) AS s_total_cents,
        CAST(sum(v) AS DOUBLE) AS o_total_dbl,
        CAST(sum(v) * 100 AS BIGINT) AS o_total_cents
 FROM (SELECT CAST(c AS DECIMAL(38,2)) / 100 AS v

@@ -92,18 +92,27 @@ def test_canary_oracles_pass_ws_lint():
         pin_ws_oracle(sql)  # raises on any bare \s
 
 
-def test_registry_window_is_canary_first():
+def test_registry_window_r14_invariants():
     import sys
 
     sys.path.insert(0, ".")
     import __spark_entry__ as E
 
     qs = list(E.queries().keys())
-    assert qs[:50] == E._R13_WINDOW
+    assert qs[:50] == E._R14_WINDOW
+    assert len(set(E._R14_WINDOW)) == 50
     oracles = E.oracle_sql()
     # task 5 (r12 verdict): no rows-only entry may hold a window slot
     assert all(q in oracles for q in qs[:50])
-    # the canaries lead the window
-    assert qs[0] == "canary_sum_cast"
-    assert qs[1] == "canary_sum_raw"
-    assert all(q.startswith("canary_") for q in qs[:13])
+    # rule 1: the two never-driver-checked canaries lead the window
+    assert qs[0] == "canary_datetime"
+    assert qs[1] == "canary_decimal"
+    # r13 verdict task 2: the job-done expected-red diagnostic is
+    # retired from the window (it stays in the registry, below)
+    assert "canary_sum_raw" not in qs[:50]
+    assert "canary_sum_raw" in qs
+    # the other r13-attested canaries are below-window permanent
+    # infrastructure (re-enter only under rule 2)
+    assert not any(
+        q.startswith("canary_") for q in qs[2:50]
+    ), [q for q in qs[2:50] if q.startswith("canary_")]

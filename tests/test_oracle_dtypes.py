@@ -73,3 +73,33 @@ def test_hugeint_seam_is_real(con):
     re-derived."""
     pdf = con.execute("SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)").fetchdf()
     assert pdf["s"].dtype == np.float64
+
+
+def test_decimal_canary_oracle_emits_sql_double(con):
+    """ADVICE r13: the C15 oracle's s_total_dbl literal must be DOUBLE
+    at the SQL type level, not a bare DECIMAL(4,2) literal that is
+    only float64 because duckdb 1.0's fetchdf materializes DECIMAL
+    that way. typeof() pins the SQL type, independent of fetchdf."""
+    from skylinemapreducehadoop_spark.functions.canary import _DEC_ORACLE
+
+    t = con.execute(
+        "SELECT typeof(s_total_dbl) AS a, typeof(o_total_dbl) AS b, "
+        "typeof(s_total_cents) AS c, typeof(o_total_cents) AS d "
+        f"FROM ({_DEC_ORACLE})"
+    ).fetchone()
+    assert t == ("DOUBLE", "DOUBLE", "BIGINT", "BIGINT"), t
+
+
+def test_datetime_canary_oracle_integer_widths(con):
+    """The C14 oracle's integer outputs must be BIGINT so their
+    fetchdf dtype (int64) matches the Spark side's .cast('long') —
+    the driver hash is type-sensitive (the r11/r12 lesson); never
+    seat a canary with a known width seam."""
+    from skylinemapreducehadoop_spark.functions.canary import _DT_ORACLE
+
+    t = con.execute(
+        "SELECT typeof(s_epoch_us) AS a, typeof(o_epoch_us) AS b, "
+        "typeof(s_weekday) AS c, typeof(o_weekday) AS d "
+        f"FROM ({_DT_ORACLE})"
+    ).fetchone()
+    assert t == ("BIGINT", "BIGINT", "BIGINT", "BIGINT"), t

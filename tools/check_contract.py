@@ -224,12 +224,20 @@ def main() -> int:
 
     print(f"\n{n_pass} ok, {n_fail} fail")
     if json_out:
-        from tools.envinfo import env_fingerprint
+        # env stamping must never cost us the artifact after a long run
+        # (ADVICE r13): any import/JVM failure degrades to env=None,
+        # mirroring bench.py's guard.
+        try:
+            from tools.envinfo import env_fingerprint
 
+            env = env_fingerprint(spark)
+        except Exception as exc:  # pragma: no cover - env-dependent
+            print(f"WARN  env fingerprint failed: {exc}")
+            env = None
         with open(json_out, "w") as fh:
             json.dump(
                 {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-                 "env": env_fingerprint(spark), "results": results},
+                 "env": env, "results": results},
                 fh, indent=1, default=str,
             )
         print(f"wrote {json_out}")

@@ -32,6 +32,11 @@ Usage:
 Spark result (the expensive side runs once; each sliced oracle is an
 sf0.01-sized job), so the union of checks covers every same-residue
 pair — ~1/M of the full pair set instead of ~1/M^2.
+
+r14 adds a second protocol, SLICED_INPUT, for CLUSTER-GLOBAL
+quadratic oracles (output carries no ids, e.g. dedup_sweep's
+threshold curve): both engines run over the SAME residue-sliced
+corpus per residue — see the dict's comment.
 """
 
 from __future__ import annotations
@@ -54,15 +59,33 @@ from skylinemapreducehadoop_spark.sources.tables import TABLES
 # entry -> (sliced table, id column of that table, output id columns)
 # Only SCALE-PATH operators belong here (prefix-filter join, inverted
 # index, LSH buckets): the point is to exercise the at-scale Spark
-# execution. ngram_jaccard_documents is deliberately absent — it is
-# the documented brute-force all-pairs twin ("small inputs / test
-# oracle only", dedup.py:ngram_jaccard_pairs), so running its Spark
-# side at full sf0.1 is 1.8B pairs of array_intersect and checks
-# nothing the setsim scale path doesn't already cover.
+# execution. ngram_jaccard_documents joins as of r14 (the r13 verdict's
+# task 7): it IS the documented brute-force all-pairs twin
+# (dedup.py:ngram_jaccard_pairs) so its full-sf0.1 Spark side is slow
+# (~12 min at r13, but it completes and runs ONCE for all residues) —
+# the verdict wants its full-scale VALUE check in this artifact rather
+# than the sf0.03 fallback.
 SLICED = {
     "setsim_join_documents": ("documents", "doc_id", ["id_a", "id_b"]),
     "containment_pairs_documents": ("documents", "doc_id", ["id_a", "id_b"]),
     "embedding_near_dup": ("embeddings", "vec_id", ["id_a", "id_b"]),
+    "ngram_jaccard_documents": ("documents", "doc_id", ["id_a", "id_b"]),
+}
+
+# entry -> (sliced table, id column). CLUSTER-GLOBAL oracles whose
+# output carries no id columns (e.g. a threshold -> pair/doc-count
+# curve), so slicing the OUTPUT cannot work. Instead BOTH engines run
+# over the SAME residue-sliced corpus: the Spark side reads a sliced
+# parquet copy (written by Spark itself, so types round-trip), the
+# oracle reads the original parquet through a residue-filtered view.
+# Each residue is an independent full-pipeline value check on real
+# sf0.1 corpus content (~1/MOD of the docs, sf0.01-sized pair work);
+# the union over all residues covers every same-residue pair. Weaker
+# than output-slicing (the Spark plan runs at 1/MOD scale), but a
+# genuine cross-engine check on sf0.1 content where the naive oracle
+# at full scale is intractable.
+SLICED_INPUT = {
+    "dedup_sweep_documents": ("documents", "doc_id"),
 }
 
 
@@ -99,6 +122,62 @@ def _check_res(con_args, full, out_ids, oracle_sql, mod, res):
             rec["hash_match"] = False
     except Exception as e:  # noqa: BLE001
         rec["err"] = f"{type(e).__name__}: {e}"[:400]
+    return rec
+
+
+def _check_res_input(spark, qfn, oracle_sql, sf_dir, table, id_col,
+                     mod, res, tmp_root):
+    """Run BOTH engines over the residue-res sliced corpus and compare
+    the whole outputs (the SLICED_INPUT protocol for cluster-global
+    oracles). Returns a result record."""
+    import shutil
+
+    from skylinemapreducehadoop_spark.sources.tables import load_table
+
+    rec = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": None, "oracle_rows": None, "err": None,
+    }
+    tmp = os.path.join(tmp_root, f"{table}_m{mod}_r{res}")
+    try:
+        os.makedirs(tmp, exist_ok=True)
+        # Spark writes the sliced table itself so parquet types
+        # round-trip exactly; every other table is symlinked.
+        sliced = load_table(spark, sf_dir, table).where(
+            f"{id_col} % {mod} = {res}"
+        )
+        sliced.write.mode("overwrite").parquet(
+            os.path.join(tmp, f"{table}.parquet")
+        )
+        for t in TABLES:
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            dst = os.path.join(tmp, f"{t}.parquet")
+            if t != table and os.path.exists(src) and not os.path.lexists(dst):
+                os.symlink(src, dst)
+
+        spdf = qfn(spark, tmp).toPandas()
+        rec["spark_rows"] = len(spdf)
+
+        con = duckdb.connect()
+        for t in TABLES:
+            pred = f" WHERE {id_col} % {mod} = {res}" if t == table else ""
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet'){pred}"
+            )
+        opdf = con.execute(oracle_sql).fetchdf()
+        con.close()
+        rec["oracle_rows"] = len(opdf)
+        rec["schema_match"] = sorted(spdf.columns) == sorted(opdf.columns)
+        rec["rows_match"] = len(spdf) == len(opdf)
+        if rec["schema_match"] and rec["rows_match"]:
+            rec["hash_match"] = _norm_df(spdf) == _norm_df(opdf)
+        else:
+            rec["hash_match"] = False
+    except Exception as e:  # noqa: BLE001
+        rec["err"] = f"{type(e).__name__}: {e}"[:400]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return rec
 
 
@@ -172,6 +251,51 @@ def main() -> int:
             f"sliced_total={rec['sliced_total']} over {len(residues)} residues "
             f"[{rec['sec']}s]" + (f" err={rec['err']}" if rec["err"] else "")
         )
+
+    import shutil
+    import tempfile
+
+    tmp_root = tempfile.mkdtemp(prefix="sliced_input_")
+    try:
+        for name, (table, id_col) in SLICED_INPUT.items():
+            t0 = time.time()
+            rec = {
+                "mod": mod, "residues": residues, "sliced_table": table,
+                "protocol": "sliced_input", "per_res": {},
+                "hash_match": None, "err": None, "sec": None,
+            }
+            results[name] = rec
+            try:
+                for r in residues:
+                    rec["per_res"][r] = _check_res_input(
+                        spark, qs[name], oracles[name], sf_dir,
+                        table, id_col, mod, r, tmp_root,
+                    )
+                rec["hash_match"] = all(
+                    s["hash_match"] is True for s in rec["per_res"].values()
+                )
+                first_bad = next(
+                    (f"res={r}: {s['err'] or 'mismatch'}"
+                     for r, s in rec["per_res"].items()
+                     if s["hash_match"] is not True),
+                    None,
+                )
+                if first_bad:
+                    rec["err"] = first_bad
+            except Exception as e:  # noqa: BLE001
+                rec["err"] = f"{type(e).__name__}: {e}"[:400]
+                rec["hash_match"] = False
+            rec["sec"] = round(time.time() - t0, 2)
+            ok = rec["hash_match"] is True
+            n_pass += ok
+            n_fail += not ok
+            print(
+                f"{'OK  ' if ok else 'FAIL'}  {name} [sliced-input]: "
+                f"{len(residues)} residues [{rec['sec']}s]"
+                + (f" err={rec['err']}" if rec["err"] else "")
+            )
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
 
     print(f"\n{n_pass} ok, {n_fail} fail")
     if json_out:

@@ -108,7 +108,7 @@ def main() -> int:
             print(f"ok    {name}")
     print(f"\n{n_mismatch} entries with cell-type mismatches")
     spark.stop()
-    return 0
+    return 1 if n_mismatch else 0
 
 
 if __name__ == "__main__":
