@@ -12,6 +12,13 @@ differ — the exact class of silent divergence a value-hash sees and
 `==` does not.
 
 Usage: python tools/dtype_audit.py [sf_dir] [query ...]
+
+Exit code: 1 on any UNEXPECTED cell-type mismatch (gates the
+per-round checklist — ADVICE r13), 0 otherwise. ``canary_sum_raw``
+is the one EXPECTED mismatch: it is the deliberately-uncast half of
+the dtype differential pair (functions/canary.py) whose entire job
+is to exhibit exactly the seam this audit detects; it is reported
+with an EXPECT prefix and does not affect the exit code.
 """
 
 from __future__ import annotations
@@ -23,6 +30,9 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entrymod  # noqa: E402
 from skylinemapreducehadoop_spark.session import get_session  # noqa: E402
 from tools.check_contract import _connect, _norm_cell  # noqa: E402
+
+# entries whose dtype mismatch is the documented PURPOSE of the entry
+EXPECTED_MISMATCH = {"canary_sum_raw"}
 
 
 def main() -> int:
@@ -101,12 +111,14 @@ def main() -> int:
                         break
                 if bad:
                     break
-        if bad:
+        if bad and name in EXPECTED_MISMATCH:
+            print(f"EXPECT {name}: " + "; ".join(bad))
+        elif bad:
             n_mismatch += 1
             print(f"TYPE  {name}: " + "; ".join(bad))
         else:
             print(f"ok    {name}")
-    print(f"\n{n_mismatch} entries with cell-type mismatches")
+    print(f"\n{n_mismatch} entries with unexpected cell-type mismatches")
     spark.stop()
     return 1 if n_mismatch else 0
 
