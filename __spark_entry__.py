@@ -5076,101 +5076,94 @@ def _hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The 50-entry ROUND-14 driver window (COVERAGE.md r14 rotation,
-# executed per the r13 verdict: seat the two never-driver-checked
-# canaries, retire the job-done expected-red canary_sum_raw, re-attest
-# the stalest once-green tier). queries() reorders the registry so
-# these lead; everything else keeps its _registry() order. The r13
-# window is recorded in COVERAGE.md and git history.
+# The 50-entry ROUND-15 driver window (COVERAGE.md "r15 rotation
+# arithmetic", prepared at r14 and verified against the post-r14-driver
+# staleness data before seating: rule-1 never-driver-checked = 0
+# (STALENESS summary), rule-2 = 0 new (the 30 touched_since flags are a
+# strict subset of r14's 43 — 13 cleared by r14 re-attestation, zero
+# new; the r14/r15 diffs touch no operator module), so rule 3 governs
+# all 50 slots). queries() reorders the registry so these lead;
+# everything else keeps its _registry() order. The r14 window is
+# recorded in COVERAGE.md and git history.
 #
-# The other 13 r13 canaries (all driver-attested r13; canary_sum_raw
+# The 13 below-window canaries (all driver-attested r13; canary_sum_raw
 # deliberately hash-red, its differential job DONE — root cause
 # confirmed at the driver) are data-independent fixture probes: per
 # the exemption policy they sit BELOW the window permanently and
 # re-enter only when a pinned primitive changes (rule 2), never by
 # staleness. Any future driver red is read against COVERAGE.md's
 # canary interpretation table FIRST, before any code change.
-_R14_WINDOW: list[str] = [
-    # (a) positions 1-2 (rule 1): the two canaries added below-window
-    # late in r13 — the only never-driver-checked entries
-    # (STALENESS_r13.json). Both strict-green locally; their oracles'
-    # integer/double literals pinned to BIGINT/DOUBLE this round
-    # (ADVICE r13) so no known dtype/width seam rides into the seat.
-    "canary_datetime",
-    "canary_decimal",
-    # (b) positions 3-35 (rule 3, stalest-first): ALL 33 staleness-6
-    # entries (r8-green, never re-attested — the prepared r14 pool;
-    # the prepared count of 35 included kmeans_embeddings /
-    # pagerank_dup_graph, which are declared rows-only and exempt
-    # from staleness rotation; their hash-checkable siblings
-    # kmeans_blobs_check / pagerank_cycle_check are seated in (c)).
-    "approx_percentile_check",
-    "bigram_logprob_documents",
-    "corr_lineitem",
-    "data_quality_orders",
-    "decontaminate_fuzzy_documents",
-    "encode_documents",
-    "entity_resolution_partnames",
-    "event_transitions_markov",
-    "join_nation_revenue",
-    "knn_graph_sample",
-    "percentile_value_by_type",
-    "q3_shipping_priority",
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_brands",
-    "q12_priority_by_linestatus",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q20_excess_suppliers",
-    "q21_waiting_orders",
-    "segment_dedup_documents",
-    "segment_dedup_shifted",
-    "streaming_enrich_replay",
-    "streaming_interval_join_replay",
-    "streaming_rollup_replay",
-    "streaming_session_replay",
-    "streaming_skyline_replay",
-    "triangle_count_copurchase",
-    # (c) positions 36-50 (rule 3 backfill): 15 of the 46 staleness-5
-    # entries (r9-green — the actual next-stalest tier; COVERAGE.md's
-    # prepared text mislabeled this backfill pool "r11-green", the
-    # data-derived staleness governs), family-coverage tiebreak: two
-    # skyline algorithms + the reverse skyline, the flagship
-    # MinHash near-dup + the prefix-filter setsim join, ANN-IVF
-    # recall + batch similarity, the known-answer attestors of the
-    # two rows-only-exempt iterative entries, the last un-reattested
-    # streaming replay, multimodal frame sampling, BPE merges,
-    # jsonl round-trip (source/sink), interval concurrency
-    # (temporal), and table diff (CDC). The 31 staleness-5 entries
-    # not seated slip to r15 under the family-sibling rule
-    # (COVERAGE.md r15 arithmetic).
-    "skyline_twophase",
-    "skyline_quadtree",
-    "reverse_skyline_part",
-    "dedup_minhash_documents",
-    "setsim_join_documents",
-    "ann_recall_ivf",
-    "topk_batch_similarity",
-    "pagerank_cycle_check",
-    "kmeans_blobs_check",
-    "streaming_moments_replay",
-    "frame_sample_check",
-    "bpe_merges_check",
-    "jsonl_roundtrip_documents",
-    "max_concurrency_events",
-    "table_diff_orders",
+_R15_WINDOW: list[str] = [
+    # (a) positions 1-31 (rule 3, stalest-first): ALL 31 staleness-6
+    # entries (r9-green, slipped at r14 under the family-sibling rule;
+    # every one had a same-family sibling green in the r14 window).
+    "above_avg_orders",
+    "approx_distinct_check",
+    "bm25_index_search_documents",
+    "clustering_coefficient_copurchase",
+    "curate_corpus",
+    "decontaminate_documents",
+    "dedup_clusters_documents",
+    "distinct_users_by_type",
+    "embedding_near_dup",
+    "explode_tokens_topk",
+    "frequent_pairs_orders",
+    "hash_split_documents",
+    "incremental_dedup_documents",
+    "ngram_dup_stats_documents",
+    "pmi_collocations_documents",
+    "q5_local_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_sales_opportunity",
+    "repetition_stats_documents",
+    "reservoir_documents",
+    "sample_documents_hash",
+    "semi_join_customers",
+    "skyline_blocked",
+    "skyline_grouped",
+    "skyline_gsod_9dim",
+    "skyline_join_priority",
+    "term_doc_freq_topk",
+    "tfidf_keywords_documents",
+    # (b) positions 32-50 (rule 3 backfill): 19 of the 50 staleness-5
+    # entries (r10-green), family-coverage tiebreak per the prepared
+    # split — SQL-dialect + dynamic skyline paths, the LSH recall twin
+    # of the r14-seated IVF, the temporal family (as-of/range joins,
+    # sessionize, funnel, window analytics), the incremental-rollup
+    # attestor, cluster-closure dedup, semantic dedup, multimodal
+    # resize + the only audio rep, weighted sampling, z-order layout,
+    # BPE encode attestor, the upsert-protocol streaming replay,
+    # drift stats, and the melt/all-NULL golden-records path. The 31
+    # staleness-5 entries not seated slip to r16 under the
+    # family-sibling rule (COVERAGE.md r16 arithmetic).
+    "skyline_sql_lineitem",
+    "dynamic_skyline_part",
+    "ann_recall_lsh",
+    "asof_join_events",
+    "range_join_events",
+    "sessionize_events",
+    "funnel_users",
+    "window_analytics_events",
+    "incremental_rollup_check",
+    "dedup_star_clusters",
+    "semantic_dedup_embeddings",
+    "resize_check",
+    "audio_features_check",
+    "weighted_sample_documents",
+    "zorder_scan_check",
+    "bpe_encode_check",
+    "streaming_maintenance_replay",
+    "distribution_drift_orders",
+    "golden_records_customers",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: ORDER MATTERS — the harness checks the FIRST
-    50 entries only. _R14_WINDOW leads (the r14 rotation); every
+    50 entries only. _R15_WINDOW leads (the r15 rotation); every
     other entry follows in _registry() order. The rows-only-by-design
     sketch outputs (approx_percentile_value, approx_distinct_users)
     are permanently BELOW the window per the r13 rotation-exemption
@@ -5180,7 +5173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     base = _registry()
     base.update(CN.canary_queries())
-    out = {name: base[name] for name in _R14_WINDOW}
+    out = {name: base[name] for name in _R15_WINDOW}
     for name, fn in base.items():
         if name not in out:
             out[name] = fn
@@ -5190,7 +5183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The full registry in its historical order (in-dict comments
     # record each past round's window; the CURRENT window ordering is
-    # _R14_WINDOW above, applied by queries()).
+    # _R15_WINDOW above, applied by queries()).
     return {
         # ---- ROUND-12 WINDOW (driver checks the FIRST 50) ----
         # Per the rotation priority rule (COVERAGE.md): (a) positions

@@ -92,27 +92,63 @@ def test_canary_oracles_pass_ws_lint():
         pin_ws_oracle(sql)  # raises on any bare \s
 
 
-def test_registry_window_r14_invariants():
+def test_registry_window_r15_invariants():
     import sys
 
     sys.path.insert(0, ".")
     import __spark_entry__ as E
 
     qs = list(E.queries().keys())
-    assert qs[:50] == E._R14_WINDOW
-    assert len(set(E._R14_WINDOW)) == 50
+    assert qs[:50] == E._R15_WINDOW
+    assert len(set(E._R15_WINDOW)) == 50
     oracles = E.oracle_sql()
     # task 5 (r12 verdict): no rows-only entry may hold a window slot
     assert all(q in oracles for q in qs[:50])
-    # rule 1: the two never-driver-checked canaries lead the window
-    assert qs[0] == "canary_datetime"
-    assert qs[1] == "canary_decimal"
-    # r13 verdict task 2: the job-done expected-red diagnostic is
-    # retired from the window (it stays in the registry, below)
+    # r15 rotation (COVERAGE.md arithmetic): rule-1 and new-rule-2
+    # counts are both 0 post-r14, so rule 3 governs all 50 slots —
+    # the 31 staleness-6 tier leads, then the 19 family-rep backfill
+    assert qs[0] == "above_avg_orders"
+    assert "skyline_blocked" in qs[:31] and "q5_local_supplier" in qs[:31]
+    assert "golden_records_customers" in qs[31:50]
+    # r13 verdict task 2: the job-done expected-red diagnostic stays
+    # retired from the window (it remains in the registry, below)
     assert "canary_sum_raw" not in qs[:50]
     assert "canary_sum_raw" in qs
-    # the other r13-attested canaries are below-window permanent
-    # infrastructure (re-enter only under rule 2)
+    # all canaries are below-window permanent infrastructure as of
+    # r15 (the two data canaries seated+attested green at r14;
+    # re-enter only under rule 2)
     assert not any(
-        q.startswith("canary_") for q in qs[2:50]
-    ), [q for q in qs[2:50] if q.startswith("canary_")]
+        q.startswith("canary_") for q in qs[:50]
+    ), [q for q in qs[:50] if q.startswith("canary_")]
+
+
+def test_sf01_timeout_second_scale_coverage():
+    """Every declared sf0.1 expected-timeout entry must be value-checked
+    whole at a second scale (VERDICT r14 task 3 + task 6): either at
+    full sf0.1 via the sliced protocols (output-sliced SLICED or
+    input-sliced SLICED_INPUT) or at sf0.03 via the whole-value
+    fallback corpus. The three sets are declared constants so this
+    invariant can't silently rot when an entry moves between them."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as E
+    from tools.check_contract import EXPECTED_SF01_TIMEOUTS
+    from tools.check_scale_sliced import SLICED, SLICED_INPUT
+    from tools.make_sf003 import FALLBACK_ENTRIES
+
+    oracles = E.oracle_sql()
+    # declared sets only name real oracled registry entries
+    for name in (set(EXPECTED_SF01_TIMEOUTS) | set(SLICED)
+                 | set(SLICED_INPUT) | set(FALLBACK_ENTRIES)):
+        assert name in oracles, f"{name} not an oracled registry entry"
+    covered = set(SLICED) | set(SLICED_INPUT) | set(FALLBACK_ENTRIES)
+    uncovered = set(EXPECTED_SF01_TIMEOUTS) - covered
+    assert not uncovered, (
+        f"expected-timeout entries with no second-scale value check: "
+        f"{sorted(uncovered)}"
+    )
+    # an entry checked at full sf0.1 via a sliced protocol should not
+    # ALSO burn sf0.03 fallback time (the r14 task-6 wall-time goal)
+    double = (set(SLICED) | set(SLICED_INPUT)) & set(FALLBACK_ENTRIES)
+    assert not double, f"redundant sf0.03 fallback entries: {sorted(double)}"

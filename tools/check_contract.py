@@ -8,6 +8,14 @@ matches. Usage:
 records 'oracle timeout' for that entry (some oracles are deliberately
 naive all-pairs specs that are intractable beyond sf0.01).
 
+--expect-timeouts-sf01 activates the PRE-DECLARED expected-timeout set
+(EXPECTED_SF01_TIMEOUTS below — VERDICT r14 task 3): a timeout inside
+the set is recorded as expected (not a failure); a timeout OUTSIDE the
+set is an unexplained slowdown and fails the run; a declared entry
+that completes is a bonus 'recovered' and is value-checked normally.
+The artifact records all three lists so round-over-round deltas are
+explicit rather than inferred from err-string greps.
+
 With --json, a machine-readable artifact is written mapping each
 checked entry to {rows_match, schema_match, hash_match, spark_rows,
 oracle_rows, err, sec} (rows-only entries report rows_match/spark_rows
@@ -31,6 +39,28 @@ sys.path.insert(0, ".")
 import __spark_entry__ as entrymod
 from skylinemapreducehadoop_spark.session import get_session
 from skylinemapreducehadoop_spark.sources.tables import TABLES
+
+# Pre-declared expected-timeout set for FULL sf0.1 artifact runs at
+# --oracle-timeout 300 (VERDICT r14 task 3). The 9 structural members
+# are deliberately naive all-pairs / cluster-closure oracles (their
+# value is being obviously-correct specs; at sf0.1 they are
+# intractable by design). containment_pairs_documents is the declared
+# BORDERLINE member: 284.9s/300 at r13, over at r14's ~15-20% slower
+# sandbox — drift, not slowdown. Every member has its values checked
+# whole at a second scale elsewhere (sliced full-sf0.1 in
+# SCALECHECK_SLICED or whole-value sf0.03 in LOCALCHECK_SF003).
+EXPECTED_SF01_TIMEOUTS = {
+    "containment_pairs_documents",   # borderline (drift-sensitive)
+    "dedup_clusters_documents",
+    "dedup_minhash_documents",
+    "dedup_star_clusters",
+    "dedup_sweep_documents",
+    "leakage_safe_split_documents",
+    "negative_pairs_documents",
+    "ngram_jaccard_documents",
+    "setsim_join_documents",
+    "streaming_near_dup_replay",
+}
 
 
 def _norm_cell(v):
@@ -114,11 +144,17 @@ def main() -> int:
     argv = sys.argv[1:]
     json_out = None
     oracle_timeout = None
+    expected_timeouts: set[str] = set()
     usage = (
         "usage: check_contract.py [--json OUT.json] "
-        "[--oracle-timeout SEC] [sf_dir] [query ...]"
+        "[--oracle-timeout SEC] [--expect-timeouts-sf01] "
+        "[sf_dir] [query ...]"
     )
     while argv and argv[0].startswith("--"):
+        if argv[0] == "--expect-timeouts-sf01":  # valueless flag
+            expected_timeouts = set(EXPECTED_SF01_TIMEOUTS)
+            argv = argv[1:]
+            continue
         if argv[0] not in ("--json", "--oracle-timeout"):
             raise SystemExit(f"unknown flag {argv[0]}\n{usage}")
         if len(argv) < 2:  # flag without its value (ADVICE r11)
@@ -187,8 +223,12 @@ def main() -> int:
             if terr is not None:
                 rec["err"] = terr
                 rec["sec"] = round(time.time() - t0, 2)
-                print(f"TIMEOUT {name}: {terr}")
-                n_fail += 1
+                if name in expected_timeouts:
+                    rec["expected_timeout"] = True
+                    print(f"TIMEOUT(expected) {name}: {terr}")
+                else:
+                    print(f"TIMEOUT {name}: {terr}")
+                    n_fail += 1
                 continue
         except Exception as e:
             rec["err"] = f"oracle error: {type(e).__name__}: {e}"
@@ -222,7 +262,26 @@ def main() -> int:
             print(f"OK    {name}: {len(spdf)} rows [{rec['sec']}s]")
             n_pass += 1
 
-    print(f"\n{n_pass} ok, {n_fail} fail")
+    timed_out = {
+        n for n, r in results.items()
+        if r.get("err") and "oracle timeout" in str(r["err"])
+    }
+    expected_hit = sorted(timed_out & expected_timeouts)
+    unexpected = sorted(timed_out - expected_timeouts)
+    recovered = sorted(
+        (expected_timeouts & set(results)) - timed_out
+    ) if expected_timeouts else []
+    if expected_timeouts:
+        print(
+            f"\n{n_pass} ok, {n_fail} fail, "
+            f"{len(expected_hit)} expected timeouts"
+            + (f", {len(unexpected)} UNEXPECTED timeouts: {unexpected}"
+               if unexpected else "")
+            + (f", {len(recovered)} recovered (declared but completed): "
+               f"{recovered}" if recovered else "")
+        )
+    else:
+        print(f"\n{n_pass} ok, {n_fail} fail")
     if json_out:
         # env stamping must never cost us the artifact after a long run
         # (ADVICE r13): any import/JVM failure degrades to env=None,
@@ -235,11 +294,14 @@ def main() -> int:
             print(f"WARN  env fingerprint failed: {exc}")
             env = None
         with open(json_out, "w") as fh:
-            json.dump(
-                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-                 "env": env, "results": results},
-                fh, indent=1, default=str,
-            )
+            payload = {"sf_dir": sf_dir, "n_pass": n_pass,
+                       "n_fail": n_fail, "env": env, "results": results}
+            if expected_timeouts:
+                payload["expected_timeout_set"] = sorted(expected_timeouts)
+                payload["expected_timeouts_hit"] = expected_hit
+                payload["unexpected_timeouts"] = unexpected
+                payload["recovered_timeouts"] = recovered
+            json.dump(payload, fh, indent=1, default=str)
         print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0

@@ -18,7 +18,11 @@ per-round checklist — ADVICE r13), 0 otherwise. ``canary_sum_raw``
 is the one EXPECTED mismatch: it is the deliberately-uncast half of
 the dtype differential pair (functions/canary.py) whose entire job
 is to exhibit exactly the seam this audit detects; it is reported
-with an EXPECT prefix and does not affect the exit code.
+with an EXPECT prefix and does not affect the exit code. If an
+EXPECTED_MISMATCH entry comes back with NO mismatch (e.g. a duckdb
+upgrade closes the HUGEINT seam) the audit prints WARN and exits 1
+— a vanished seam hollows out the probe and must be re-root-caused
+(ADVICE r14).
 """
 
 from __future__ import annotations
@@ -116,6 +120,18 @@ def main() -> int:
         elif bad:
             n_mismatch += 1
             print(f"TYPE  {name}: " + "; ".join(bad))
+        elif name in EXPECTED_MISMATCH:
+            # The differential probe's whole job is to exhibit the
+            # seam; it vanishing silently (e.g. a duckdb upgrade
+            # closing the HUGEINT path) would hollow out the probe —
+            # surface it loudly and gate on it (ADVICE r14).
+            n_mismatch += 1
+            print(
+                f"WARN  {name}: EXPECTED_MISMATCH entry reported NO "
+                "mismatch — the dtype seam this probe exists to "
+                "exhibit has vanished; re-root-cause before trusting "
+                "the audit (see tests/test_oracle_dtypes.py)"
+            )
         else:
             print(f"ok    {name}")
     print(f"\n{n_mismatch} entries with unexpected cell-type mismatches")

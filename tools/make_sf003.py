@@ -1,14 +1,23 @@
 """Derive the intermediate-scale sf0.03 check corpus (r11 verdict
 task 3).
 
-Seven cluster-global naive oracles (dedup_star_clusters,
-dedup_clusters_documents, dedup_minhash_documents,
-leakage_safe_split_documents, negative_pairs_documents,
-dedup_sweep_documents, streaming_near_dup_replay) are intractable for
-DuckDB at sf0.1 (recursive-CTE closures / all-pairs Jaccard over 5k
-docs) and cluster closure does not commute with id-residue slicing,
-so the sliced-view protocol cannot reach them. This tool derives a
-deterministic intermediate corpus where the SAME oracles run whole:
+Several cluster-global naive oracles are intractable for DuckDB at
+sf0.1 (recursive-CTE closures / all-pairs Jaccard over 5k docs) and
+cluster closure does not commute with id-residue OUTPUT slicing, so
+the original sliced-view protocol cannot reach them. This tool
+derives a deterministic intermediate corpus where the SAME oracles
+run whole.
+
+As of r15 the sf0.03 fallback set is FOUR entries —
+dedup_minhash_documents, negative_pairs_documents,
+streaming_near_dup_replay, dedup_star_clusters — the rest graduated
+to full-sf0.1 checks in SCALECHECK_SLICED (VERDICT r14 task 6):
+dedup_sweep/ngram_jaccard/setsim/containment/embedding_near_dup via
+output- or input-slicing at r13/r14, and the two slowest fallbacks
+(dedup_clusters_documents 295s, leakage_safe_split_documents 275s)
+via the SLICED_INPUT protocol at r15 — input-slicing needs no
+commuting, both engines cluster the same residue-sliced sf0.1
+corpus. Corpus derivation:
 
 - documents/embeddings: the ``id % 10 < 3`` residue subset of sf0.1
   (1,500 docs — 23 of the 225 planted near-dup pairs survive with
@@ -33,6 +42,20 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
+
+# The declared sf0.03 whole-value fallback set as of r15 (the entries
+# whose second-scale value check runs here rather than in
+# SCALECHECK_SLICED). Kept as a constant so the coverage invariant —
+# every EXPECTED_SF01_TIMEOUTS member is value-checked at a second
+# scale by SLICED ∪ SLICED_INPUT ∪ FALLBACK_ENTRIES — is testable
+# (tests/test_canary.py::test_sf01_timeout_second_scale_coverage).
+FALLBACK_ENTRIES = [
+    "dedup_minhash_documents",
+    "negative_pairs_documents",
+    "streaming_near_dup_replay",
+    "dedup_star_clusters",
+]
+
 LINKED_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events",
