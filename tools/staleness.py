@@ -176,8 +176,18 @@ def main() -> int:
         }
 
     never = [n for n, e in entries.items() if e["last_driver_round"] is None]
+    # Make the artifact's temporal position explicit (VERDICT r14 task
+    # 1): a dashboard generated BEFORE round N's driver run cannot see
+    # round N's rows — stamp which correctness artifacts were ingested
+    # so a reader never mistakes pre-run staleness for post-run.
+    ingested = sorted(glob.glob("CORRECTNESS_r*.json"))
     summary = {
         "round": cur_round,
+        "generated": (
+            "pre-run" if not glob.glob(f"CORRECTNESS_r{cur_round:02d}.json")
+            else "post-run"
+        ),
+        "correctness_artifacts_ingested": ingested,
         "registry_size": len(entries),
         "never_driver_checked": len(never),
         "in_window_never_checked": sum(
