@@ -1829,9 +1829,16 @@ def _winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFram
     # full gram sets
     docs = load_table(spark, sf_dir, "documents")
     fps = TX.winnow_fingerprints("text", gram_k=3, window=4)
+    # pre-filter on the RAW text: size(__fp) > 0 ⟺ the doc has >= 3
+    # tokens (fewer than gram_k tokens yields no grams hence no
+    # fingerprints; >= gram_k always yields >= 1). Filtering on __fp
+    # itself made Catalyst push the predicate below the projection with
+    # the whole md5-per-gram winnow chain INLINED — every row paid the
+    # fingerprint pipeline twice (once in the Filter, once in the
+    # Project). The token-count test costs one split.
     return (
-        docs.select("doc_id", fps.alias("__fp"))
-        .where(F.size("__fp") > 0)
+        docs.where(F.size(TX.tokens("text")) >= 3)
+        .select("doc_id", fps.alias("__fp"))
         .select(
             "doc_id",
             F.size("__fp").cast("long").alias("n_fingerprints"),
@@ -2330,10 +2337,15 @@ def _pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PageRank over the (symmetrized) near-dup pair graph — iterative
     # float fixed point, not SQL-expressible → rows-only; ranks are
     # numpy-verified to 1e-9 in tests/test_graph.py
+    from skylinemapreducehadoop_spark.operators._cache import persist_tracked
     from skylinemapreducehadoop_spark.operators.graph import pagerank
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dup(docs, threshold=0.5).select("id_a", "id_b")
+    # persist: the symmetrizing union below references the minhash pair
+    # join twice in one plan — unpersisted, the near-dup join ran twice
+    pairs = persist_tracked(
+        D.minhash_near_dup(docs, threshold=0.5).select("id_a", "id_b")
+    )
     edges = pairs.selectExpr("id_a as src", "id_b as dst").union(
         pairs.selectExpr("id_b as src", "id_a as dst")
     )
@@ -4497,23 +4509,34 @@ def _pca_invariant_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest-verified (variance of proj_c == eigval_c vs numpy).
     from decimal import ROUND_HALF_UP, Decimal
 
-    from skylinemapreducehadoop_spark.operators.similarity import (
-        covariance_matrix,
-        pca_components,
-    )
+    import numpy as np
+
+    from skylinemapreducehadoop_spark.operators.similarity import covariance_matrix
 
     emb = load_table(spark, sf_dir, "embeddings")
-    eigvals, _, means = pca_components(emb)
-    diag = covariance_matrix(emb).where(F.col("i") == F.col("j")).collect()
+    # ONE distributed covariance pass feeds both sides of the invariant:
+    # the dim x dim collect is the kmeans-centroid contract (bounded by
+    # dimension, never data). Previously pca_components() ran its own
+    # covariance pass + a dim-stats pass and the trace ran a THIRD —
+    # same rows collected, 3x the scan/expand cost. Eigenvalues of the
+    # symmetrized matrix are identical (same cov values), and dim ==
+    # len(means) == max index + 1 on all-same-dim embeddings.
+    cov_rows = covariance_matrix(emb).collect()
+    dim = max(r["j"] for r in cov_rows) + 1
+    cov = np.zeros((dim, dim))
+    for r in cov_rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    eigvals = np.linalg.eigvalsh(cov)
     grid = Decimal("0.000001")
-    trace = sum(Decimal(str(r["cov"])) for r in diag).quantize(
-        grid, rounding=ROUND_HALF_UP
-    )
+    trace = sum(
+        Decimal(str(r["cov"])) for r in cov_rows if r["i"] == r["j"]
+    ).quantize(grid, rounding=ROUND_HALF_UP)
     eig_sum = Decimal(str(float(eigvals.sum()))).quantize(
         grid, rounding=ROUND_HALF_UP
     )
     return spark.createDataFrame(
-        [(int(len(means)), float(trace), float(eig_sum))],
+        [(int(dim), float(trace), float(eig_sum))],
         "dim int, trace_var double, eig_sum double",
     )
 

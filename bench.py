@@ -593,10 +593,19 @@ def _kcore_copurchase(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
+    # distinct FIRST, checkpointed: the raw basket self-join fans out
+    # ~(items/order)^2 rows and used to run TWICE (once under the
+    # percentile pre-pass, once under k_core's own dedup). The distinct
+    # edge set is orders of magnitude smaller; both consumers now read
+    # the materialized copy, and the degree/percentile/k_core values
+    # are unchanged (k_core dedups internally; count_distinct over raw
+    # pairs == count over distinct pairs).
     edges = (
         a.join(b.hint("shuffle_hash"), "l_orderkey")
         .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = und.groupBy("src").agg(F.count_distinct("dst").alias("dg"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from skylinemapreducehadoop_spark.operators._cache import persist_tracked
+
 
 def pagerank(
     edges: DataFrame,
@@ -53,7 +55,11 @@ def pagerank(
         # empty edge frame: no nodes to rank — return an empty (id, rank)
         # frame instead of a bare ZeroDivisionError from 1/n_nodes
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # degrees are loop-invariant: materialize ONCE (node-sized) instead
+    # of re-aggregating the edge table inside every iteration — the
+    # dangling-mass and contribution joins each re-evaluated this
+    # aggregate every round (2 * n_iter edge-table passes)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
@@ -105,7 +111,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     it, never wedges centered on it. Work is O(m^{3/2}) total,
     hash-partitioned; nothing driver-side.
     """
-    und = (
+    und = persist_tracked(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -114,7 +120,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .dropna()
         .distinct()
     )
-    deg = (
+    deg = persist_tracked(
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
         .groupBy("v")
@@ -132,7 +138,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
         F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
     ).otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
-    oriented = dab.select(fwd.alias("e")).select("e.u", "e.w")
+    # oriented feeds THREE consumers (two wedge sides + the closing
+    # semi-join): persist so the degree-join chain above runs once —
+    # unpersisted, the whole edge-derivation subtree (which may itself
+    # be an expensive self-join upstream) was instantiated per consumer
+    # (observed: 62-exchange plan for the co-purchase graph)
+    oriented = persist_tracked(dab.select(fwd.alias("e")).select("e.u", "e.w"))
     # wedges u->v, v->w closed by u->w
     e1 = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
     e2 = oriented.select(F.col("u").alias("y"), F.col("w").alias("z"))
@@ -156,7 +167,7 @@ def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst")
     degree table. Both sides are exact integers, so the single final
     division is engine-exact (rounded at 9 for hashability).
     """
-    und = (
+    und = persist_tracked(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -222,7 +233,14 @@ def k_core(
     sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iter):
-        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        # the degree table is consumed twice per round (the emptiness
+        # probe and the anti-join's low set): checkpoint it once so the
+        # edge-table aggregate runs once per round, not twice
+        deg = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
         low = deg.where(F.col("deg") < k).select("a")
         if low.isEmpty():
             return deg.select(F.col("a").alias("node"), F.col("deg").alias("core_degree"))
@@ -264,7 +282,10 @@ def bfs_hops(
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    # the edge frame is consumed once per level: persist so an expensive
+    # upstream derivation (e.g. a basket self-join) runs once, not once
+    # per round
+    e = persist_tracked(edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")))
     visited = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
@@ -317,10 +338,13 @@ def shortest_paths(
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    e = edges.select(
-        F.col(src).alias("__s"),
-        F.col(dst).alias("__d"),
-        F.col(weight).cast("long").alias("__w"),
+    # persisted: consumed by the weight guard plus one join per round
+    e = persist_tracked(
+        edges.select(
+            F.col(src).alias("__s"),
+            F.col(dst).alias("__d"),
+            F.col(weight).cast("long").alias("__w"),
+        )
     )
     if not e.where(F.col("__w") < 0).isEmpty():
         raise ValueError("shortest_paths requires nonnegative edge weights")

@@ -313,9 +313,18 @@ def cm_merge(
     group's cell set (<= depth*width rows), unlike a collect_list-
     of-arrays fold whose state grows with the number of days."""
     cells = (
+        # posexplode_OUTER: a plain posexplode makes Catalyst insert an
+        # implicit `size(col) > 0 AND isnotnull(col)` Filter under the
+        # Generate, and when the sketch column is itself a non-trivial
+        # expression (the _dense_cells HOF build of an upstream level)
+        # that expression is evaluated three times per group — twice in
+        # the filter, once in the projection. outer + the cheap scalar
+        # null filter below is behavior-identical (NULL sketches drop,
+        # empty sketches cannot occur) and evaluates it once.
         df.select(
-            *group_cols, F.posexplode(F.col(sketch_col)).alias("pos0", "v")
+            *group_cols, F.posexplode_outer(F.col(sketch_col)).alias("pos0", "v")
         )
+        .where(F.col("pos0").isNotNull())
         .groupBy(*group_cols, F.col("pos0").alias("pos"))
         .agg(F.sum("v").alias("c"))
     )
@@ -386,7 +395,11 @@ def hist_merge(
     """Elementwise-sum fold of histogram columns (same cell-explode
     shape as :func:`cm_merge`)."""
     cells = (
-        df.select(*group_cols, F.posexplode(F.col(sketch_col)).alias("pos0", "v"))
+        # posexplode_outer + scalar null filter: see cm_merge — avoids
+        # triple evaluation of an upstream dense-build expression via
+        # the implicit non-outer Generate filter; behavior-identical
+        df.select(*group_cols, F.posexplode_outer(F.col(sketch_col)).alias("pos0", "v"))
+        .where(F.col("pos0").isNotNull())
         .groupBy(*group_cols, F.col("pos0").alias("pos"))
         .agg(F.sum("v").alias("c"))
     )

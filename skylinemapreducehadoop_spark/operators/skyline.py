@@ -33,7 +33,6 @@ Spark-side with ``dropna`` so Catalyst pushes IsNotNull into the scan.
 
 from __future__ import annotations
 
-import threading
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -163,30 +162,12 @@ _MERGE_BATCH_ROWS = 1_000_000
 #: upstream partitions absorbed per task at each extra tree level
 _MERGE_FAN_IN = 16
 
-#: bounded registry of per-query persisted frames (local-skyline unions
-#: are small, but a long-lived session running many queries would
-#: accumulate them forever). Eviction semantics: unpersisting beyond the
-#: cap only costs a SILENT RECOMPUTE if an evicted frame (or a returned
-#: plan built on it) is re-executed later — results stay correct. The
-#: lock makes register/evict safe under concurrent query construction.
-_PERSISTED: list[DataFrame] = []
-_PERSISTED_CAP = 8
-_PERSISTED_LOCK = threading.Lock()
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    with _PERSISTED_LOCK:
-        _PERSISTED.append(df)
-        evicted = []
-        while len(_PERSISTED) > _PERSISTED_CAP:
-            evicted.append(_PERSISTED.pop(0))
-    for old in evicted:
-        try:
-            old.unpersist(blocking=False)
-        except Exception:
-            pass
-    return df
+# bounded registry of per-query persisted frames — shared by every
+# operator that materializes a multiply-consumed intermediate (see
+# operators/_cache.py for the eviction semantics)
+from skylinemapreducehadoop_spark.operators._cache import (
+    persist_tracked as _persist_tracked,
+)
 
 
 def skyline(

@@ -22,8 +22,14 @@ external observable.)
 from __future__ import annotations
 
 import os
+import pathlib
 import subprocess
 import sys
+
+#: repo root derived from THIS file so the subprocess test is
+#: cwd-independent (r15 ADVICE: '.' + os.getcwd() broke pytest runs
+#: launched from any other directory)
+_REPO_ROOT = str(pathlib.Path(__file__).resolve().parents[1])
 
 
 def test_sliced_input_protocol_survives_relative_sf_dir(spark, tmp_path):
@@ -56,7 +62,7 @@ def test_dtype_audit_warns_and_fails_on_vanished_seam():
     # (canary_sum_cast, the CAST half of the differential pair): the
     # audit must refuse to print a plain ok and must exit 1.
     code = (
-        "import sys; sys.path.insert(0, '.')\n"
+        f"import sys; sys.path.insert(0, {_REPO_ROOT!r})\n"
         "import tools.dtype_audit as m\n"
         "m.EXPECTED_MISMATCH = {'canary_sum_cast'}\n"
         "sys.argv = ['dtype_audit', '/root/testdata/sf0.001',"
@@ -66,7 +72,7 @@ def test_dtype_audit_warns_and_fails_on_vanished_seam():
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=300, cwd=os.getcwd(), env=env,
+        timeout=300, cwd=_REPO_ROOT, env=env,
     )
     assert proc.returncode == 1, proc.stdout + proc.stderr
     assert "WARN  canary_sum_cast" in proc.stdout, proc.stdout
