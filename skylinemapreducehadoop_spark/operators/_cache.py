@@ -26,6 +26,42 @@ _PERSISTED_CAP = 8
 _PERSISTED_LOCK = threading.Lock()
 
 
+#: formats whose minimum scan split is a row group, not a byte range —
+#: planned split count can exceed the number of NON-EMPTY splits, so
+#: file count is the honest parallelism bound
+_ROW_GROUP_SUFFIXES = (".parquet", ".orc")
+
+
+def scan_partitions(df: DataFrame) -> int:
+    """Effective parallelism of the PLANNED scan of ``df`` — the honest
+    input to a "fan out before CPU-bound kernel work" gate.
+
+    Line-splittable sources (text/csv/json) scan as byte-range splits,
+    so ``inputFiles()`` undercounts them (a single large text file
+    splits wide under ``spark.sql.files.minPartitionNum`` /
+    ``maxPartitionBytes``) and the planned partition count is truthful.
+    Row-group formats (parquet/orc) can PLAN more splits than carry
+    rows (a single-row-group file yields one non-empty split no matter
+    how many byte ranges were planned), so the file count bounds their
+    real parallelism. Non-file-backed frames report "already parallel"
+    so the gate no-ops (createDataFrame input is parallelized by
+    Spark). The RDD conversion is plan-time metadata only.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return par
+    if not files:
+        return par
+    if all(f.rstrip("/").lower().endswith(_ROW_GROUP_SUFFIXES) for f in files):
+        return len(files)
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001
+        return par
+
+
 def persist_tracked(df: DataFrame) -> DataFrame:
     df = df.persist()
     with _PERSISTED_LOCK:

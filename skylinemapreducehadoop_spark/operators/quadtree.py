@@ -327,17 +327,16 @@ def quadtree_skyline(
         mat = np.column_stack(arrs)
         return pd.Series(assign_cells(mat, tree))
 
-    # The assignment UDF + combiner below are CPU-bound: if the scan has
-    # fewer input files than cores (one small/unsplittable parquet — the
-    # local testdata), fan out first so they parallelize. At cluster
-    # scale input splits >> cores and this no-ops (same gate as
+    # The assignment UDF + combiner below are CPU-bound: if the PLANNED
+    # scan has fewer partitions than cores (one small/unsplittable
+    # parquet — the local testdata), fan out first so they parallelize.
+    # Splittable sources already scanning wide skip the exchange. At
+    # cluster scale input splits >> cores and this no-ops (same gate as
     # skyline()'s twophase local pass).
+    from skylinemapreducehadoop_spark.operators._cache import scan_partitions
+
     fan = df
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = spark.sparkContext.defaultParallelism
-    if 0 < n_files < spark.sparkContext.defaultParallelism:
+    if 0 < scan_partitions(df) < spark.sparkContext.defaultParallelism:
         fan = df.repartition(spark.sparkContext.defaultParallelism)
 
     with_cell = fan.withColumn("__cell", assign_udf(*[F.col(c) for c in dim_cols]))

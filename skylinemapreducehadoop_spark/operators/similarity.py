@@ -848,6 +848,22 @@ def embedding_dim_stats(
     )
 
 
+def _fan_out_for_pair_expand(df: DataFrame) -> DataFrame:
+    """Repartition a narrow scan before the dim^2/2 pair expansion of
+    :func:`gram_matrix` / :func:`covariance_matrix`: the chained
+    posexplode multiplies every row ~dim^2 times in pure CPU work, so a
+    single-split source (one small parquet — the local testdata) ran
+    the whole expansion on one core. The shuffle moves only the raw
+    vectors (tiny next to the expansion); at cluster scale input splits
+    >= cores and this no-ops."""
+    from skylinemapreducehadoop_spark.operators._cache import scan_partitions
+
+    sc = df.sparkSession.sparkContext
+    if 0 < scan_partitions(df) < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def gram_matrix(
     df: DataFrame,
     *,
@@ -881,9 +897,9 @@ def gram_matrix(
     qvec = F.transform(
         F.col(vec_col), lambda v: F.round(v.cast("double") * q).cast("long")
     )
+    base = _fan_out_for_pair_expand(df.where(F.col(vec_col).isNotNull()))
     ex = (
-        df.where(F.col(vec_col).isNotNull())
-        .select(F.posexplode(qvec).alias("i", "__vi"), qvec.alias("__qv"))
+        base.select(F.posexplode(qvec).alias("i", "__vi"), qvec.alias("__qv"))
         .select("i", "__vi", F.posexplode("__qv").alias("j", "__vj"))
         .where(F.col("j") >= F.col("i"))
     )
@@ -920,7 +936,7 @@ def covariance_matrix(
     qvec = F.transform(
         F.col(vec_col), lambda v: F.round(v.cast("double") * q).cast("long")
     )
-    base = df.where(F.col(vec_col).isNotNull())
+    base = _fan_out_for_pair_expand(df.where(F.col(vec_col).isNotNull()))
     pairs = (
         base.select(F.posexplode(qvec).alias("i", "__vi"), qvec.alias("__qv"))
         .select("i", "__vi", F.posexplode("__qv").alias("j", "__vj"))

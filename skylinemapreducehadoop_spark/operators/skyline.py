@@ -237,15 +237,15 @@ def skyline(
     if strategy != "twophase":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    # The local pass is CPU-bound kernel work: if the scan has fewer
-    # input files than cores (small files / single parquet), fan out
-    # first. At cluster scale input splits >> cores and this no-ops.
+    # The local pass is CPU-bound kernel work: if the PLANNED scan has
+    # fewer partitions than cores (small files / single unsplittable
+    # parquet), fan out first. Splittable sources (text under
+    # minPartitionNum) already scan wide — skip the redundant exchange.
+    # At cluster scale input splits >> cores and this no-ops.
+    from skylinemapreducehadoop_spark.operators._cache import scan_partitions
+
     sc = df.sparkSession.sparkContext
-    try:
-        n_files = len(clean.inputFiles())
-    except Exception:
-        n_files = sc.defaultParallelism
-    if 0 < n_files < sc.defaultParallelism:
+    if 0 < scan_partitions(clean) < sc.defaultParallelism:
         clean = clean.repartition(sc.defaultParallelism)
     local = clean.mapInArrow(fn, df.schema)
 

@@ -47,7 +47,12 @@ def test_decontaminate_uses_broadcast_semi_join(spark):
 
     plan = _plan(em.queries()["decontaminate_documents"](spark, SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # one-pass contamination_check (r16): the benchmark gram set is
+    # BROADCAST into a left join whose hit marker feeds a conditional
+    # count — the corpus side still never shuffles its grams (the only
+    # exchange keys on the doc id for the final fold)
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "LeftSemi" not in plan  # the stitch join is gone
 
 
 def test_window_analytics_events_single_shuffle(spark):

@@ -132,6 +132,11 @@ BNLJ_OK = {
     "hard_negatives_embeddings",
     "ndcg_bm25_documents",  # 1-row DCG x 1-row IDCG scalar cross join
     "hard_positives_embeddings",  # same bounded anchor-slate theta-join
+    # r16 split-aggregate ANALYZE: the exact-NDV pass crossJoins its
+    # 1-row frame onto the 1-row plain-stats frame (keeps the
+    # multi-distinct Expand off the 3|cols| plain aggregates — 3.2x)
+    "analyze_orders",
+    "analyze_approx_check",
 }
 
 
