@@ -4693,7 +4693,13 @@ def _image_dhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_rgb_png_column,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # fan out the id column before the synth+decode Python stages: the
+    # single-split documents scan otherwise caps each of the 4 union
+    # branches at ONE task, so ~6000 pure-Python encode/decode images
+    # ran on 4 cores. par//4 per branch fills the machine without
+    # flooding it with near-empty batches; no-op at cluster scale.
+    _par = max(1, spark.sparkContext.defaultParallelism // 4)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(_par)
     png = synthesize_rgb_png_column(docs, "doc_id")
     bmp = synthesize_rgb_bmp_column(
         docs.select((F.col("doc_id") + 900000).alias("doc_id"),

@@ -419,20 +419,27 @@ def hist_quantile_edge(
     # correctly rounded and q_den >= 2 keeps true quotients > 1/q_den
     # away from integer boundaries, so the truncating cast IS floor
     target = ((total * q_num + (q_den - 1)) / q_den).cast("long")
+    # target rides in the fold's SEED, which is evaluated ONCE per row:
+    # referencing it inside the lambda would re-run the full `total`
+    # fold PER ARRAY ELEMENT (higher-order lambdas re-evaluate every
+    # embedded subexpression each call — measured ~4s of a 5.3s query
+    # on 80 x 600-bin rows; two linear folds per quantile after)
     found = F.aggregate(
         h,
         F.struct(
             F.lit(0).cast("long").alias("run"),
             F.lit(-1).alias("idx"),
             F.lit(0).alias("pos"),
+            target.alias("tgt"),
         ),
         lambda s, x: F.struct(
             (s["run"] + x).alias("run"),
             F.when(s["idx"] >= 0, s["idx"])
-            .when(s["run"] + x >= target, s["pos"])
+            .when(s["run"] + x >= s["tgt"], s["pos"])
             .otherwise(F.lit(-1))
             .alias("idx"),
             (s["pos"] + 1).alias("pos"),
+            s["tgt"].alias("tgt"),
         ),
     )["idx"]
     return (F.lit(lo) + found.cast("long") * F.lit(bin_width)).alias("edge")
