@@ -106,6 +106,14 @@ def get_session(
         # the TPC-H family: q18 1.65->1.23s, q3 1.08->0.75s, q21
         # 1.33->1.14s, setsim 5.2->4.7s, zero regressions.
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Long-lived sessions (the 200+-query bench sweep, the oracle
+        # harness) accumulate shuffle files and localCheckpoint blocks
+        # whose RDDs are unreachable but not yet JVM-GC'd; the context
+        # cleaner only runs on GC. The default 30min periodic GC lets
+        # tens of GB of dead shuffle state pile up inside one session
+        # (observed: a 30x-replica iterative probe exhausting /tmp).
+        # 5min bounds the pile without measurable query-time cost.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
