@@ -89,16 +89,13 @@ def get_session(
         # so spark.sql.files.maxPartitionBytes cannot add scan
         # parallelism here (a row group is the minimum split). CPU-bound
         # kernel stages fan out explicitly where it pays (see
-        # operators/skyline.py, operators/dedup.py).
-        # Scan-parallelism FLOOR (guide §6): a single large text file
-        # (the GSOD fixed-width ingest) otherwise plans as ONE split
-        # and the whole parse runs on one core. Derived from the core
-        # count so it scales with SPARK_GRAFT_CPUS / cluster size; at
-        # scale input splits >> cores and the floor is inert. Parquet
-        # fan-out gates stay correct via the format-aware effective
-        # parallelism in operators/_cache.py (a row group is still the
-        # minimum real split).
-        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # operators/skyline.py, operators/dedup.py), and the one
+        # single-file TEXT ingest fans out at its own call site
+        # (sources/gsod.py) — a session-global
+        # spark.sql.files.minPartitionNum floor was measured to tax
+        # EVERY tiny parquet scan with cpu-count planned splits
+        # (~0.1-0.5s/query across the whole bench) for the benefit of
+        # that one reader.
         # Allow shuffled-hash join where its size conditions are met
         # (guide §3.1): no sort on either side; AQE's runtime size
         # checks + skew-join splitting still govern, so a build side

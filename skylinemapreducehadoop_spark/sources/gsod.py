@@ -53,6 +53,19 @@ def read_gsod(spark: SparkSession, path: str) -> DataFrame:
     lines = raw.where(
         (F.trim(F.col("value")) != "") & (~F.col("value").startswith("STN---"))
     )
+    # Fan out a narrow scan BEFORE the per-field substring/cast parse
+    # (guide §2): a single file under maxPartitionBytes plans as ONE
+    # split, serializing the whole CPU-bound parse on one core. The
+    # exchange moves raw ~140-byte lines only; at cluster scale input
+    # splits >> cores and the gate no-ops. Scoped here (the one
+    # single-file text ingest) instead of a session-global
+    # spark.sql.files.minPartitionNum floor, which taxed every parquet
+    # scan with cpu-count planned splits.
+    from skylinemapreducehadoop_spark.operators._cache import scan_partitions
+
+    par = spark.sparkContext.defaultParallelism
+    if 0 < scan_partitions(raw) < par:
+        lines = lines.repartition(par)
     cols = []
     for name, start, end, sentinel, _ in GSOD_FIELDS:
         # substring is 1-based; length = end - start

@@ -25,17 +25,25 @@ def test_scan_partitions_text_vs_parquet(spark, tmp_path):
 
     par = spark.sparkContext.defaultParallelism
 
-    # one wide text file: under the session's minPartitionNum floor the
-    # planner splits it by byte ranges — scan_partitions must report
-    # MORE than the file count (the gate then skips the redundant
-    # fan-out exchange)
+    # one wide text file: when the planner splits it by byte ranges
+    # (maxPartitionBytes below the file size — at real scale any file
+    # over 128 MB), scan_partitions must report MORE than the file
+    # count (the gate then skips the redundant fan-out exchange)
     # must exceed a couple of multiples of files.openCostInBytes (4 MB)
     # for the planner to carve more than one byte-range split
     txt = tmp_path / "wide.txt"
     txt.write_text("linelineline\n" * 1_000_000)  # ~13 MB
-    t = spark.read.text(str(txt))
-    n_text = scan_partitions(t)
-    assert n_text > 1, n_text
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(5 << 20))
+    try:
+        t = spark.read.text(str(txt))
+        n_text = scan_partitions(t)
+        assert n_text > 1, n_text
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
 
     # one single-row-group parquet file: regardless of how many byte
     # ranges the planner carves, only one carries the row group — the
