@@ -1510,7 +1510,9 @@ def _kmv_setops_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = 65536
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = kmv_sketch(ev, ["event_type"], "user_id", k=K).cache()
+    from skylinemapreducehadoop_spark.operators._cache import persist_tracked
+
+    sk = persist_tracked(kmv_sketch(ev, ["event_type"], "user_id", k=K))
     if sk.where(F.size("kmv") >= K).count():
         raise ValueError(f"kmv_setops_check out of its exact regime (K={K})")
     a, b = sk.alias("a"), sk.alias("b")
@@ -1743,7 +1745,9 @@ def _kmv_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = 65536
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = kmv_sketch(ev, ["event_type"], "user_id", k=K).cache()
+    from skylinemapreducehadoop_spark.operators._cache import persist_tracked
+
+    sk = persist_tracked(kmv_sketch(ev, ["event_type"], "user_id", k=K))
     at_capacity = sk.where(F.size("kmv") >= K).count()
     if at_capacity:
         raise ValueError(
@@ -1979,7 +1983,9 @@ def _kmv_rollup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     daily = kmv_sketch(ev, ["event_type", "day"], "user_id", k=K)
-    merged = kmv_merge(daily, ["event_type"], k=K).cache()
+    from skylinemapreducehadoop_spark.operators._cache import persist_tracked
+
+    merged = persist_tracked(kmv_merge(daily, ["event_type"], k=K))
     # regime fail-fast: at sketch size == K the estimator fires and the
     # COUNT(DISTINCT) oracle would mismatch SILENTLY — if a future
     # generator/sf pushes any type to K distinct users, raise instead

@@ -42,8 +42,10 @@ def fuzzy_join_ed1(df: DataFrame, col: str) -> DataFrame:
         df.select(F.col(col).alias("v"))
         .where(F.col("v").isNotNull())
         .distinct()
-        .cache()
     )
+    from skylinemapreducehadoop_spark.operators._cache import persist_tracked
+
+    vals = persist_tracked(vals)
     keys = vals.select(
         "v",
         F.explode(

@@ -672,7 +672,12 @@ def kmeans_lloyd(
         raise ValueError(f"k={k} exceeds row count {len(init)}")
     C = np.array([r[0] for r in init], dtype=np.float64)
 
-    df = df.cache()  # n_iter full passes over the input
+    # n_iter full passes over the input; UNPERSISTED before return —
+    # a leaked cache of the (often base-table) input plan would shadow
+    # that table for every later query in the session via cache-manager
+    # plan substitution (measured: pca/covariance/gram 3x slower for
+    # the rest of a bench session after one kmeans ran)
+    df = df.persist()
 
     def _assigner(cent: np.ndarray):
         cnorm = (cent**2).sum(axis=1)
@@ -701,8 +706,13 @@ def kmeans_lloyd(
         C = newC
     # re-assign under the FINAL centroids — the loop's last `assigned`
     # reflects the previous iteration's centroids, and returning a
-    # (labels, centroids) pair that disagrees would be a subtle bug
-    return df.withColumn("cluster", _assigner(C)(F.col(vec_col))), C
+    # (labels, centroids) pair that disagrees would be a subtle bug.
+    # The training collects above already consumed the cache; dropping
+    # it here means the returned plan re-reads the source once (cheap)
+    # instead of shadowing the input table session-wide.
+    result = df.withColumn("cluster", _assigner(C)(F.col(vec_col)))
+    df.unpersist(blocking=False)
+    return result, C
 
 
 # ---------------------------------------------------------------------------

@@ -678,7 +678,7 @@ def skyline_layers(df: DataFrame, dims: DimSpec, n_layers: int) -> DataFrame:
         # sky caches stay pinned (they ARE the output); each round's
         # remaining is unpersisted once the next round's is materialized
         # (layer 1's `remaining` is the caller's frame — never touched).
-        sky = skyline(remaining, dims).cache()
+        sky = _persist_tracked(skyline(remaining, dims))
         tagged = sky.withColumn("layer", F.lit(layer))
         out = tagged if out is None else out.unionByName(tagged)
         if layer < n_layers:
