@@ -1130,7 +1130,9 @@ def _rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key table through one task, the abc_classify scale-killer. Score
     # = 1 + (rn-1)*5 div N, exact integer arithmetic; N rides along as
     # a broadcast 1-row frame
-    from skylinemapreducehadoop_spark.operators.stats import global_row_number
+    from skylinemapreducehadoop_spark.operators.stats import (
+        global_row_number_grouped,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
@@ -1140,15 +1142,42 @@ def _rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monet_cents"
         ),
     )
-    ranked = per
-    for metric, rn in [
-        ("last_order", "r_rn"),
-        ("freq", "f_rn"),
-        ("monet_cents", "m_rn"),
-    ]:
-        ranked = global_row_number(
-            ranked, [F.desc(metric), F.asc("o_custkey")], out_col=rn
-        )
+    # ONE grouped prefix-sum pass ranks all three metrics (melt to
+    # (metric, sort_key) rows, rank, pivot back) instead of chaining
+    # three full range-partition/checkpoint/collect machineries —
+    # identical ranks: each metric's sort key is the negated value so
+    # ascending (key, custkey) order equals the original
+    # (desc metric, asc custkey)
+    epoch = F.lit("1970-01-01").cast("date")
+    melted = per.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("__m"),
+                    (-F.datediff(F.col("last_order"), epoch))
+                    .cast("long")
+                    .alias("__s"),
+                ),
+                F.struct(
+                    F.lit(1).alias("__m"),
+                    (-F.col("freq")).cast("long").alias("__s"),
+                ),
+                F.struct(
+                    F.lit(2).alias("__m"),
+                    (-F.col("monet_cents")).cast("long").alias("__s"),
+                ),
+            )
+        ).alias("__x"),
+    ).select("o_custkey", F.col("__x.__m").alias("__m"), F.col("__x.__s").alias("__s"))
+    rankedm = global_row_number_grouped(
+        melted, "__m", [F.asc("__s"), F.asc("o_custkey")], out_col="__rn"
+    )
+    ranked = rankedm.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("__m") == 0, F.col("__rn"))).alias("r_rn"),
+        F.max(F.when(F.col("__m") == 1, F.col("__rn"))).alias("f_rn"),
+        F.max(F.when(F.col("__m") == 2, F.col("__rn"))).alias("m_rn"),
+    )
     n = per.agg(F.count(F.lit(1)).alias("__n"))
     score = lambda c: (  # noqa: E731 - tiny local expression builder
         F.lit(1) + F.expr(f"(({c} - 1) * 5) div __n")

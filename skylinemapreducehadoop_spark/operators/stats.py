@@ -25,6 +25,7 @@ from decimal import Decimal
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: decimal wide enough for sums of pairwise products of ~1e12-scale
 #: quantized values over ~1e9 rows
@@ -966,6 +967,71 @@ def global_row_number(
     off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
     return (
         local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def global_row_number_grouped(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence,
+    *,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exact global ``row_number()`` (rank restarts at 1 in
+    each group) without a per-group single-partition window — the
+    grouped form of :func:`global_row_number`, for computing SEVERAL
+    independent global rankings of one table in ONE pass (melt the
+    metrics to (group, sort_key) rows, rank here, pivot back) instead
+    of chaining one prefix-sum machinery per ranking.
+
+    Shape: ONE range partition on (group, order...), partition-local
+    ``row_number`` keyed by (group, partition_id), one
+    #groups x #partitions-row count collect (config/group-bounded,
+    never data-bounded), broadcast-added per-(group, partition)
+    offsets. ``order_cols`` must total-order rows WITHIN each group
+    (include a tie-break column).
+    """
+    cols = list(order_cols)
+    if not cols:
+        raise ValueError("order_cols must be non-empty")
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    g = F.col(group_col)
+    local_w = Window.partitionBy(group_col, "__pid").orderBy(*cols)
+    local = (
+        df.repartitionByRange(nparts, g.asc(), *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrn", F.row_number().over(local_w))
+        .localCheckpoint()
+    )
+    pstats = sorted(
+        local.groupBy(group_col, "__pid")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect(),
+        key=lambda r: (r[group_col], r["__pid"]),
+    )
+    offsets: list[tuple] = []
+    prev_g, cum = None, 0
+    for r in pstats:
+        if r[group_col] != prev_g:
+            prev_g, cum = r[group_col], 0
+        offsets.append((r[group_col], r["__pid"], cum))
+        cum += int(r["__c"])
+    schema = T.StructType(
+        [
+            T.StructField(group_col, df.schema[group_col].dataType, True),
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField("__off", T.LongType()),
+        ]
+    )
+    off_df = spark.createDataFrame(offsets or [(None, 0, 0)], schema)
+    return (
+        local.join(F.broadcast(off_df), [group_col, "__pid"])
         .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
         .drop("__pid", "__lrn", "__off")
     )

@@ -132,3 +132,39 @@ def test_winnow_prefilter_equivalence(spark):
         lhs = bool(r["fp"]) if r["fp"] is not None else False
         rhs = bool(r["tok"]) if r["tok"] is not None else False
         assert lhs == rhs, r
+
+
+def test_global_row_number_grouped_matches_window(spark):
+    """The r17 grouped prefix-sum rank must equal a plain per-group
+    row_number window on every row, including groups that span range
+    partitions and the empty-input edge."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from skylinemapreducehadoop_spark.operators.stats import (
+        global_row_number_grouped,
+    )
+
+    df = spark.range(0, 997).select(
+        (F.col("id") % 3).cast("int").alias("g"),
+        ((F.col("id") * 37) % 101).alias("v"),
+        F.col("id").alias("tid"),
+    )
+    got = global_row_number_grouped(
+        df, "g", [F.asc("v"), F.asc("tid")], out_col="rn", num_partitions=7
+    )
+    want = df.withColumn(
+        "rn_w",
+        F.row_number().over(Window.partitionBy("g").orderBy("v", "tid")),
+    )
+    joined = got.join(want, ["g", "v", "tid"])
+    assert joined.where(F.col("rn") != F.col("rn_w")).count() == 0
+    assert got.count() == 997
+
+    empty = df.where(F.lit(False))
+    assert (
+        global_row_number_grouped(
+            empty, "g", [F.asc("v"), F.asc("tid")], out_col="rn"
+        ).count()
+        == 0
+    )
