@@ -102,14 +102,13 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Degree-ordered orientation (the standard distributed formulation,
     cf. Suri & Vassilvitskii, "Counting Triangles and the Curse of the
     Last Reducer", WWW'11): orient every undirected edge from its
-    lower-(degree, id) endpoint to the higher one, build wedges by
-    joining oriented edges head-to-tail, and close each wedge against
-    the oriented edge set. Each triangle is counted exactly once, and
-    every join is an equi-join whose fan-out is bounded by ORIENTED
-    degree ≤ O(sqrt(m)) — the hub that breaks a naive neighbor join
-    (celebrity nodes at web scale) contributes only edges pointing TO
-    it, never wedges centered on it. Work is O(m^{3/2}) total,
-    hash-partitioned; nothing driver-side.
+    lower-(degree, id) endpoint to the higher one, then count each
+    triangle at the unique edge whose both endpoints point at the
+    third node via sorted-adjacency intersection. Fan-out is bounded
+    by ORIENTED degree ≤ O(sqrt(m)) — the hub that breaks a naive
+    neighbor join (celebrity nodes at web scale) contributes only
+    edges pointing TO it, never an adjacency list centered on it.
+    Work is O(m^{3/2}) total, hash-partitioned; nothing driver-side.
     """
     und = persist_tracked(
         edges.select(
@@ -126,6 +125,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
+    return _triangle_count_normalized(und, deg)
+
+
+def _triangle_count_normalized(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle count over an already-normalized graph: ``und`` the
+    distinct undirected (a < b) edge list, ``deg`` its (v, d) degree
+    table — both expected persisted by the caller.
+    :func:`clustering_coefficient` enters here so its own und/deg
+    materializations are not rebuilt a second time."""
     # orient by (degree, id): u -> v iff (d_u, u) < (d_v, v)
     da = und.join(deg.hint("shuffle_hash"), und["a"] == deg["v"]).select(
         "a", "b", F.col("d").alias("da")
@@ -138,22 +146,36 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
         F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
     ).otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
-    # oriented feeds THREE consumers (two wedge sides + the closing
-    # semi-join): persist so the degree-join chain above runs once —
-    # unpersisted, the whole edge-derivation subtree (which may itself
-    # be an expensive self-join upstream) was instantiated per consumer
-    # (observed: 62-exchange plan for the co-purchase graph)
+    # oriented feeds THREE consumers (the adjacency build + two
+    # adjacency joins): persist so the degree-join chain above runs
+    # once — unpersisted, the whole edge-derivation subtree (which may
+    # itself be an expensive self-join upstream) was instantiated per
+    # consumer (observed: 62-exchange plan for the co-purchase graph)
     oriented = persist_tracked(dab.select(fwd.alias("e")).select("e.u", "e.w"))
-    # wedges u->v, v->w closed by u->w
-    e1 = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
-    e2 = oriented.select(F.col("u").alias("y"), F.col("w").alias("z"))
-    wedges = e1.join(e2.hint("shuffle_hash"), "y").select("x", "y", "z")
-    closed = wedges.join(
-        oriented.hint("shuffle_hash"),
-        (wedges["x"] == oriented["u"]) & (wedges["z"] == oriented["w"]),
-        "left_semi",
+    # Closure via compact adjacency instead of materializing wedges:
+    # each triangle x->y, x->z, y->z is counted exactly once, at the
+    # unique edge (x, y) whose BOTH endpoints point at z, so
+    # n_triangles = Σ over oriented edges (u, w) of |N+(u) ∩ N+(w)|.
+    # The former wedge self-join + closing semi-join shuffled the full
+    # wedge set (Σ out-deg² rows — 49M at sf0.1, 3.1s of a 2.4s-query
+    # budget); the adjacency arrays are bounded by the oriented
+    # out-degree ≤ O(sqrt(m)) per node, so each per-edge intersect is
+    # sqrt-bounded and the only shuffled frames are the edge list and
+    # the node-sized adjacency table.
+    adj = oriented.groupBy("u").agg(F.sort_array(F.collect_list("w")).alias("ns"))
+    both = (
+        oriented.join(adj.hint("shuffle_hash"), "u")
+        .join(
+            adj.select(
+                F.col("u").alias("w"), F.col("ns").alias("ns_w")
+            ).hint("shuffle_hash"),
+            "w",
+        )
+        .select(F.size(F.array_intersect("ns", "ns_w")).alias("c"))
     )
-    return closed.agg(F.count("*").alias("n_triangles"))
+    return both.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
+    )
 
 
 def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -176,7 +198,11 @@ def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst")
         .dropna()
         .distinct()
     )
-    deg = (
+    # deg feeds the wedge aggregate AND the triangle orientation joins
+    # (twice) — persist, and enter the triangle closure at the
+    # normalized seam so und is not re-distincted/re-persisted and deg
+    # not re-aggregated a second time inside triangle_count
+    deg = persist_tracked(
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
         .groupBy("v")
@@ -185,7 +211,7 @@ def clustering_coefficient(edges: DataFrame, src: str = "src", dst: str = "dst")
     wedges = deg.agg(
         (F.sum(F.col("d") * (F.col("d") - 1)) / F.lit(2)).cast("long").alias("n_wedges")
     )
-    tri = triangle_count(und, "a", "b")
+    tri = _triangle_count_normalized(und, deg)
     return tri.crossJoin(F.broadcast(wedges)).select(
         "n_triangles",
         "n_wedges",
