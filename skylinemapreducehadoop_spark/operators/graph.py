@@ -64,7 +64,7 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
 
-    for _ in range(n_iter):
+    for it in range(n_iter):
         with_deg = ranks.join(deg, ranks["id"] == deg["src"], "left").select(
             ranks["id"], "rank", "deg"
         )
@@ -78,19 +78,24 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("csum"))
         )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") / n_nodes)
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contribs, "id", "left").crossJoin(
+            F.broadcast(dangling)
+        ).select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dm") / n_nodes)
+            ).alias("rank"),
         )
+        # checkpoint every SECOND round (and the last): one round of
+        # deferred lineage only doubles the plan's rank subtree (two
+        # references per round), while each eager checkpoint is a full
+        # job barrier — halving the barriers costs nothing at scale and
+        # removes ~n_iter/2 driver round-trips per call. Values are
+        # unchanged: the checkpoint only pins, never alters, the ranks.
+        if it % 2 == 1 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
