@@ -4557,6 +4557,10 @@ def _pca_invariant_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetrized matrix are identical (same cov values), and dim ==
     # len(means) == max index + 1 on all-same-dim embeddings.
     cov_rows = covariance_matrix(emb).collect()
+    if not cov_rows:
+        # same descriptive failure pca_components raises — not a bare
+        # "max() arg is an empty sequence" (ADVICE r16)
+        raise ValueError("pca_invariant_check: no non-null embedding vectors")
     dim = max(r["j"] for r in cov_rows) + 1
     cov = np.zeros((dim, dim))
     for r in cov_rows:

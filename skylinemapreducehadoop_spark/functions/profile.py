@@ -194,6 +194,14 @@ def analyze_table(
         # stream (measured 3.2x slower on a 6-column table). The split
         # costs one extra scan; the Expand stays |cols|x but carries
         # only the distinct targets.
+        #
+        # STABLE-INPUT ASSUMPTION (ADVICE r16): the two passes scan df
+        # independently, so a non-deterministic frame (sampling,
+        # rand()-derived columns, a non-snapshot source) could yield
+        # mutually inconsistent n_total/min/max vs ndv in one profile
+        # row. Every caller in this engine profiles deterministic
+        # snapshot tables; persist/localCheckpoint df first if that
+        # ever stops holding.
         wide = df.agg(*plain).crossJoin(F.broadcast(df.agg(*ndvs)))
     else:
         # approx NDVs are ordinary aggregates (no Expand): one pass

@@ -57,9 +57,18 @@ def scan_partitions(df: DataFrame) -> int:
     if all(f.rstrip("/").lower().endswith(_ROW_GROUP_SUFFIXES) for f in files):
         return len(files)
     try:
-        return df.rdd.getNumPartitions()
+        planned = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001
         return par
+    # extension-less data files (external/lake layouts) may still be a
+    # row-group format whose planned byte-range splits overcount real
+    # parallelism; unless the files are RECOGNIZABLY line-splittable,
+    # bound by the file count so the fan-out gate errs toward firing
+    # (an extra exchange, never a missed one) — ADVICE r16
+    _TEXT_SUFFIXES = (".txt", ".csv", ".tsv", ".json", ".jsonl", ".text")
+    if all(f.rstrip("/").lower().endswith(_TEXT_SUFFIXES) for f in files):
+        return planned
+    return min(len(files), planned)
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
